@@ -1,0 +1,83 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on a warm local session and prints ONE JSON
+line, per the driver contract.
+
+Methodology matches BASELINE.md: one untimed warmup action for JIT/codegen,
+then median of N timed runs per query, excluding session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+RUNS = int(os.environ.get("BENCH_RUNS", "5"))
+
+#: Headline queries (BASELINE.md shapes + representative extension ops).
+HEADLINE = [
+    "dq_row_count",
+    "dq_null_check",
+    "dq_region_whitelist",
+    "dq_range_check",
+    "dq_uniqueness",
+    "dq_freshness",
+    "dq_suite_report",
+    "mart_pricing_summary",
+    "mart_region_revenue",
+    "mart_topk_customers",
+    "mart_rollup_revenue",
+    "events_tumbling_hourly",
+    "events_sessionization",
+    "events_json_extract",
+    "text_token_topk",
+    "text_quality_scores",
+    "dedup_exact_docs",
+    "embed_knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from enterprise_data_quality_platform_spark.queries import query_fns
+    from enterprise_data_quality_platform_spark.session import get_spark
+
+    spark = get_spark("edqp-bench")
+    fns = query_fns()
+    names = [n for n in HEADLINE if n in fns]
+
+    # warm the whole path once (scan caches, codegen) before any timing
+    for name in names:
+        fns[name](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fns[name](spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs_per_query": RUNS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,379 @@
+"""Compile declarative checks to Spark aggregate expressions.
+
+The reference runs each validation as its own round-trip SQL query against
+BigQuery (``/root/reference/airflow/dags/pager-workflow.py:126,133,159,174,
+189,212-218`` — five separate COUNT queries over two tables). At 100TB each
+round-trip is a full scan, so the central optimization here (SURVEY.md §4.2)
+is **scan fusion**: every aggregate-shaped check on a table contributes
+columns to ONE ``df.agg(...)`` pass; Catalyst executes a single
+whole-stage-codegen scan with partial+final aggregation, and N checks cost
+one read instead of N.
+
+Checks that genuinely need another plan shape (referential integrity = anti
+join, KL divergence = histogram) compile to plan checks with their own
+DataFrame; schema checks never touch data at all.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Any, Callable, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .definitions import AGG_CHECK_TYPES, Check, CheckResult
+
+#: Bound on violating-value samples carried into reports — the reference
+#: pulls full violation sets to the client (pager-workflow.py:218-225);
+#: at scale we keep a capped sample only (SURVEY.md §4.1).
+SAMPLE_CAP = 20
+
+
+def _now() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def _result(
+    check: Check,
+    status: str,
+    violations: int | None,
+    total: int | None,
+    observed: dict[str, Any],
+    error: str | None = None,
+) -> CheckResult:
+    return CheckResult(
+        check_name=check.name,
+        table=check.table,
+        column=check.column,
+        status=status,
+        violations=violations,
+        total=total,
+        observed={k: str(v) for k, v in observed.items() if v is not None},
+        error_message=error,
+        run_ts=_now(),
+    )
+
+
+def _count_eval(check: Check) -> Callable[[Mapping[str, Any], str], CheckResult]:
+    """Pass rule for violation-count checks under GE ``mostly`` semantics."""
+
+    def evaluate(row: Mapping[str, Any], prefix: str) -> CheckResult:
+        violations = int(row[f"{prefix}__violations"] or 0)
+        total = int(row[f"{prefix}__total"] or 0)
+        ok_fraction = 1.0 if total == 0 else 1.0 - violations / total
+        status = "pass" if ok_fraction >= check.mostly else "fail"
+        observed: dict[str, Any] = {"ok_fraction": round(ok_fraction, 6)}
+        sample = row.get(f"{prefix}__sample")
+        if sample:
+            observed["sample"] = list(sample)[:SAMPLE_CAP]
+        return _result(check, status, violations, total, observed)
+
+    return evaluate
+
+
+def _metric_eval(
+    check: Check, metric_names: tuple[str, ...]
+) -> Callable[[Mapping[str, Any], str], CheckResult]:
+    """Pass rule for metric-bound checks (mean/min/max/quantile/...)."""
+    lo = check.params.get("min")
+    hi = check.params.get("max")
+
+    def evaluate(row: Mapping[str, Any], prefix: str) -> CheckResult:
+        metrics = {m: row[f"{prefix}__{m}"] for m in metric_names}
+        primary = metrics[metric_names[0]]
+        total = row.get(f"{prefix}__total")
+        ok = primary is not None
+        if ok and lo is not None:
+            ok = primary >= lo
+        if ok and hi is not None:
+            ok = primary <= hi
+        return _result(
+            check,
+            "pass" if ok else "fail",
+            None if ok else (int(total) if total is not None else None),
+            int(total) if total is not None else None,
+            metrics,
+        )
+
+    return evaluate
+
+
+def _violation_cond(check: Check) -> Column:
+    """Column condition that is TRUE for a violating row. Null handling
+    follows GE: value checks skip NULLs (not_null exists to target them)."""
+    c = F.col(check.column) if check.column else None
+    p = check.params
+    t = check.check_type
+    if t == "not_null":
+        return c.isNull()
+    if t == "values_between":
+        cond = F.lit(False)
+        if "min" in p:
+            cond = cond | (c < F.lit(p["min"]))
+        if "max" in p:
+            cond = cond | (c > F.lit(p["max"]))
+        return c.isNotNull() & cond
+    if t == "values_in_set":
+        return c.isNotNull() & ~c.isin(list(p["values"]))
+    if t == "values_not_in_set":
+        return c.isNotNull() & c.isin(list(p["values"]))
+    if t == "value_lengths_between":
+        length = F.length(c)
+        cond = F.lit(False)
+        if "min" in p:
+            cond = cond | (length < F.lit(int(p["min"])))
+        if "max" in p:
+            cond = cond | (length > F.lit(int(p["max"])))
+        return c.isNotNull() & cond
+    if t == "match_regex":
+        return c.isNotNull() & ~c.rlike(p["regex"])
+    if t == "not_match_regex":
+        return c.isNotNull() & c.rlike(p["regex"])
+    if t == "match_strftime":
+        return c.isNotNull() & F.try_to_timestamp(c, F.lit(p["format"])).isNull()
+    if t == "pair_greater_than":
+        a, b = check.columns
+        op = (
+            (F.col(a) >= F.col(b))
+            if p.get("or_equal", False)
+            else (F.col(a) > F.col(b))
+        )
+        return F.col(a).isNotNull() & F.col(b).isNotNull() & ~op
+    raise ValueError(f"not a row-condition check: {t}")
+
+
+@dataclass
+class CompiledAggCheck:
+    """A check lowered to fused aggregate expressions.
+
+    ``exprs`` maps alias -> aggregate Column; aliases are namespaced with the
+    check's index prefix so many checks coexist in one ``df.agg``.
+    """
+
+    check: Check
+    exprs: dict[str, Column]
+    evaluate: Callable[[Mapping[str, Any], str], CheckResult]
+    prefix: str
+
+
+_ROW_COND_TYPES = frozenset(
+    {
+        "not_null",
+        "values_between",
+        "values_in_set",
+        "values_not_in_set",
+        "value_lengths_between",
+        "match_regex",
+        "not_match_regex",
+        "match_strftime",
+        "pair_greater_than",
+    }
+)
+
+
+def compile_agg_check(check: Check, prefix: str) -> CompiledAggCheck:
+    """Lower one aggregate-shaped check to named agg expressions."""
+    if check.check_type not in AGG_CHECK_TYPES:
+        raise ValueError(f"{check.check_type} is not an aggregate check")
+    p = check.params
+    c = F.col(check.column) if check.column else None
+    total = F.count(F.lit(1))
+    exprs: dict[str, Column] = {}
+
+    if check.check_type in _ROW_COND_TYPES:
+        cond = _violation_cond(check)
+        exprs[f"{prefix}__violations"] = F.sum(
+            F.when(cond, F.lit(1)).otherwise(F.lit(0))
+        )
+        exprs[f"{prefix}__total"] = total
+        if check.column is not None and check.check_type != "not_null":
+            # bounded violating-value sample for the report
+            exprs[f"{prefix}__sample"] = F.slice(
+                F.array_sort(F.collect_set(F.when(cond, c.cast("string")))),
+                1,
+                SAMPLE_CAP,
+            )
+        return CompiledAggCheck(check, exprs, _count_eval(check), prefix)
+
+    if check.check_type == "row_count_between":
+        exprs[f"{prefix}__count"] = total
+        ev = _metric_eval(check, ("count",))
+        return CompiledAggCheck(check, exprs, ev, prefix)
+
+    if check.check_type in {"unique", "compound_unique"}:
+        cols = [check.column] if check.check_type == "unique" else list(check.columns)
+        # excess rows = count(non-null tuples) - count_distinct(tuples);
+        # count_distinct over multiple cols skips rows with any NULL, so
+        # count the same population on the left for consistency.
+        tup = F.struct(*[F.col(x) for x in cols])
+        nn = F.when(
+            F.lit(True)
+            if not cols
+            else F.expr(" AND ".join(f"`{x}` IS NOT NULL" for x in cols)),
+            F.lit(1),
+        )
+        exprs[f"{prefix}__violations"] = F.count(nn) - F.count_distinct(tup)
+        exprs[f"{prefix}__total"] = total
+        return CompiledAggCheck(check, exprs, _count_eval(check), prefix)
+
+    if check.check_type == "distinct_in_set":
+        cond = c.isNotNull() & ~c.isin(list(p["values"]))
+        exprs[f"{prefix}__violations"] = F.count_distinct(F.when(cond, c))
+        exprs[f"{prefix}__total"] = F.count_distinct(c)
+        exprs[f"{prefix}__sample"] = F.slice(
+            F.array_sort(F.collect_set(F.when(cond, c.cast("string")))), 1, SAMPLE_CAP
+        )
+        return CompiledAggCheck(check, exprs, _count_eval(check), prefix)
+
+    metric_map: dict[str, tuple[str, Column]] = {
+        "mean_between": ("mean", F.avg(c)),
+        "stddev_between": ("stddev", F.stddev(c)),
+        "min_between": ("min", F.min(c)),
+        "max_between": ("max", F.max(c)),
+        "sum_between": ("sum", F.sum(c)),
+        "unique_count_between": (
+            "unique_count",
+            F.approx_count_distinct(c)
+            if p.get("approx", False)
+            else F.count_distinct(c),
+        ),
+    }
+    if check.check_type in metric_map:
+        mname, expr = metric_map[check.check_type]
+        exprs[f"{prefix}__{mname}"] = expr
+        exprs[f"{prefix}__total"] = total
+        return CompiledAggCheck(check, exprs, _metric_eval(check, (mname,)), prefix)
+
+    if check.check_type == "unique_proportion_between":
+        exprs[f"{prefix}__unique_proportion"] = F.count_distinct(c) / F.count(c)
+        exprs[f"{prefix}__total"] = total
+        return CompiledAggCheck(
+            check, exprs, _metric_eval(check, ("unique_proportion",)), prefix
+        )
+
+    if check.check_type == "quantile_between":
+        q = float(p.get("quantile", 0.5))
+        expr = (
+            F.percentile_approx(c, q)
+            if p.get("approx", False)  # 100TB path; exact twin for oracles
+            else F.expr(f"percentile(`{check.column}`, {q!r})")
+        )
+        exprs[f"{prefix}__quantile"] = expr
+        exprs[f"{prefix}__total"] = total
+        return CompiledAggCheck(check, exprs, _metric_eval(check, ("quantile",)), prefix)
+
+    if check.check_type == "most_common_in_set":
+        exprs[f"{prefix}__mode"] = F.mode(c)
+        exprs[f"{prefix}__total"] = total
+
+        def ev(row: Mapping[str, Any], prefix: str) -> CheckResult:
+            mode = row[f"{prefix}__mode"]
+            ok = mode in set(p["values"])
+            return _result(
+                check,
+                "pass" if ok else "fail",
+                None,
+                int(row[f"{prefix}__total"]),
+                {"mode": mode},
+            )
+
+        return CompiledAggCheck(check, exprs, ev, prefix)
+
+    if check.check_type == "freshness":
+        exprs[f"{prefix}__max_ts"] = F.max(c)
+        exprs[f"{prefix}__total"] = total
+
+        def ev_fresh(row: Mapping[str, Any], prefix: str) -> CheckResult:
+            max_ts = row[f"{prefix}__max_ts"]
+            now = p.get("as_of") or _now()
+            max_lag = float(p["max_lag_seconds"])
+            lag = None if max_ts is None else (now - max_ts).total_seconds()
+            ok = lag is not None and lag <= max_lag
+            return _result(
+                check,
+                "pass" if ok else "fail",
+                None,
+                int(row[f"{prefix}__total"]),
+                {"max_ts": max_ts, "lag_seconds": lag},
+            )
+
+        return CompiledAggCheck(check, exprs, ev_fresh, prefix)
+
+    raise ValueError(f"unhandled aggregate check type: {check.check_type}")
+
+
+# ---------------------------------------------------------------------------
+# Plan checks — need a different plan shape or no scan at all.
+# ---------------------------------------------------------------------------
+
+
+def run_plan_check(
+    check: Check, tables: Mapping[str, DataFrame]
+) -> CheckResult:
+    """Execute a non-fusable check against loaded tables."""
+    df = tables[check.table]
+    p = check.params
+    t = check.check_type
+
+    if t == "column_exists":
+        ok = check.column in df.columns
+        return _result(check, "pass" if ok else "fail", None, None, {"columns": df.columns})
+
+    if t == "columns_match_list":
+        expected = list(p["column_list"])
+        ok = df.columns == expected
+        return _result(
+            check, "pass" if ok else "fail", None, None,
+            {"columns": df.columns, "expected": expected},
+        )
+
+    if t == "column_of_type":
+        actual = df.schema[check.column].dataType.simpleString()
+        allowed = {s.lower() for s in p.get("type_list", [p.get("type")])}
+        ok = actual.lower() in allowed
+        return _result(check, "pass" if ok else "fail", None, None, {"type": actual})
+
+    if t == "referential_integrity":
+        # Orphan children = left-anti join against the parent key set
+        # (SURVEY.md §2.2 G19). At scale this is a shuffle join unless the
+        # parent is dimension-sized; broadcast hint applied under threshold.
+        parent = tables[p["parent_table"]]
+        child_key, parent_key = check.column, p["parent_column"]
+        parent_keys = parent.select(F.col(parent_key).alias(child_key)).dropDuplicates()
+        if p.get("broadcast_parent", False):
+            parent_keys = F.broadcast(parent_keys)
+        orphans = (
+            df.filter(F.col(child_key).isNotNull())
+            .join(parent_keys, on=child_key, how="left_anti")
+        )
+        agg = df.agg(F.count(F.lit(1)).alias("total")).collect()[0]
+        violations = orphans.count()
+        total = int(agg["total"])
+        ok_fraction = 1.0 if total == 0 else 1.0 - violations / total
+        status = "pass" if ok_fraction >= check.mostly else "fail"
+        return _result(check, status, violations, total, {"ok_fraction": round(ok_fraction, 6)})
+
+    if t == "kl_divergence_less_than":
+        # Histogram via groupBy (distributed), KL on the driver over the
+        # (small) bucket vector — SURVEY.md §2.2 G18.
+        import math
+
+        expected: Mapping[Any, float] = p["expected_distribution"]
+        counts = {
+            r[0]: r[1]
+            for r in df.groupBy(check.column).count().collect()
+        }
+        total = sum(counts.values())
+        kl = 0.0
+        for k, q in expected.items():
+            obs = counts.get(k, 0) / total if total else 0.0
+            if obs > 0 and q > 0:
+                kl += obs * math.log(obs / q)
+        ok = kl <= float(p["threshold"])
+        return _result(
+            check, "pass" if ok else "fail", None, total, {"kl_divergence": round(kl, 6)}
+        )
+
+    raise ValueError(f"unhandled plan check type: {t}")

@@ -1,0 +1,121 @@
+"""Text-analysis column functions (SURVEY.md §2.6 X1-X2 + training-data
+pipeline extensions: language-ID, quality scoring, token counting, document
+fingerprinting).
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` (string,
+regex, higher-order array functions) — no Python UDFs in the hot path, so all
+expressions stay inside whole-stage codegen and scale linearly with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Whitespace tokenizer pattern (BPE-ish extension: see ``bpe_pieces``).
+TOKEN_SPLIT = r"\s+"
+
+#: Tiny per-language marker lexicons for the n-gram/stopword-vote language
+#: heuristic. Deliberately small + deterministic (no external models).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "a", "to", "is", "in", "that"),
+    "es": ("el", "la", "de", "que", "y", "los", "las", "una"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "que"),
+}
+
+#: Punctuation class shared with the DuckDB oracle (explicit, not [[:punct:]],
+#: so both regex engines agree byte-for-byte).
+PUNCT_CLASS = r"[.,!?;:]"
+
+STOPWORDS: tuple[str, ...] = LANG_MARKERS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empty-token free (split on \\s+ after trim)."""
+    return F.split(F.trim(text), TOKEN_SPLIT)
+
+
+def token_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.array_size(tokens(text))
+    )
+
+
+def non_ascii_ratio(text: Column) -> Column:
+    """Fraction of non-ASCII characters — the CJK-vs-latin axis of the
+    language heuristic."""
+    stripped = F.regexp_replace(text, r"[\x00-\x7F]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def punct_ratio(text: Column) -> Column:
+    removed = F.regexp_replace(text, PUNCT_CLASS, "")
+    return (F.length(text) - F.length(removed)) / F.greatest(
+        F.length(text), F.lit(1)
+    )
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = tokens(F.lower(text))
+    matches = F.size(
+        F.filter(toks, lambda t: t.isin(list(stopwords)))
+    )
+    return matches / F.greatest(F.array_size(toks), F.lit(1))
+
+
+def marker_hits(text_tokens: Column, lang: str) -> Column:
+    """Count of language-marker tokens for one language."""
+    markers = list(LANG_MARKERS[lang])
+    return F.size(F.filter(text_tokens, lambda t: t.isin(markers)))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: CJK if mostly non-ASCII, else the latin
+    language with the most marker-word hits (tie → fixed preference order
+    en > es > de > fr, 'und' = undetermined when no markers hit)."""
+    toks = tokens(F.lower(text))
+    hits = {lang: marker_hits(toks, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*hits.values())
+    pick = F.lit("und")
+    # reversed so earlier languages win ties via later when() precedence
+    for lang in reversed(list(LANG_MARKERS)):
+        pick = F.when(hits[lang] == best, F.lit(lang)).otherwise(pick)
+    pick = F.when(best == 0, F.lit("und")).otherwise(pick)
+    return F.when(non_ascii_ratio(text) > 0.5, F.lit("cjk")).otherwise(pick)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality score in [0,1]: rewards length (saturating
+    at 200 tokens), penalizes punctuation density and stopword stuffing.
+    Linear arithmetic only → bit-stable across engines for oracle parity."""
+    length_part = F.least(F.lit(1.0), token_count(text) / F.lit(200.0))
+    return F.round(
+        length_part * (1 - punct_ratio(text)) * (1 - stopword_ratio(text)), 4
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical document fingerprint: md5 over case/whitespace-normalized
+    text — the exact-dedup key (X3) and the cheap first tier before
+    MinHash/SimHash near-dup (X4)."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), TOKEN_SPLIT, " ")
+    return F.md5(normalized)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), the unit set for Jaccard/MinHash.
+    Built with higher-order functions: transform over token indices."""
+    toks = tokens(F.lower(text))
+    k = F.array_size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)])
+    )
+    return F.when(k <= 0, F.array()).otherwise(F.array_distinct(grams))
+
+
+def rolling_hashes(text: Column, n: int = 3) -> Column:
+    """Per-shingle 64-bit hashes (xxhash64) — the rolling-hash document
+    signature used by SimHash/MinHash."""
+    return F.transform(shingles(text, n), lambda s: F.xxhash64(s))

@@ -1,0 +1,471 @@
+"""Data-quality queries (SURVEY.md §2.7 ``dq_*``) — the platform's core
+domain, reproducing the reference's executed validators and the GE gallery.
+
+Each query returns the *metrics* a check would gate on; the pass/fail policy
+layer lives in ``checks/`` (exercised by ``dq_suite_report``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..checks import Check, run_suite
+from ..functions.numeric import fx_avg, fx_round, fx_sum, sql_avg, sql_round, sql_sum
+from .registry import register
+
+# Whitelist deliberately excludes NATION_20..24 to create violations, the
+# same failure-injection trick as the reference's region whitelist that
+# "excludes South America to create failure"
+# (/root/reference/airflow/dags/pager-workflow.py:204-209).
+NATION_WHITELIST = tuple(f"NATION_{i}" for i in range(20))
+
+ORDERSTATUS_DOMAIN = ("O", "F", "P")
+PRIORITY_REGEX = "^[1-5]-"
+
+
+@register(
+    "dq_row_count",
+    oracle="SELECT COUNT(*) AS row_count FROM lineitem",
+    tables=("lineitem",),
+)
+def dq_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1/G2: row-count check — `SELECT COUNT(*)` per pager-workflow.py:126.
+    Metadata-only parquet count: Spark answers from footers, no data scan."""
+    return table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("row_count"))
+
+
+@register(
+    "dq_null_check",
+    oracle="""
+    SELECT COUNT(*) AS total,
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) AS null_violations
+    FROM orders
+    """,
+    tables=("orders",),
+)
+def dq_null_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/G3: null-key check per pager-workflow.py:127,134. One scan computes
+    total + null count (conditional aggregation, not two passes)."""
+    return table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_violations"
+        ),
+    )
+
+
+@register(
+    "dq_region_whitelist",
+    oracle=f"""
+    SELECT n_name AS violating_name
+    FROM (SELECT DISTINCT n_name FROM nation)
+    WHERE n_name NOT IN ({", ".join(f"'{n}'" for n in NATION_WHITELIST)})
+    ORDER BY violating_name
+    """,
+    tables=("nation",),
+)
+def dq_region_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3/G6: domain whitelist — DISTINCT + NOT IN, reporting violating
+    values, per pager-workflow.py:212-216. Literal list folds into the scan
+    filter; for table-sized whitelists use referential_integrity (anti-join)."""
+    return (
+        table(spark, sf_dir, "nation")
+        .select("n_name")
+        .distinct()
+        .filter(~F.col("n_name").isin(list(NATION_WHITELIST)))
+        .select(F.col("n_name").alias("violating_name"))
+        .orderBy("violating_name")
+    )
+
+
+@register(
+    "dq_range_check",
+    oracle="""
+    SELECT COUNT(*) AS total,
+           COUNT(*) FILTER (WHERE l_discount < 0.0 OR l_discount > 0.05) AS range_violations
+    FROM lineitem
+    """,
+    tables=("lineitem",),
+)
+def dq_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5/G7: business-rule range check per analysis.md:9
+    (validate_business_rules: value<0). Bounds chosen to produce violations."""
+    viol = (F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.05)
+    return table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(viol, 1).otherwise(0)).alias("range_violations"),
+    )
+
+
+@register(
+    "dq_uniqueness",
+    oracle="""
+    SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS duplicate_rows,
+           COUNT(DISTINCT o_orderkey) AS distinct_keys
+    FROM orders
+    """,
+    tables=("orders",),
+)
+def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: uniqueness as count - count_distinct (excess rows). Single
+    aggregate pass; at 100TB swap count_distinct for approx_count_distinct."""
+    return table(spark, sf_dir, "orders").agg(
+        (F.count("o_orderkey") - F.count_distinct("o_orderkey")).alias(
+            "duplicate_rows"
+        ),
+        F.count_distinct("o_orderkey").alias("distinct_keys"),
+    )
+
+
+@register(
+    "dq_compound_unique",
+    oracle="""
+    SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS duplicate_rows,
+           COUNT(DISTINCT (l_orderkey, l_linenumber)) AS distinct_keys
+    FROM lineitem
+    """,
+    tables=("lineitem",),
+)
+def dq_compound_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: compound-key uniqueness over (l_orderkey, l_linenumber)."""
+    tup = F.struct("l_orderkey", "l_linenumber")
+    return table(spark, sf_dir, "lineitem").agg(
+        (F.count(F.lit(1)) - F.count_distinct(tup)).alias("duplicate_rows"),
+        F.count_distinct(tup).alias("distinct_keys"),
+    )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT COUNT(*) AS orphan_count
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+    """,
+    tables=("orders", "customer"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G19/R7: orphan children via LEFT ANTI join (dbt `relationships` test).
+    Anti-join (not NOT IN) so NULL keys can't poison the predicate; parent
+    side reduced to distinct keys before the join."""
+    orders = table(spark, sf_dir, "orders")
+    parents = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    ).dropDuplicates()
+    orphans = orders.filter(F.col("o_custkey").isNotNull()).join(
+        parents, on="o_custkey", how="left_anti"
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("orphan_count"))
+
+
+@register(
+    "dq_completeness_ratio",
+    oracle="""
+    SELECT ROUND(1.0 - COUNT(c_name) * 1.0 / COUNT(*), 6) AS c_name_null_ratio,
+           ROUND(1.0 - COUNT(c_nationkey) * 1.0 / COUNT(*), 6) AS c_nationkey_null_ratio,
+           ROUND(1.0 - COUNT(c_acctbal) * 1.0 / COUNT(*), 6) AS c_acctbal_null_ratio,
+           ROUND(1.0 - COUNT(c_mktsegment) * 1.0 / COUNT(*), 6) AS c_mktsegment_null_ratio
+    FROM customer
+    """,
+    tables=("customer",),
+)
+def dq_completeness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: per-column completeness profile in ONE scan — the fused-profiling
+    shape (SURVEY.md §4.2): COUNT(col)/COUNT(*) for every column at once."""
+    df = table(spark, sf_dir, "customer")
+    total = F.count(F.lit(1))
+    return df.agg(
+        *[
+            F.round(1.0 - F.count(c) / total, 6).alias(f"{c}_null_ratio")
+            for c in ("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        ]
+    )
+
+
+@register(
+    "dq_set_membership",
+    oracle=f"""
+    SELECT COUNT(*) AS total,
+           COUNT(*) FILTER (
+             WHERE o_orderstatus NOT IN ({", ".join(f"'{s}'" for s in ORDERSTATUS_DOMAIN)})
+           ) AS set_violations
+    FROM orders
+    """,
+    tables=("orders",),
+)
+def dq_set_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 count form: o_orderstatus must be in {O,F,P}."""
+    viol = ~F.col("o_orderstatus").isin(list(ORDERSTATUS_DOMAIN))
+    return table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(viol, 1).otherwise(0)).alias("set_violations"),
+    )
+
+
+@register(
+    "dq_regex_match",
+    oracle=f"""
+    SELECT COUNT(*) AS total,
+           COUNT(*) FILTER (
+             WHERE NOT regexp_matches(o_orderpriority, '{PRIORITY_REGEX}')
+           ) AS regex_violations
+    FROM orders
+    """,
+    tables=("orders",),
+)
+def dq_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: o_orderpriority must match ^[1-5]- (rlike = partial match, same
+    as DuckDB regexp_matches)."""
+    viol = ~F.col("o_orderpriority").rlike(PRIORITY_REGEX)
+    return table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(viol, 1).otherwise(0)).alias("regex_violations"),
+    )
+
+
+@register(
+    "dq_value_lengths",
+    oracle="""
+    SELECT COUNT(*) AS total,
+           COUNT(*) FILTER (WHERE LENGTH(c_name) < 5 OR LENGTH(c_name) > 18) AS length_violations,
+           MIN(LENGTH(c_name)) AS min_length,
+           MAX(LENGTH(c_name)) AS max_length
+    FROM customer
+    """,
+    tables=("customer",),
+)
+def dq_value_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: value-length bounds on c_name, with observed min/max lengths."""
+    ln = F.length("c_name")
+    return table(spark, sf_dir, "customer").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when((ln < 5) | (ln > 18), 1).otherwise(0)).alias(
+            "length_violations"
+        ),
+        F.min(ln).cast("bigint").alias("min_length"),
+        F.max(ln).cast("bigint").alias("max_length"),
+    )
+
+
+@register(
+    "dq_stats_profile",
+    oracle=f"""
+    SELECT COUNT(l_quantity) AS n,
+           {sql_avg("l_quantity")} AS mean_qty,
+           {sql_round("STDDEV(l_quantity)", 4)} AS stddev_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           {sql_sum("l_quantity")} AS sum_qty
+    FROM lineitem
+    """,
+    tables=("lineitem",),
+)
+def dq_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11: single-pass numeric profile (mean/stddev/min/max/sum) — one scan,
+    one partial+final aggregate; this is the per-table profiling primitive."""
+    q = F.col("l_quantity")
+    return table(spark, sf_dir, "lineitem").agg(
+        F.count(q).alias("n"),
+        fx_avg(q, "mean_qty"),
+        fx_round(F.stddev(q), 4).alias("stddev_qty"),
+        F.min(q).alias("min_qty"),
+        F.max(q).alias("max_qty"),
+        fx_sum(q, "sum_qty"),
+    )
+
+
+@register(
+    "dq_quantiles",
+    oracle=f"""
+    SELECT {sql_round("quantile_cont(o_totalprice, 0.25)")} AS p25,
+           {sql_round("quantile_cont(o_totalprice, 0.50)")} AS p50,
+           {sql_round("quantile_cont(o_totalprice, 0.75)")} AS p75,
+           {sql_round("quantile_cont(o_totalprice, 0.95)")} AS p95
+    FROM orders
+    """,
+    tables=("orders",),
+)
+def dq_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12: exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). At 100TB use percentile_approx — the checks compiler
+    exposes both; exact here for the oracle."""
+    df = table(spark, sf_dir, "orders")
+    return df.agg(
+        *[
+            fx_round(F.expr(f"percentile(o_totalprice, {p})"), 2).alias(name)
+            for name, p in (("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p95", 0.95))
+        ]
+    )
+
+
+@register(
+    "dq_distinct_count",
+    oracle="""
+    SELECT COUNT(DISTINCT c_mktsegment) AS distinct_segments,
+           ROUND(COUNT(DISTINCT c_mktsegment) * 1.0 / COUNT(c_mktsegment), 6) AS unique_proportion
+    FROM customer
+    """,
+    tables=("customer",),
+)
+def dq_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13/G14: distinct count + unique proportion in one pass."""
+    c = F.col("c_mktsegment")
+    return table(spark, sf_dir, "customer").agg(
+        F.count_distinct(c).alias("distinct_segments"),
+        F.round(F.count_distinct(c) / F.count(c), 6).alias("unique_proportion"),
+    )
+
+
+@register(
+    "dq_most_common",
+    oracle="""
+    SELECT o_orderpriority AS most_common_value, COUNT(*) AS value_count
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY value_count DESC, most_common_value
+    LIMIT 1
+    """,
+    tables=("orders",),
+)
+def dq_most_common(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G15: most common value (mode) with deterministic tiebreak on value.
+    groupBy+TakeOrdered(1): the shuffle carries one row per distinct value."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("most_common_value"))
+        .agg(F.count(F.lit(1)).alias("value_count"))
+        .orderBy(F.col("value_count").desc(), F.col("most_common_value"))
+        .limit(1)
+    )
+
+
+@register(
+    "dq_freshness",
+    oracle="""
+    SELECT MAX(ts) AS max_ts, COUNT(*) AS event_count
+    FROM events
+    """,
+    tables=("events",),
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G20: freshness = max event timestamp (lag vs now is policy, computed
+    in the checks layer against params['as_of']). Replaces the reference's
+    sleep-120s-then-revalidate barrier (pager-workflow.py:309-313)."""
+    return table(spark, sf_dir, "events").agg(
+        F.max("ts").alias("max_ts"), F.count(F.lit(1)).alias("event_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Suite runner end-to-end: the engine's check compiler + fused scan + report,
+# verified against a UNION ALL oracle replicating each check's semantics.
+# ---------------------------------------------------------------------------
+
+_SUITE = [
+    Check("lineitem row count", "row_count_between", "lineitem", params={"min": 1}),
+    Check("orders custkey not null", "not_null", "orders", column="o_custkey"),
+    Check(
+        "orders status in domain",
+        "values_in_set",
+        "orders",
+        column="o_orderstatus",
+        params={"values": ORDERSTATUS_DOMAIN},
+    ),
+    Check(
+        "orders priority regex",
+        "match_regex",
+        "orders",
+        column="o_orderpriority",
+        params={"regex": PRIORITY_REGEX},
+    ),
+    Check(
+        "lineitem discount range",
+        "values_between",
+        "lineitem",
+        column="l_discount",
+        params={"min": 0.0, "max": 0.05},
+    ),
+    Check("orders key unique", "unique", "orders", column="o_orderkey"),
+    Check(
+        "nation name whitelist",
+        "values_in_set",
+        "nation",
+        column="n_name",
+        params={"values": NATION_WHITELIST},
+    ),
+    Check(
+        "orders customer exists",
+        "referential_integrity",
+        "orders",
+        column="o_custkey",
+        params={"parent_table": "customer", "parent_column": "c_custkey"},
+    ),
+]
+
+_SUITE_ORACLE = f"""
+SELECT 'lineitem row count' AS check_name,
+       CASE WHEN COUNT(*) >= 1 THEN 'pass' ELSE 'fail' END AS status,
+       CAST(NULL AS BIGINT) AS violations
+FROM lineitem
+UNION ALL
+SELECT 'orders custkey not null',
+       CASE WHEN COUNT(*) FILTER (WHERE o_custkey IS NULL) = 0 THEN 'pass' ELSE 'fail' END,
+       COUNT(*) FILTER (WHERE o_custkey IS NULL)
+FROM orders
+UNION ALL
+SELECT 'orders status in domain',
+       CASE WHEN COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P')) = 0
+            THEN 'pass' ELSE 'fail' END,
+       COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P'))
+FROM orders
+UNION ALL
+SELECT 'orders priority regex',
+       CASE WHEN COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '{PRIORITY_REGEX}')) = 0
+            THEN 'pass' ELSE 'fail' END,
+       COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '{PRIORITY_REGEX}'))
+FROM orders
+UNION ALL
+SELECT 'lineitem discount range',
+       CASE WHEN COUNT(*) FILTER (WHERE l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.05)) = 0
+            THEN 'pass' ELSE 'fail' END,
+       COUNT(*) FILTER (WHERE l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.05))
+FROM lineitem
+UNION ALL
+SELECT 'orders key unique',
+       CASE WHEN COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) = 0 THEN 'pass' ELSE 'fail' END,
+       COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+FROM orders
+UNION ALL
+SELECT 'nation name whitelist',
+       CASE WHEN COUNT(*) FILTER (WHERE n_name IS NOT NULL AND n_name NOT IN ({", ".join(f"'{n}'" for n in NATION_WHITELIST)})) = 0
+            THEN 'pass' ELSE 'fail' END,
+       COUNT(*) FILTER (WHERE n_name IS NOT NULL AND n_name NOT IN ({", ".join(f"'{n}'" for n in NATION_WHITELIST)}))
+FROM nation
+UNION ALL
+SELECT 'orders customer exists',
+       CASE WHEN COUNT(*) FILTER (WHERE c.c_custkey IS NULL) = 0 THEN 'pass' ELSE 'fail' END,
+       COUNT(*) FILTER (WHERE c.c_custkey IS NULL)
+FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@register(
+    "dq_suite_report",
+    oracle=_SUITE_ORACLE,
+    tables=("lineitem", "orders", "nation", "customer"),
+)
+def dq_suite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: the check-suite runner end-to-end — 8 declarative checks compiled
+    and executed with scan fusion (3 fused scans + 1 anti-join instead of 8
+    table passes), per-check fault isolation, report rows out. This is the
+    engine's flagship DQ surface (pager-workflow.py:153-245 semantics)."""
+    tables = {
+        name: table(spark, sf_dir, name)
+        for name in ("lineitem", "orders", "nation", "customer")
+    }
+    results = run_suite(tables, _SUITE)
+    rows = [(r.check_name, r.status, r.violations) for r in results]
+    return spark.createDataFrame(rows, "check_name string, status string, violations bigint")

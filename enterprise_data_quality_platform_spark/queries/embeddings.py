@@ -1,0 +1,133 @@
+"""Similarity-search queries over ``embeddings`` (SURVEY.md §2.6 X5-X6).
+
+Brute-force cosine top-k is the verifiable baseline (DuckDB
+``list_cosine_similarity`` oracle); the LSH-bucketed ANN variant is the scale
+path (rows-only + recall-tested against brute force in tests/)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import vectors as V
+from .registry import register
+
+PROBE_IDS = (0, 1, 2)
+
+
+@register(
+    "embed_knn_bruteforce",
+    oracle="""
+    WITH probe AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS pvec FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pvec), 4) AS cosine_sim
+    FROM embeddings e, probe p
+    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pvec) DESC, e.vec_id
+    LIMIT 10
+    """,
+    tables=("embeddings",),
+)
+def embed_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: brute-force cosine top-10 against a fixed probe (vec_id=0). The
+    probe is broadcast-cross-joined (1 row), similarity runs JVM-side via
+    zip_with/aggregate, and the top-k is TakeOrderedAndProject — at scale
+    this is partition-local top-k then a k-row merge, no global sort."""
+    emb = table(spark, sf_dir, "embeddings")
+    vec = V.to_double(F.col("embedding"))
+    probe = emb.filter(F.col("vec_id") == 0).select(vec.alias("pvec"))
+    sim = V.cosine(vec, F.col("pvec"))
+    return (
+        emb.crossJoin(F.broadcast(probe))
+        .select("vec_id", sim.alias("raw_sim"))
+        .orderBy(F.col("raw_sim").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("raw_sim", 4).alias("cosine_sim"))
+    )
+
+
+@register(
+    "embed_knn_batch",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pvec
+      FROM embeddings WHERE vec_id IN ({", ".join(str(i) for i in PROBE_IDS)})
+    ),
+    sims AS (
+      SELECT p.probe_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pvec) AS raw_sim
+      FROM embeddings e, probes p
+      WHERE e.vec_id <> p.probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, raw_sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY raw_sim DESC, vec_id) AS rk
+      FROM sims
+    )
+    SELECT probe_id, vec_id, ROUND(raw_sim, 4) AS cosine_sim, CAST(rk AS BIGINT) AS sim_rank
+    FROM ranked WHERE rk <= 5
+    """,
+    tables=("embeddings",),
+)
+def embed_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: kNN for a probe set (top-5 per probe, self excluded) — broadcast
+    the probes, window row_number per probe. The general shape of
+    batch-scoring a query set against a corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    vec = V.to_double(F.col("embedding"))
+    probes = emb.filter(F.col("vec_id").isin(list(PROBE_IDS))).select(
+        F.col("vec_id").alias("probe_id"), vec.alias("pvec")
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", V.cosine(vec, F.col("pvec")).alias("raw_sim"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("raw_sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round("raw_sim", 4).alias("cosine_sim"),
+            F.col("rk").cast("bigint").alias("sim_rank"),
+        )
+    )
+
+
+@register(
+    "embed_norm_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           ROUND(CAST(SUM(CAST(ROUND(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                             CAST(embedding AS DOUBLE[]))), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    tables=("embeddings",),
+)
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-profile DQ for embedding columns: per-label count + mean L2
+    norm (per-row norms rounded before the order-independent decimal mean)."""
+    from pyspark.sql import types as T
+
+    emb = table(spark, sf_dir, "embeddings")
+    vec = V.to_double(F.col("embedding"))
+    per_row = F.round(V.norm(vec), 6)
+    return (
+        emb.select("label", per_row.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.col("norm").cast(T.DecimalType(18, 6))).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_norm"),
+        )
+    )

@@ -1,0 +1,196 @@
+"""Event-stream queries, batch twins of the streaming layer (SURVEY.md §2.4).
+
+The streaming versions (readStream + watermark + window/session_window) live
+in ``streaming/``; these batch twins compute identical answers so the driver
+can oracle-check the semantics (T2/T4 batch-twin rule, §2.7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.numeric import fx_avg, fx_sum, sql_avg, sql_sum
+from .registry import register
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS event_count,
+           {sql_sum("value")} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tables=("events",),
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 batch twin: tumbling 1-hour window aggregate. Uses window() (the
+    same primitive the streaming query uses) and projects window.start, which
+    equals date_trunc('hour', ts) for tumbling windows."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            fx_sum(F.col("value"), "total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_windows",
+    oracle="""
+    -- every event belongs to exactly 4 sliding (1h, 15min) windows whose
+    -- starts are the 4 preceding 15-minute marks
+    WITH slides AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) - s.off * INTERVAL 1 MINUTE AS window_start
+      FROM events, (SELECT UNNEST([0, 15, 30, 45]) AS off) s
+    )
+    SELECT window_start, COUNT(*) AS event_count
+    FROM slides
+    GROUP BY 1
+    """,
+    tables=("events",),
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 batch twin: sliding 1-hour window, 15-minute slide. Each event maps
+    to 4 overlapping windows (window() duplicates rows exactly like the
+    UNNEST offsets in the oracle)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(F.col("window.start").alias("window_start"), "event_count")
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {sql_avg("CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS avg_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tables=("events",),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16: JSON property extraction (events.props is a JSON string, the
+    alert-payload pattern of pager-workflow.py:15-27) + aggregate."""
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fx_avg(k, "avg_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+@register(
+    "events_dedup",
+    oracle="""
+    SELECT COUNT(*) AS total_rows,
+           COUNT(DISTINCT event_id) AS distinct_events,
+           COUNT(*) - COUNT(DISTINCT event_id) AS duplicate_rows
+    FROM events
+    """,
+    tables=("events",),
+)
+def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R18/X3: exact dedup metrics on the stream key. The streaming twin is
+    dropDuplicatesWithinWatermark('event_id') (T6); batch dedup itself is
+    dropDuplicates(['event_id']) — this query reports its effect size."""
+    df = table(spark, sf_dir, "events")
+    return df.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count_distinct("event_id").alias("distinct_events"),
+        (F.count(F.lit(1)) - F.count_distinct("event_id")).alias("duplicate_rows"),
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS session_count,
+           COUNT(*) AS event_count
+    FROM marked
+    GROUP BY user_id
+    """,
+    tables=("events",),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 batch twin: gaps-and-islands sessionization — a new session starts
+    when the gap to the previous event (per user) exceeds 30 minutes. The
+    streaming twin uses session_window(ts, '30 minutes'). One shuffle on
+    user_id serves both the lag window and the final per-user rollup."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn(
+            "new_session",
+            F.when(
+                prev.isNull()
+                | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("session_count"),
+            F.count(F.lit(1)).alias("event_count"),
+        )
+    )
+
+
+@register(
+    "events_type_distribution",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS fraction
+    FROM events
+    GROUP BY event_type
+    """,
+    tables=("events",),
+)
+def events_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-adjacent: categorical distribution profile with window-over-agg
+    (fraction of total) — the KL-divergence check's observed side."""
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = Window.partitionBy()
+    return counts.select(
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(total), 6).alias("fraction"),
+    )

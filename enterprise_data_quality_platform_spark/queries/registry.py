@@ -1,0 +1,67 @@
+"""QuerySpec registry backing ``__spark_entry__.py``."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, "QuerySpec"] = {}
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL twin; None -> rows-only check
+    tables: tuple[str, ...]  # inputs, for docs/bench
+    doc: str = ""
+
+
+def register(
+    name: str, oracle: str | None, tables: tuple[str, ...], doc: str = ""
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, tables, doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    # Import side-effect modules on first use so registration happens lazily
+    import importlib
+
+    for mod in (
+        "dq",
+        "relational",
+        "events",
+        "text",
+        "embeddings",
+        "dedup_ops",
+        "streaming_ops",
+        "multimodal_ops",
+    ):
+        try:
+            importlib.import_module(f".{mod}", __package__)
+        except ModuleNotFoundError as exc:
+            if f"queries.{mod}" not in str(exc):
+                raise  # real dependency error inside the module — surface it
+    return dict(_REGISTRY)
+
+
+def query_fns() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in all_queries().items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {
+        name: spec.oracle
+        for name, spec in all_queries().items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,244 @@
+"""Relational/dataflow queries (SURVEY.md §2.7 ``stg_* mart_* set_* sort_*``)
+— the dbt-replacement layer, delegating to ``models/``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..models import marts, staging
+from .registry import register
+
+from ..functions.numeric import fx_round, sql_avg, sql_round, sql_sum
+
+
+@register(
+    "stg_projection_cast",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS nation_key,
+           LOWER(n_name) AS nation_name,
+           CAST(n_regionkey AS BIGINT) AS region_key
+    FROM nation
+    """,
+    tables=("nation",),
+)
+def stg_projection_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: staging rename/cast projection (models.staging.stg_nation)."""
+    return staging.stg_nation(table(spark, sf_dir, "nation"))
+
+
+@register(
+    "stg_derived_column",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           {sql_round("l_extendedprice * (1 - l_discount)")} AS net_price,
+           {sql_round("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS charge_price
+    FROM lineitem
+    """,
+    tables=("lineitem",),
+)
+def stg_derived_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R15: row-wise derived expression columns (models.staging)."""
+    return staging.stg_lineitem_pricing(table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "mart_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_sum("l_quantity")} AS sum_qty,
+           {sql_sum("l_extendedprice")} AS sum_base_price,
+           {sql_sum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           {sql_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+           {sql_avg("l_quantity", "l_quantity")} AS avg_qty,
+           {sql_avg("l_extendedprice", "l_extendedprice")} AS avg_price,
+           {sql_avg("l_discount", "l_discount")} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tables=("lineitem",),
+)
+def mart_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4: TPC-H Q1-shaped multi-aggregate groupBy (models.marts)."""
+    return marts.mart_pricing_summary(table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "mart_region_revenue",
+    oracle=f"""
+    SELECT r.r_name AS region_name,
+           {sql_sum("o.o_totalprice")} AS total_revenue,
+           COUNT(*) AS order_count,
+           COUNT(DISTINCT o.o_custkey) AS customer_count
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY total_revenue DESC, region_name
+    """,
+    tables=("orders", "customer", "nation", "region"),
+)
+def mart_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6/R8: 4-way broadcast star join + agg + sort — the flagship."""
+    return marts.mart_region_revenue(
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "mart_topk_customers",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT n.n_name, c.c_custkey, c.c_name,
+             {sql_sum("o.o_totalprice")} AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, c.c_custkey, c.c_name
+    ),
+    ranked AS (
+      SELECT n_name, c_name, revenue,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_name) AS rk
+      FROM revenue
+    )
+    SELECT n_name AS nation_name, c_name AS customer_name, revenue,
+           CAST(rk AS BIGINT) AS revenue_rank
+    FROM ranked WHERE rk <= 3
+    """,
+    tables=("orders", "customer", "nation"),
+)
+def mart_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9/R10: window rank top-3 customers per nation, deterministic
+    tiebreaks (revenue rounded before ranking on both sides)."""
+    return marts.mart_topk_customers(
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"),
+        k=3,
+    )
+
+
+@register(
+    "mart_rollup_revenue",
+    oracle=f"""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           {sql_sum("o.o_totalprice")} AS total_revenue,
+           COUNT(*) AS order_count
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tables=("orders", "customer", "nation", "region"),
+)
+def mart_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11: ROLLUP subtotals (region, nation, grand total)."""
+    return marts.mart_rollup_revenue(
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "mart_priority_semijoin",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS order_count,
+           {sql_sum("o_totalprice")} AS total_price
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_quantity >= 30
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tables=("orders", "lineitem"),
+)
+def mart_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7: left-semi join + agg (models.marts.mart_priority_semijoin)."""
+    return marts.mart_priority_semijoin(
+        table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "set_except_segments",
+    oracle="""
+    SELECT c_mktsegment FROM customer WHERE c_acctbal > 0
+    EXCEPT
+    SELECT c_mktsegment FROM customer WHERE c_acctbal > 9000
+    """,
+    tables=("customer",),
+)
+def set_except_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12: EXCEPT (distinct) set difference — segments with positive
+    balances but no >9000 balances."""
+    customer = table(spark, sf_dir, "customer")
+    a = customer.filter(F.col("c_acctbal") > 0).select("c_mktsegment")
+    b = customer.filter(F.col("c_acctbal") > 9000).select("c_mktsegment")
+    return a.subtract(b)  # EXCEPT (distinct) semantics
+
+
+@register(
+    "sort_limit_orders",
+    oracle=f"""
+    SELECT o_orderkey, {sql_round("o_totalprice")} AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tables=("orders",),
+)
+def sort_limit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10: top-10 by price with key tiebreak. Spark plans this as
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey", fx_round(F.col("o_totalprice"), 2).alias("total_price")
+        )
+    )
+
+
+@register(
+    "union_balance_tiers",
+    oracle="""
+    SELECT entity, tier, COUNT(*) AS n FROM (
+      SELECT 'customer' AS entity,
+             CASE WHEN c_acctbal >= 5000 THEN 'high' ELSE 'low' END AS tier
+      FROM customer
+      UNION ALL
+      SELECT 'supplier',
+             CASE WHEN s_acctbal >= 5000 THEN 'high' ELSE 'low' END
+      FROM supplier
+    ) GROUP BY entity, tier
+    """,
+    tables=("customer", "supplier"),
+)
+def union_balance_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12: UNION ALL across heterogeneous sources via unionByName."""
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+
+    def tiers(df: DataFrame, entity: str, bal: str) -> DataFrame:
+        return df.groupBy(
+            F.lit(entity).alias("entity"),
+            F.when(F.col(bal) >= 5000, "high").otherwise("low").alias("tier"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    return tiers(customer, "customer", "c_acctbal").unionByName(
+        tiers(supplier, "supplier", "s_acctbal")
+    )

@@ -1,0 +1,216 @@
+"""Text-analysis queries over ``documents`` (SURVEY.md §2.6 X1-X2 + the
+training-data-pipeline text operators: language-ID, quality scoring, token
+counting, fingerprinting).
+
+Every Spark expression here has a byte-equivalent DuckDB twin (same regexes,
+same tokenizer, same arithmetic order) so the driver's value-hash comparison
+holds exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import text as TX
+from .registry import register
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / COUNT(n_chars), 4) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tables=("documents",),
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: language/source distribution profile."""
+    from pyspark.sql import types as T
+
+    c = F.col("n_chars")
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(c.cast(T.DecimalType(18, 6))).cast("double") / F.count(c), 4
+            ).alias("avg_chars"),
+            F.min(c).alias("min_chars"),
+            F.max(c).alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "text_token_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS token_count
+    FROM toks
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY token_count DESC, token
+    LIMIT 20
+    """,
+    tables=("documents",),
+)
+def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: tokenize + explode + count, top-20 with token tiebreak. The
+    explode stays JVM-side; the shuffle carries (token, partial count)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+        .orderBy(F.col("token_count").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           length(text) AS n_chars_exact
+    FROM documents
+    """,
+    tables=("documents",),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document (whitespace tokenizer) — the unit-economics
+    column every training-data pipeline needs."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_exact"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+               * 1.0 / greatest(length(text), 1) AS p_ratio,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             t -> t IN ('the','and','of','a','to','is','in','that')))
+               * 1.0 / greatest(
+                   len(string_split_regex(lower(trim(text)), '\s+')), 1) AS s_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(p_ratio, 6) AS punct_ratio,
+           ROUND(s_ratio, 6) AS stopword_ratio,
+           ROUND(least(1.0, n_tokens / 200.0) * (1 - p_ratio) * (1 - s_ratio), 4) AS quality_score
+    FROM base
+    """,
+    tables=("documents",),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword composite in [0,1]
+    (functions.text.quality_score), linear arithmetic only for parity."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(TX.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
+        TX.quality_score(t).alias("quality_score"),
+    )
+
+
+_MARKER_SQL = {
+    lang: ", ".join(f"'{w}'" for w in words)
+    for lang, words in TX.LANG_MARKERS.items()
+}
+
+@register(
+    "text_langid_agg",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT lang,
+             length(regexp_replace(text, '[\x00-\x7F]', '', 'g'))
+               * 1.0 / greatest(length(text), 1) AS na_ratio,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             t -> t IN ({_MARKER_SQL['en']}))) AS h_en,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             t -> t IN ({_MARKER_SQL['es']}))) AS h_es,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             t -> t IN ({_MARKER_SQL['de']}))) AS h_de,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             t -> t IN ({_MARKER_SQL['fr']}))) AS h_fr
+      FROM documents
+    ),
+    predicted AS (
+      SELECT lang,
+             CASE WHEN na_ratio > 0.5 THEN 'cjk'
+                  WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                  WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+                  WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+                  WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+                  ELSE 'fr' END AS predicted_lang
+      FROM scored
+    )
+    SELECT lang, predicted_lang, COUNT(*) AS n_docs
+    FROM predicted
+    GROUP BY lang, predicted_lang
+    """,
+    tables=("documents",),
+)
+def text_langid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-word vote + CJK char-ratio,
+    functions.text.lang_id) cross-tabulated against the labeled lang —
+    a confusion-matrix profile of the classifier."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TX.lang_id(F.col("text")).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "dedup_exact_docs",
+    oracle=r"""
+    WITH fp AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    )
+    SELECT COUNT(*) AS total_docs,
+           COUNT(DISTINCT fingerprint) AS distinct_docs,
+           COUNT(*) - COUNT(DISTINCT fingerprint) AS duplicate_docs
+    FROM fp
+    """,
+    tables=("documents",),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: exact content dedup via normalized md5 fingerprint
+    (functions.text.fingerprint). The dedup itself is
+    dropDuplicates(['fingerprint']); this reports its effect size. At scale
+    the fingerprint groupBy shuffles only (hash, count) pairs."""
+    docs = table(spark, sf_dir, "documents").select(
+        TX.fingerprint(F.col("text")).alias("fingerprint")
+    )
+    return docs.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.count_distinct("fingerprint").alias("distinct_docs"),
+        (F.count(F.lit(1)) - F.count_distinct("fingerprint")).alias("duplicate_docs"),
+    )

@@ -1,0 +1,76 @@
+"""SparkSession construction tuned for the engine.
+
+The reference has no in-process engine (all SQL is shipped to BigQuery,
+``/root/reference/airflow/dags/pager-workflow.py:120-126``); here the session
+IS the engine. Defaults follow the 100TB posture of SURVEY.md §4.3: AQE on
+(runtime coalesce + skew-join splitting), UTC session time zone (timestamp
+parity with the DuckDB oracle and any external warehouse), Arrow transfer for
+the pandas boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to *any* session handed to us (see
+# ``configure_session``) — safe after JVM start.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
+    # rejects by default; read as long and convert (catalog._fix_events_ts).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+# Confs that must be set before the session exists.
+BUILD_CONFS: dict[str, str] = {
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB scan splits
+    "spark.ui.enabled": "false",
+    "spark.driver.extraJavaOptions": "-Djava.net.preferIPv4Stack=true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "edqp-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a session with engine defaults.
+
+    ``shuffle_partitions`` defaults to the local core count; on a real
+    cluster callers should size it to ~2-3x total executor cores (or rely on
+    AQE coalesce, which is enabled).
+    """
+    cpus = default_parallelism()
+    master = master or f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions or cpus)
+    )
+    for k, v in {**BUILD_CONFS, **RUNTIME_CONFS, **(confs or {})}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    configure_session(spark)
+    return spark
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-provided session (e.g. the
+    driver's). Only touches confs that are settable post-start."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment; keep going
+    return spark
