@@ -1,0 +1,15 @@
+from .exact import exact_dedup, fingerprint_dedup
+from .jaccard import ngram_jaccard_pairs
+from .minhash import minhash_candidate_pairs, minhash_near_dup_pairs, minhash_signature
+from .simhash import simhash_column, simhash_near_dup_pairs
+
+__all__ = [
+    "exact_dedup",
+    "fingerprint_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_signature",
+    "minhash_candidate_pairs",
+    "minhash_near_dup_pairs",
+    "simhash_column",
+    "simhash_near_dup_pairs",
+]

@@ -1,0 +1,129 @@
+"""MinHash + LSH near-duplicate detection (SURVEY.md §2.6 X4).
+
+Pipeline (shingle → minhash → band → bucket-join), entirely with JVM-side
+higher-order functions — no pyspark.ml Vector conversion, no Python UDFs:
+
+1. signature: for permutation i, ``min over shingles of xxhash64(i, s)``.
+   Computed as a nested transform/array_min over the shingle array, inside
+   whole-stage codegen.
+2. banding: split the p-length signature into b bands of r rows
+   (p = b*r); band key = xxhash64 over the band slice.
+3. candidates: explode bands → self-join on (band_idx, band_hash) →
+   distinct (a < b) pairs. This is the LSH prune: instead of the O(n²)
+   crossJoin, only docs sharing a band bucket meet.
+4. verify: exact shingle-set Jaccard on candidates only.
+
+Scale posture: the band join shuffles on (band_idx, band_hash); a
+degenerate hot bucket (e.g. empty-ish docs sharing one shingle) would skew
+— ``max_bucket_size`` drops pathological buckets, the standard guard in
+web-scale dedup. Probability a pair with Jaccard j collides:
+1-(1-j^r)^b (with defaults r=4, b=8: j=0.8 → 0.97, j=0.3 → 0.063).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles
+
+DEFAULT_BANDS = 8
+DEFAULT_ROWS = 4
+
+
+def minhash_signature(
+    text: Column, num_perm: int = DEFAULT_BANDS * DEFAULT_ROWS, n: int = 3
+) -> Column:
+    """array<bigint> MinHash signature of the text's shingle set."""
+    sh = shingles(text, n)
+    perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    return F.transform(
+        perms,
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
+    )
+
+
+def _banded(df: DataFrame, id_col: str, sig_col: str, bands: int, rows: int) -> DataFrame:
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    return (
+        df.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    band_idx,
+                    lambda b: F.struct(
+                        b.alias("band_idx"),
+                        F.xxhash64(
+                            F.slice(F.col(sig_col), b * rows + 1, rows).cast(
+                                "array<string>"
+                            ).cast("string")
+                        ).alias("band_hash"),
+                    ),
+                )
+            ).alias("band"),
+        )
+        .select(id_col, "band.band_idx", "band.band_hash")
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = DEFAULT_BANDS,
+    rows: int = DEFAULT_ROWS,
+    n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Distinct candidate id pairs (id_a < id_b) sharing ≥1 LSH band."""
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), bands * rows, n).alias("sig"),
+    )
+    banded = _banded(sig, id_col, "sig", bands, rows)
+    # guard against degenerate hot buckets (skew at scale)
+    bucket_sizes = banded.groupBy("band_idx", "band_hash").count()
+    banded = banded.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket_size).drop("count"),
+        on=["band_idx", "band_hash"],
+    )
+    a = banded.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    b = banded.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    bands: int = DEFAULT_BANDS,
+    rows: int = DEFAULT_ROWS,
+    n: int = 3,
+) -> DataFrame:
+    """Candidates verified by exact shingle-set Jaccard ≥ threshold.
+    Output: (id_a, id_b, jaccard). Only candidate pairs pay the exact
+    verification; everything else was pruned by LSH."""
+    cands = minhash_candidate_pairs(df, text_col, id_col, bands, rows, n)
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("grams")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        joined.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,123 @@
+"""Dedup + similarity extension queries (SURVEY.md §2.6 X4-X6).
+
+``dedup_ngram_jaccard`` is exact and SQL-expressible → full oracle.
+MinHash/SimHash/LSH involve engine-specific hash functions (xxhash64), so
+they get rows-only driver checks — their correctness is covered by
+tests/test_dedup_similarity.py (recall vs the exact operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..dedup import (
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from ..similarity import lsh_ann_topk, near_dup_embeddings
+from .registry import register
+
+JACCARD_THRESHOLD = 0.08  # synthetic docs share vocabulary, not phrases —
+# a low bar keeps the result non-trivially sized at test scale
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=rf"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+      FROM docs
+      WHERE len(toks) >= 3
+    ),
+    ex AS (SELECT doc_id, len(grams) AS sz, UNNEST(grams) AS gram FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS common,
+             ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(common * 1.0 / (sz_a + sz_b - common), 4) AS jaccard
+    FROM pairs
+    WHERE ROUND(common * 1.0 / (sz_a + sz_b - common), 4) >= {JACCARD_THRESHOLD}
+    """,
+    tables=("documents",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 exact form: 3-gram shingle Jaccard pairs ≥ threshold via
+    explode + shingle self-join + pair aggregation (dedup/jaccard.py)."""
+    docs = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD, n=3
+    )
+
+
+@register(
+    "dedup_minhash_docs",
+    oracle=None,  # xxhash64 signatures are engine-specific → rows-only
+    tables=("documents",),
+)
+def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: MinHash-LSH near-dup pairs (shingle → 32-perm minhash → 8×4
+    banding → bucket join → exact-Jaccard verify). Rows-only driver check;
+    recall vs the exact operator is asserted in tests."""
+    docs = table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, threshold=JACCARD_THRESHOLD).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "dedup_simhash_docs",
+    oracle=None,  # engine-specific hashing → rows-only
+    tables=("documents",),
+)
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: 64-bit SimHash pairs within Hamming distance 3 (pigeonhole
+    16-bit band join)."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "embed_dedup_near",
+    oracle=None,  # seeded-LSH bucketing → rows-only
+    tables=("embeddings",),
+)
+def embed_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X5: embedding-cosine near-dup pairs within LSH buckets."""
+    # synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51),
+    # so the "near-dup" bar is set low enough to exercise the operator
+    emb = table(spark, sf_dir, "embeddings")
+    return near_dup_embeddings(emb, threshold=0.35).orderBy("id_a", "id_b")
+
+
+@register(
+    "embed_ann_lsh",
+    oracle=None,  # approximate by construction → rows-only
+    tables=("embeddings",),
+)
+def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5/X6 scale path: hyperplane-LSH ANN top-5 for 3 probes (multiprobe
+    Hamming-1). Recall vs brute force asserted in tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    out = lsh_ann_topk(emb, probes, k=5)
+    return out.select(
+        "probe_id",
+        "vec_id",
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+        F.col("sim_rank").cast("bigint").alias("sim_rank"),
+    ).orderBy("probe_id", "sim_rank")

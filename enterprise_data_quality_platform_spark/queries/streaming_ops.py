@@ -1,0 +1,60 @@
+"""Streaming queries (SURVEY.md §2.4) — rows-only driver checks (the
+driver can't diff a streaming query against SQL; batch twins in events.py
+carry the oracle burden for the same semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..checks import Check
+from ..streaming import run_streaming_dq_gate
+from .registry import register
+
+_STREAM_CHECKS = [
+    Check("events non-empty", "row_count_between", "events", params={"min": 1}),
+    Check("event_id not null", "not_null", "events", column="event_id"),
+    Check(
+        "event_type domain",
+        "values_in_set",
+        "events",
+        column="event_type",
+        params={"values": ("error", "view", "purchase", "signup", "click")},
+    ),
+    Check(
+        "value non-negative",
+        "values_between",
+        "events",
+        column="value",
+        params={"min": 0.0},
+    ),
+    Check("event_id unique", "unique", "events", column="event_id"),
+]
+
+
+@register(
+    "streaming_dq_gate",
+    oracle=None,  # streaming — rows-only; semantics oracle'd via batch twins
+    tables=("events",),
+)
+def streaming_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T5/T7: the foreachBatch DQ gate run with Trigger.AvailableNow over
+    the events stream — per-batch check summaries as rows (the streaming
+    replacement for the reference's sleep-then-revalidate barrier,
+    pager-workflow.py:309-313)."""
+    summaries = run_streaming_dq_gate(spark, sf_dir, _STREAM_CHECKS)
+    rows = [
+        (
+            int(s["batch_id"]),
+            int(s["rows"]),
+            int(s["total"]),
+            int(s["passed"]),
+            int(s["failed"]),
+            s["overall_status"],
+        )
+        for s in summaries
+    ]
+    return spark.createDataFrame(
+        rows,
+        "batch_id bigint, rows bigint, checks_total bigint, "
+        "checks_passed bigint, checks_failed bigint, overall_status string",
+    )

@@ -1,0 +1,151 @@
+"""Structured Streaming layer (SURVEY.md §2.4 T1-T7).
+
+Replaces the reference's poll-and-revalidate pattern — trigger dbt,
+``time.sleep(120)``, re-run validation SQL
+(``/root/reference/airflow/dags/pager-workflow.py:292-325``) — with
+event-time streaming:
+
+- the hardcoded 120s barrier becomes a **watermark** (T5): lateness is a
+  declared bound, not a sleep;
+- the re-validation task becomes a **foreachBatch DQ gate** (T7): the same
+  compiled check suite from ``checks/`` runs per micro-batch, failures are
+  appended to the alert sink before the gate raises — the exact
+  validate→alert→raise order of pager-workflow.py:247-267;
+- duplicate alert avoidance (retries=0, pager-workflow.py:320) becomes
+  idempotent alert writes keyed by incident_key (``alerts.py``).
+
+Tests drive these with Trigger.AvailableNow over the events parquet, which
+exercises identical code paths to a live file/kafka source.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import EXPECTED_SCHEMAS, table_path
+from ..checks import Check, run_suite
+from ..checks.definitions import CheckResult
+from ..session import configure_session
+
+#: Streaming-source schema for events — ts arrives as long nanos (parquet
+#: NANOS type, see catalog._fix_events_ts) and is normalized in the stream.
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """T1: file-based streaming source over the events table."""
+    configure_session(spark)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # the file stream source needs a directory; glob-filter to the events
+    # table inside the sf dir
+    reader = spark.readStream.schema(schema).option(
+        "pathGlobFilter", "events.parquet"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(sf_dir)
+    # keep LTZ (watermarks require TIMESTAMP, not NTZ); session TZ is UTC so
+    # wall-clock values match the batch/NTZ side exactly
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(
+    stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """T2+T5: watermarked tumbling hourly aggregate. Late rows beyond the
+    watermark are dropped — the declarative form of the reference's fixed
+    120s lateness allowance."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )
+
+
+def streaming_session_windows(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """T4: native session windows (30-min gap), the streaming twin of the
+    batch gaps-and-islands query (queries/events.py)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "event_count",
+        )
+    )
+
+
+def streaming_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T6: stateful dedup on the event key, state bounded by the watermark."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_streaming_dq_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    checks: Sequence[Check],
+    on_batch_results: Callable[[int, list[CheckResult]], None] | None = None,
+    checkpoint_dir: str | None = None,
+) -> list[dict]:
+    """T7: the foreachBatch DQ gate, run to completion with AvailableNow.
+
+    Each micro-batch runs the compiled check suite (fused scans, isolation —
+    same engine as batch) and records a per-batch summary row; a caller
+    hook receives the raw results (e.g. to append alerts). Returns the
+    batch summaries."""
+    import tempfile
+
+    from ..checks.runner import summarize
+
+    summaries: list[dict] = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        results = run_suite({"events": batch_df}, list(checks))
+        if on_batch_results is not None:
+            on_batch_results(batch_id, results)
+        s = summarize(results)
+        s["batch_id"] = batch_id
+        s["rows"] = batch_df.count()
+        summaries.append(s)
+
+    stream = events_stream(spark, sf_dir)
+    query = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="edqp-ckpt-"),
+        )
+        .start()
+    )
+    query.awaitTermination()
+    return summaries

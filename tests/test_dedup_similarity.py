@@ -1,0 +1,144 @@
+"""Dedup + similarity correctness (SURVEY.md §5.2.5): LSH methods are
+validated against their exact counterparts (recall), and dedup operators
+against hand-built duplicates and property checks (idempotence)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from enterprise_data_quality_platform_spark.catalog import table
+from enterprise_data_quality_platform_spark.dedup import (
+    fingerprint_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from enterprise_data_quality_platform_spark.similarity import (
+    brute_force_topk,
+    lsh_ann_topk,
+)
+
+from conftest import SF_SMALL
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm window sill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """Synthetic corpus with known near-dups: 0/1 near-identical, 2 exact
+    copy of 0, 3-9 unrelated."""
+    rows = [
+        Row(doc_id=0, text=BASE),
+        Row(doc_id=1, text=BASE.replace("lazy", "sleepy")),
+        Row(doc_id=2, text=BASE),
+        Row(doc_id=3, text="completely different content about spark engines"),
+        Row(
+            doc_id=4,
+            text="columnar storage with vectorized execution beats row stores",
+        ),
+        Row(doc_id=5, text="streaming watermarks bound state for late data"),
+        Row(doc_id=6, text="partition pruning skips files using min max stats"),
+        Row(doc_id=7, text="broadcast joins avoid shuffling the large fact table"),
+        Row(doc_id=8, text="adaptive query execution replans at runtime"),
+        Row(doc_id=9, text="catalyst rewrites logical plans before execution"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_deterministic_and_idempotent(near_dup_docs):
+    d1 = fingerprint_dedup(near_dup_docs)
+    assert d1.count() == 9  # doc 2 collapses into doc 0
+    kept = {r.doc_id for r in d1.collect()}
+    assert 0 in kept and 2 not in kept  # lowest-id winner
+    d2 = fingerprint_dedup(d1)
+    assert sorted(r.doc_id for r in d2.collect()) == sorted(
+        r.doc_id for r in d1.collect()
+    )  # idempotent
+
+
+def test_ngram_jaccard_finds_planted_pairs(near_dup_docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(near_dup_docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 2)] == 1.0  # exact copy
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.5  # near dup
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in pairs)
+
+
+def test_minhash_recall_vs_exact(near_dup_docs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(near_dup_docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(near_dup_docs, threshold=0.5).collect()
+    }
+    # at J>=0.5 with 8x4 banding, collision prob >= 0.96 — all planted
+    # pairs must surface, and verification keeps precision exact
+    assert lsh == exact
+
+
+def test_minhash_jaccard_values_match_exact(near_dup_docs):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(near_dup_docs, threshold=0.5).collect()
+    }
+    for r in minhash_near_dup_pairs(near_dup_docs, threshold=0.5).collect():
+        assert exact[(r.id_a, r.id_b)] == r.jaccard  # same verify metric
+
+
+def test_simhash_near_dups(near_dup_docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(near_dup_docs, max_hamming=3).collect()
+    }
+    assert pairs.get((0, 2)) == 0  # identical text → identical simhash
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_ann_recall_vs_brute_force(spark):
+    emb = table(spark, SF_SMALL, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    exact = brute_force_topk(emb, probes, k=10)
+    # synthetic vectors are near-orthogonal (top-10 at cosine ~0.3-0.5), the
+    # hardest regime for angular LSH — radius-2 multiprobe searches ~1/3 of
+    # the 64 buckets to buy recall back
+    approx = lsh_ann_topk(emb, probes, k=10, num_planes=6, multiprobe=6, radius=2)
+    exact_sets = {
+        r.probe_id: set()
+        for r in exact.select("probe_id").distinct().collect()
+    }
+    for r in exact.collect():
+        exact_sets[r.probe_id].add(r.vec_id)
+    approx_sets = {p: set() for p in exact_sets}
+    for r in approx.collect():
+        approx_sets[r.probe_id].add(r.vec_id)
+    recalls = [
+        len(exact_sets[p] & approx_sets[p]) / len(exact_sets[p]) for p in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # multiprobe-LSH recall floor
+    # every ANN hit must carry the true cosine (no score corruption)
+    exact_scores = {
+        (r.probe_id, r.vec_id): round(r.cosine_sim, 6) for r in exact.collect()
+    }
+    for r in approx.collect():
+        if (r.probe_id, r.vec_id) in exact_scores:
+            assert round(r.cosine_sim, 6) == exact_scores[(r.probe_id, r.vec_id)]
+
+
+def test_brute_force_self_is_top1(spark):
+    emb = table(spark, SF_SMALL, "embeddings")
+    probes = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    top = brute_force_topk(emb, probes, k=1).collect()
+    assert top[0].vec_id == 7 and abs(top[0].cosine_sim - 1.0) < 1e-9

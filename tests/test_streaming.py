@@ -1,0 +1,161 @@
+"""Streaming tests (SURVEY.md §5.2.4): foreachBatch DQ gate, watermark
+late-row behavior, stateful dedup, batch/streaming parity for T2."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from enterprise_data_quality_platform_spark.checks import Check
+from enterprise_data_quality_platform_spark.queries.events import (
+    events_tumbling_hourly,
+)
+from enterprise_data_quality_platform_spark.streaming import (
+    events_stream,
+    run_streaming_dq_gate,
+    streaming_dedup,
+    streaming_tumbling_counts,
+)
+
+from conftest import SF_SMALL
+
+
+def _run_to_memory(stream_df, name: str, output_mode: str = "append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="edqp-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def test_streaming_batch_parity_tumbling(spark):
+    """T2: the streaming tumbling aggregate equals the batch twin.
+    Complete output mode so the final (not-yet-finalized) window is emitted
+    too — append mode would rightly hold it back until the watermark passes."""
+    stream = streaming_tumbling_counts(events_stream(spark, SF_SMALL))
+    _run_to_memory(stream, "tumbling_test", output_mode="complete")
+    got = {
+        (r.window_start, r.event_type): r.event_count
+        for r in spark.table("tumbling_test").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): r.event_count
+        for r in events_tumbling_hourly(spark, SF_SMALL).collect()
+    }
+    assert got == expected
+
+
+def test_streaming_dedup_drops_in_batch_duplicates(spark):
+    stream = streaming_dedup(events_stream(spark, SF_SMALL))
+    _run_to_memory(stream, "dedup_test")
+    out = spark.table("dedup_test")
+    assert out.count() == out.select("event_id").distinct().count()
+
+
+def test_streaming_dq_gate_summaries(spark):
+    checks = [
+        Check("non-empty", "row_count_between", "events", params={"min": 1}),
+        Check("id not null", "not_null", "events", column="event_id"),
+        Check(
+            "impossible",  # deliberately failing gate, reference-style
+            "values_between",
+            "events",
+            column="value",
+            params={"max": -1},
+        ),
+    ]
+    summaries = run_streaming_dq_gate(spark, SF_SMALL, checks)
+    assert len(summaries) >= 1
+    s = summaries[0]
+    assert s["total"] == 3
+    assert s["overall_status"] == "fail"
+    assert "impossible" in s["failed_checks"]
+    assert s["rows"] > 0
+
+
+def test_watermark_drops_late_rows(spark):
+    """T5: a too-late row is dropped by the watermark.
+
+    Spark filters late events with the PREVIOUS batch's watermark
+    (eventTimeWatermarkForLateEvents lags one batch), so the drop is
+    observable from the second batch after the watermark advanced — hence
+    three micro-batches: advance, (grace), too-late."""
+    import pandas as pd
+
+    def write(path, ids, tss):
+        pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": pd.to_datetime(tss),
+                "user_id": [1] * len(ids),
+                "event_type": ["view"] * len(ids),
+                "value": [1.0] * len(ids),
+                "props": ["{}"] * len(ids),
+            }
+        ).astype({"ts": "datetime64[us]"}).to_parquet(path)
+
+    with tempfile.TemporaryDirectory(prefix="edqp-late-") as src:
+        # batch 0: recent rows push the watermark to 11:50
+        write(f"{src}/a.parquet", [1, 2], ["2024-06-01 10:00:00", "2024-06-01 12:00:00"])
+        # batch 1: grace batch (late filter still at the old watermark)
+        write(f"{src}/b.parquet", [3], ["2024-06-01 12:30:00"])
+        # batch 2: hours-late row — late filter now at 11:50 → dropped
+        write(f"{src}/c.parquet", [4], ["2024-06-01 07:00:00"])
+
+        # the file source orders batches by modification time
+        import os
+        import time
+
+        now = time.time()
+        for i, f in enumerate(["a.parquet", "b.parquet", "c.parquet"]):
+            os.utime(f"{src}/{f}", (now - 60 + i * 20, now - 60 + i * 20))
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),  # watermark needs LTZ
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("late_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="edqp-ckpt-"))
+            .start()
+        )
+        q.awaitTermination()
+        finalized = spark.table("late_test").collect()
+        # the 07:00 late row's window must never be emitted...
+        windows = {r.window.start.hour for r in finalized}
+        assert 7 not in windows
+        # ...because the watermark dropped it (observable in metrics)
+        dropped = sum(
+            so.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for so in p["stateOperators"]
+        )
+        assert dropped >= 1
