@@ -60,6 +60,12 @@ class AlertSink:
         self.service = service
 
     def _existing(self) -> DataFrame:
+        import os
+
+        # cheap local-path check first (avoids a logged AnalysisException on
+        # the first write); the try/except stays for non-local filesystems
+        if "://" not in self.path and not os.path.exists(self.path):
+            return self.spark.createDataFrame([], ALERT_SCHEMA)
         try:
             return self.spark.read.parquet(self.path)
         except Exception:

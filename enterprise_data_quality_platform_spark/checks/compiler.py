@@ -309,6 +309,42 @@ def compile_agg_check(check: Check, prefix: str) -> CompiledAggCheck:
 # ---------------------------------------------------------------------------
 
 
+def ri_frame(
+    check: Check, tables: Mapping[str, DataFrame], prefix: str
+) -> DataFrame:
+    """Referential integrity as a 1-row frame (orphan count + child total),
+    so the runner can fold it into the suite's single fused job. Orphans =
+    LEFT ANTI join against the distinct parent key set (SURVEY.md §2.2 G19)
+    — anti-join, not NOT IN, so NULL parent keys can't poison the predicate.
+    At scale the anti-join shuffles on the key unless the parent is
+    dimension-sized (broadcast hint via params['broadcast_parent'])."""
+    p = check.params
+    df = tables[check.table]
+    parent = tables[p["parent_table"]]
+    child_key, parent_key = check.column, p["parent_column"]
+    parent_keys = parent.select(F.col(parent_key).alias(child_key)).dropDuplicates()
+    if p.get("broadcast_parent", False):
+        parent_keys = F.broadcast(parent_keys)
+    orphans = df.filter(F.col(child_key).isNotNull()).join(
+        parent_keys, on=child_key, how="left_anti"
+    )
+    orphan_count = orphans.agg(
+        F.count(F.lit(1)).alias(f"{prefix}__violations")
+    )
+    total = df.agg(F.count(F.lit(1)).alias(f"{prefix}__total"))
+    return orphan_count.crossJoin(total)
+
+
+def evaluate_ri(check: Check, row: Mapping[str, Any], prefix: str) -> CheckResult:
+    violations = int(row[f"{prefix}__violations"] or 0)
+    total = int(row[f"{prefix}__total"] or 0)
+    ok_fraction = 1.0 if total == 0 else 1.0 - violations / total
+    status = "pass" if ok_fraction >= check.mostly else "fail"
+    return _result(
+        check, status, violations, total, {"ok_fraction": round(ok_fraction, 6)}
+    )
+
+
 def run_plan_check(
     check: Check, tables: Mapping[str, DataFrame]
 ) -> CheckResult:
@@ -336,24 +372,8 @@ def run_plan_check(
         return _result(check, "pass" if ok else "fail", None, None, {"type": actual})
 
     if t == "referential_integrity":
-        # Orphan children = left-anti join against the parent key set
-        # (SURVEY.md §2.2 G19). At scale this is a shuffle join unless the
-        # parent is dimension-sized; broadcast hint applied under threshold.
-        parent = tables[p["parent_table"]]
-        child_key, parent_key = check.column, p["parent_column"]
-        parent_keys = parent.select(F.col(parent_key).alias(child_key)).dropDuplicates()
-        if p.get("broadcast_parent", False):
-            parent_keys = F.broadcast(parent_keys)
-        orphans = (
-            df.filter(F.col(child_key).isNotNull())
-            .join(parent_keys, on=child_key, how="left_anti")
-        )
-        agg = df.agg(F.count(F.lit(1)).alias("total")).collect()[0]
-        violations = orphans.count()
-        total = int(agg["total"])
-        ok_fraction = 1.0 if total == 0 else 1.0 - violations / total
-        status = "pass" if ok_fraction >= check.mostly else "fail"
-        return _result(check, status, violations, total, {"ok_fraction": round(ok_fraction, 6)})
+        row = ri_frame(check, tables, prefix="ri").collect()[0].asDict()
+        return evaluate_ri(check, row, prefix="ri")
 
     if t == "kl_divergence_less_than":
         # Histogram via groupBy (distributed), KL on the driver over the

@@ -1,4 +1,5 @@
-"""Check-suite runner: fused scans, per-check fault isolation, gate.
+"""Check-suite runner: whole-suite scan fusion, per-check fault isolation,
+gate.
 
 Semantics reproduced from the reference:
 - per-check try/except isolation — one failing check never kills the suite
@@ -8,21 +9,36 @@ Semantics reproduced from the reference:
 - threshold gate that raises after alerts are written
   (``pager-workflow.py:139-143,247-267``).
 
-Execution differs deliberately: instead of one BigQuery round-trip per check,
-all aggregate-shaped checks on a table share ONE scan (see ``compiler.py``).
-If the fused job itself fails (e.g. one malformed expression), the runner
-falls back to per-check execution so isolation semantics are preserved.
+Execution differs deliberately. The reference runs one BigQuery round-trip
+per check (5 queries over 2 tables for 5 checks); at 100TB each round-trip
+is a full scan. Here the WHOLE suite compiles into ONE Spark job:
+
+    (table-A fused aggs) × (table-B fused aggs) × ... × (RI anti-join aggs)
+
+— a crossJoin chain of single-row aggregate frames. Each factor is an
+independent stage, so the DAG scheduler runs all table scans concurrently
+inside the one job, and N checks over M tables cost M scans and one
+driver round-trip. If the fused job fails (e.g. one malformed expression),
+the runner falls back to per-check execution so isolation is preserved.
 """
 
 from __future__ import annotations
 
 from collections import defaultdict
 from datetime import datetime, timezone
+from functools import reduce
 from typing import Iterable, Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .compiler import CompiledAggCheck, compile_agg_check, run_plan_check, _result
+from .compiler import (
+    CompiledAggCheck,
+    compile_agg_check,
+    evaluate_ri,
+    ri_frame,
+    run_plan_check,
+    _result,
+)
 from .definitions import AGG_CHECK_TYPES, Check, CheckResult, REPORT_SCHEMA
 
 
@@ -38,60 +54,87 @@ def run_suite(
     """Run all checks; never raises for an individual check's failure."""
     results: dict[int, CheckResult] = {}
     agg_groups: dict[str, list[tuple[int, CompiledAggCheck]]] = defaultdict(list)
+    ri_checks: list[tuple[int, Check, DataFrame]] = []
 
     for i, check in enumerate(checks):
         try:
             if check.check_type in AGG_CHECK_TYPES:
                 compiled = compile_agg_check(check, prefix=f"c{i}")
+                if check.table not in tables:
+                    raise KeyError(f"table not loaded: {check.table}")
                 agg_groups[check.table].append((i, compiled))
+            elif check.check_type == "referential_integrity":
+                ri_checks.append((i, check, ri_frame(check, tables, prefix=f"c{i}")))
             else:
                 results[i] = run_plan_check(check, tables)
         except Exception as exc:  # noqa: BLE001 — isolation is the contract
             results[i] = _error_result(check, exc)
 
+    factors: list[DataFrame] = []
+    loose: list[tuple[int, CompiledAggCheck]] = []  # groups that failed analysis
     for table_name, group in agg_groups.items():
-        results.update(_run_agg_group(tables, table_name, group, fuse))
+        exprs = [
+            col.alias(alias)
+            for _, compiled in group
+            for alias, col in compiled.exprs.items()
+        ]
+        try:
+            factors.append(tables[table_name].agg(*exprs))
+        except Exception:
+            # one bad expression fails the whole group's analysis — retry
+            # each check alone so the good ones still run (isolation)
+            for i, compiled in group:
+                try:
+                    factors.append(
+                        tables[table_name].agg(
+                            *[c.alias(a) for a, c in compiled.exprs.items()]
+                        )
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    results[i] = _error_result(compiled.check, exc)
+                    loose.append((i, compiled))
+    factors.extend(frame for _, _, frame in ri_checks)
 
-    return [results[i] for i in sorted(results)]
-
-
-def _run_agg_group(
-    tables: Mapping[str, DataFrame],
-    table_name: str,
-    group: list[tuple[int, CompiledAggCheck]],
-    fuse: bool,
-) -> dict[int, CheckResult]:
-    out: dict[int, CheckResult] = {}
-    df = tables.get(table_name)
-    if df is None:
-        exc = KeyError(f"table not loaded: {table_name}")
-        return {i: _error_result(c.check, exc) for i, c in group}
+    if not factors:
+        return [results[i] for i in sorted(results)]
 
     if fuse:
         try:
-            exprs = [
-                col.alias(alias)
-                for _, compiled in group
-                for alias, col in compiled.exprs.items()
-            ]
-            row = df.agg(*exprs).collect()[0].asDict()
-            for i, compiled in group:
+            row = reduce(DataFrame.crossJoin, factors).collect()[0].asDict()
+            dead = {i for i, _ in loose}
+            for group in agg_groups.values():
+                for i, compiled in group:
+                    if i in dead:
+                        continue  # already reported as error
+                    try:
+                        results[i] = compiled.evaluate(row, compiled.prefix)
+                    except Exception as exc:  # noqa: BLE001
+                        results[i] = _error_result(compiled.check, exc)
+            for i, check, _ in ri_checks:
                 try:
-                    out[i] = compiled.evaluate(row, compiled.prefix)
+                    results[i] = evaluate_ri(check, row, prefix=f"c{i}")
                 except Exception as exc:  # noqa: BLE001
-                    out[i] = _error_result(compiled.check, exc)
-            return out
+                    results[i] = _error_result(check, exc)
+            return [results[i] for i in sorted(results)]
         except Exception:
             pass  # fused job failed — fall through to isolated execution
 
-    for i, compiled in group:
+    for table_name, group in agg_groups.items():
+        df = tables[table_name]
+        for i, compiled in group:
+            try:
+                exprs = [col.alias(a) for a, col in compiled.exprs.items()]
+                row = df.agg(*exprs).collect()[0].asDict()
+                results[i] = compiled.evaluate(row, compiled.prefix)
+            except Exception as exc:  # noqa: BLE001
+                results[i] = _error_result(compiled.check, exc)
+    for i, check, frame in ri_checks:
         try:
-            exprs = [col.alias(alias) for alias, col in compiled.exprs.items()]
-            row = df.agg(*exprs).collect()[0].asDict()
-            out[i] = compiled.evaluate(row, compiled.prefix)
+            row = frame.collect()[0].asDict()
+            results[i] = evaluate_ri(check, row, prefix=f"c{i}")
         except Exception as exc:  # noqa: BLE001
-            out[i] = _error_result(compiled.check, exc)
-    return out
+            results[i] = _error_result(check, exc)
+    return [results[i] for i in sorted(results)]
 
 
 def suite_report_df(spark: SparkSession, results: Iterable[CheckResult]) -> DataFrame:

@@ -20,6 +20,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # coalesce by target size, not core count: a KB-sized shuffle collapses
+    # to one task instead of 32 near-empty ones; at 100TB the size target
+    # still yields full parallelism, so this only removes small-stage
+    # overhead (the default optimizes for idle-core usage instead)
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
