@@ -133,6 +133,8 @@ def _violation_cond(check: Check) -> Column:
         return c.isNotNull() & c.rlike(p["regex"])
     if t == "match_strftime":
         return c.isNotNull() & F.try_to_timestamp(c, F.lit(p["format"])).isNull()
+    if t == "expression":
+        return ~F.expr(p["condition"])
     if t == "pair_greater_than":
         a, b = check.columns
         op = (
@@ -169,6 +171,7 @@ _ROW_COND_TYPES = frozenset(
         "not_match_regex",
         "match_strftime",
         "pair_greater_than",
+        "expression",
     }
 )
 

@@ -43,6 +43,9 @@ AGG_CHECK_TYPES = frozenset(
         "unique_count_between",  # G13
         "unique_proportion_between",  # G14
         "pair_greater_than",  # G16
+        "expression",  # R19 escape hatch: params['condition'] is a SQL
+        # boolean expr rows must satisfy; compiled to a violation count —
+        # custom checks stay JVM-side instead of becoming Python UDFs
         "freshness",  # G20; max(ts) lag bound
         "unique",  # G4 — count(col) - count_distinct(col) fuses into the scan
         "compound_unique",  # G5 — count - count_distinct(struct)

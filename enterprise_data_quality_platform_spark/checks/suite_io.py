@@ -1,0 +1,152 @@
+"""Suite serialization (SURVEY.md §2.1 S7).
+
+The reference scaffolds Great Expectations stores — expectation suites as
+JSON, validation results as JSON, rendered docs
+(``/root/reference/great_expectations/great_expectations.yml:6-30``) — but
+ships the suites directory empty. Here the same artifacts are first-class:
+
+- suites are plain JSON (GE-compatible field names: expectation suite name,
+  per-expectation type/kwargs/meta), loadable into ``Check`` lists;
+- validation results are written as a Parquet report table (the queryable
+  twin of GE's ValidationsStore);
+- a minimal data-docs text render for humans.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .definitions import Check, CheckResult
+from .runner import suite_report_df, summarize
+
+#: GE 0.18 expectation_type → our check_type (the subset with 1:1 mapping;
+#: SURVEY.md §2.2 G1-G20).
+GE_TYPE_MAP = {
+    "expect_table_row_count_to_be_between": "row_count_between",
+    "expect_column_values_to_not_be_null": "not_null",
+    "expect_column_values_to_be_between": "values_between",
+    "expect_column_values_to_be_in_set": "values_in_set",
+    "expect_column_values_to_not_be_in_set": "values_not_in_set",
+    "expect_column_value_lengths_to_be_between": "value_lengths_between",
+    "expect_column_values_to_match_regex": "match_regex",
+    "expect_column_values_to_not_match_regex": "not_match_regex",
+    "expect_column_values_to_match_strftime_format": "match_strftime",
+    "expect_column_mean_to_be_between": "mean_between",
+    "expect_column_stdev_to_be_between": "stddev_between",
+    "expect_column_min_to_be_between": "min_between",
+    "expect_column_max_to_be_between": "max_between",
+    "expect_column_sum_to_be_between": "sum_between",
+    "expect_column_unique_value_count_to_be_between": "unique_count_between",
+    "expect_column_proportion_of_unique_values_to_be_between": "unique_proportion_between",
+    "expect_column_values_to_be_unique": "unique",
+    "expect_compound_columns_to_be_unique": "compound_unique",
+    "expect_column_quantile_values_to_be_between": "quantile_between",
+    "expect_column_most_common_value_to_be_in_set": "most_common_in_set",
+    "expect_column_to_exist": "column_exists",
+    "expect_table_columns_to_match_ordered_list": "columns_match_list",
+    "expect_column_values_to_be_of_type": "column_of_type",
+    "expect_column_kl_divergence_to_be_less_than": "kl_divergence_less_than",
+    "expect_column_pair_values_a_to_be_greater_than_b": "pair_greater_than",
+}
+_REVERSE_GE = {v: k for k, v in GE_TYPE_MAP.items()}
+
+_KW_RENAMES = {  # GE kwarg → Check param
+    "min_value": "min",
+    "max_value": "max",
+    "value_set": "values",
+    "strftime_format": "format",
+    "column_list": "column_list",
+    "type_": "type",
+}
+
+
+def check_to_dict(check: Check) -> dict:
+    kwargs: dict = {}
+    if check.column:
+        kwargs["column"] = check.column
+    if check.columns:
+        kwargs["column_list"] = list(check.columns)
+    reverse_kw = {v: k for k, v in _KW_RENAMES.items()}
+    for k, v in check.params.items():
+        kwargs[reverse_kw.get(k, k)] = list(v) if isinstance(v, tuple) else v
+    if check.mostly != 1.0:
+        kwargs["mostly"] = check.mostly
+    return {
+        "expectation_type": _REVERSE_GE.get(check.check_type, check.check_type),
+        "kwargs": kwargs,
+        "meta": {"name": check.name, "table": check.table},
+    }
+
+
+def check_from_dict(d: dict) -> Check:
+    etype = d["expectation_type"]
+    check_type = GE_TYPE_MAP.get(etype, etype)
+    kwargs = dict(d.get("kwargs", {}))
+    meta = d.get("meta", {})
+    column = kwargs.pop("column", None)
+    columns = tuple(kwargs.pop("column_list", ()) or ())
+    mostly = float(kwargs.pop("mostly", 1.0))
+    params = {_KW_RENAMES.get(k, k): v for k, v in kwargs.items()}
+    if "values" in params and isinstance(params["values"], list):
+        params["values"] = tuple(params["values"])
+    return Check(
+        name=meta.get("name", etype),
+        check_type=check_type,
+        table=meta.get("table", kwargs.get("table", "")),
+        column=column,
+        columns=columns,
+        params=params,
+        mostly=mostly,
+    )
+
+
+def save_suite(checks: Sequence[Check], path: str, name: str = "default") -> None:
+    doc = {
+        "expectation_suite_name": name,
+        "expectations": [check_to_dict(c) for c in checks],
+        "meta": {"engine": "enterprise_data_quality_platform_spark"},
+    }
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Path(path).write_text(json.dumps(doc, indent=2, default=str))
+
+
+def load_suite(path: str) -> list[Check]:
+    doc = json.loads(Path(path).read_text())
+    return [check_from_dict(d) for d in doc["expectations"]]
+
+
+def write_validation_results(
+    spark: SparkSession,
+    results: Sequence[CheckResult],
+    path: str,
+    run_name: str = "default",
+) -> DataFrame:
+    """ValidationsStore twin: append report rows as Parquet, tagged by run."""
+    from pyspark.sql import functions as F
+
+    report = suite_report_df(spark, results).withColumn("run_name", F.lit(run_name))
+    report.write.mode("append").parquet(path)
+    return report
+
+
+def render_data_docs(results: Sequence[CheckResult]) -> str:
+    """Minimal human-readable docs render (data-docs analogue)."""
+    s = summarize(results)
+    lines = [
+        f"# Validation report — {s['overall_status'].upper()}",
+        f"{s['passed']}/{s['total']} checks passed (pass rate {s['pass_rate']:.2%})",
+        "",
+    ]
+    for r in results:
+        mark = {"pass": "✓", "fail": "✗"}.get(r.status, "!")
+        detail = (
+            f" violations={r.violations}/{r.total}" if r.violations is not None else ""
+        )
+        obs = f" {r.observed}" if r.observed else ""
+        err = f" error={r.error_message}" if r.error_message else ""
+        lines.append(f"{mark} {r.check_name} [{r.table}]{detail}{obs}{err}")
+    return "\n".join(lines)

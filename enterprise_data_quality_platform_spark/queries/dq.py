@@ -358,6 +358,96 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_kl_divergence",
+    oracle=f"""
+    WITH hist AS (
+      SELECT event_type, COUNT(*) * 1.0 / SUM(COUNT(*)) OVER () AS p
+      FROM events GROUP BY event_type
+    )
+    SELECT {sql_round("SUM(p * ln(p / 0.2))", 6)} AS kl_divergence,
+           COUNT(*) AS n_buckets
+    FROM hist
+    """,
+    tables=("events",),
+)
+def dq_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G18: KL divergence of the observed event_type distribution vs the
+    uniform expectation (5 types → q=0.2). Histogram via groupBy, the KL
+    sum folded into the same plan (window-over-aggregate for the total) —
+    no driver-side math, so it scales with the scan."""
+    from pyspark.sql import Window
+
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = F.col("n") / F.sum("n").over(Window.partitionBy())
+    hist = counts.select(p.alias("p"))
+    return hist.agg(
+        fx_round(F.sum(F.col("p") * F.log(F.col("p") / 0.2)), 6).alias(
+            "kl_divergence"
+        ),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
+@register(
+    "dq_pair_check",
+    oracle="""
+    SELECT COUNT(*) AS total,
+           COUNT(*) FILTER (
+             WHERE NOT (l_extendedprice > l_quantity)
+           ) AS pair_violations
+    FROM lineitem
+    """,
+    tables=("lineitem",),
+)
+def dq_pair_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G16: column-pair invariant (extendedprice strictly above quantity)."""
+    viol = ~(F.col("l_extendedprice") > F.col("l_quantity"))
+    return table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(viol, 1).otherwise(0)).alias("pair_violations"),
+    )
+
+
+@register(
+    "dq_expression_rule",
+    oracle="""
+    SELECT COUNT(*) AS total,
+           COUNT(*) FILTER (
+             WHERE NOT (o_totalprice > 0 AND (o_orderstatus <> 'F' OR o_totalprice < 600000))
+           ) AS rule_violations
+    FROM orders
+    """,
+    tables=("orders",),
+)
+def dq_expression_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R19 escape hatch: an arbitrary SQL business rule compiled through the
+    'expression' check type — custom logic without leaving the JVM."""
+    tables = {"orders": table(spark, sf_dir, "orders")}
+    results = run_suite(
+        tables,
+        [
+            Check(
+                "custom rule",
+                "expression",
+                "orders",
+                params={
+                    "condition": "o_totalprice > 0 AND "
+                    "(o_orderstatus <> 'F' OR o_totalprice < 600000)"
+                },
+            )
+        ],
+    )
+    r = results[0]
+    return spark.createDataFrame(
+        [(r.total, r.violations)], "total bigint, rule_violations bigint"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Suite runner end-to-end: the engine's check compiler + fused scan + report,
 # verified against a UNION ALL oracle replicating each check's semantics.

@@ -1,0 +1,128 @@
+"""Suite JSON round-trip (S7) + property-based invariants (SURVEY.md §5.2.5):
+check results invariant under row order and repartitioning; dedup idempotent."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from enterprise_data_quality_platform_spark.catalog import table
+from enterprise_data_quality_platform_spark.checks import Check, run_suite
+from enterprise_data_quality_platform_spark.checks.suite_io import (
+    check_from_dict,
+    check_to_dict,
+    load_suite,
+    render_data_docs,
+    save_suite,
+    write_validation_results,
+)
+from enterprise_data_quality_platform_spark.queries.dq import _SUITE
+
+from conftest import SF_SMALL
+
+
+def test_suite_json_round_trip():
+    with tempfile.TemporaryDirectory() as d:
+        save_suite(_SUITE, f"{d}/suite.json", name="reference-suite")
+        loaded = load_suite(f"{d}/suite.json")
+    assert len(loaded) == len(_SUITE)
+    for orig, back in zip(_SUITE, loaded):
+        assert back.name == orig.name
+        assert back.check_type == orig.check_type
+        assert back.table == orig.table
+        assert back.column == orig.column
+        assert back.mostly == orig.mostly
+        # values tuples survive (lists in JSON)
+        if "values" in orig.params:
+            assert tuple(back.params["values"]) == tuple(orig.params["values"])
+
+
+def test_ge_type_mapping_is_ge_compatible():
+    d = check_to_dict(
+        Check(
+            "nn",
+            "not_null",
+            "orders",
+            column="o_custkey",
+            mostly=0.99,
+        )
+    )
+    assert d["expectation_type"] == "expect_column_values_to_not_be_null"
+    assert d["kwargs"]["column"] == "o_custkey"
+    assert d["kwargs"]["mostly"] == 0.99
+    back = check_from_dict(d)
+    assert back.check_type == "not_null" and back.mostly == 0.99
+
+
+def test_validation_results_store_and_docs(spark):
+    tables = {"orders": table(spark, SF_SMALL, "orders")}
+    results = run_suite(
+        tables,
+        [
+            Check("nn", "not_null", "orders", column="o_custkey"),
+            Check(
+                "bad domain",
+                "values_in_set",
+                "orders",
+                column="o_orderstatus",
+                params={"values": ("O",)},
+            ),
+        ],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        write_validation_results(spark, results, f"{d}/store", run_name="r1")
+        write_validation_results(spark, results, f"{d}/store", run_name="r2")
+        stored = spark.read.parquet(f"{d}/store")
+        assert stored.count() == 4
+        assert set(r.run_name for r in stored.collect()) == {"r1", "r2"}
+    docs = render_data_docs(results)
+    assert "FAIL" in docs and "bad domain" in docs and "✓ nn" in docs
+
+
+# --- properties -----------------------------------------------------------
+
+
+def _suite_fingerprint(tables):
+    results = run_suite(tables, _SUITE)
+    return [(r.check_name, r.status, r.violations, r.total) for r in results]
+
+
+def test_checks_invariant_under_row_order_and_partitioning(spark):
+    base = {
+        n: table(spark, SF_SMALL, n)
+        for n in ("lineitem", "orders", "nation", "customer")
+    }
+    shuffled = {
+        n: df.orderBy(F.rand(seed=1)).repartition(13) for n, df in base.items()
+    }
+    assert _suite_fingerprint(base) == _suite_fingerprint(shuffled)
+
+
+def test_fused_equals_unfused(spark):
+    tables = {
+        n: table(spark, SF_SMALL, n)
+        for n in ("lineitem", "orders", "nation", "customer")
+    }
+    fused = run_suite(tables, _SUITE, fuse=True)
+    unfused = run_suite(tables, _SUITE, fuse=False)
+    assert [(r.check_name, r.status, r.violations) for r in fused] == [
+        (r.check_name, r.status, r.violations) for r in unfused
+    ]
+
+
+def test_queries_invariant_under_repartition(spark):
+    """Declared aggregate queries must not depend on input partitioning —
+    the fixed-point float policy's core guarantee."""
+    from enterprise_data_quality_platform_spark.models import marts
+
+    orders = table(spark, SF_SMALL, "orders")
+    customer = table(spark, SF_SMALL, "customer")
+    nation = table(spark, SF_SMALL, "nation")
+    region = table(spark, SF_SMALL, "region")
+    a = marts.mart_region_revenue(orders, customer, nation, region).collect()
+    b = marts.mart_region_revenue(
+        orders.repartition(17), customer.repartition(3), nation, region
+    ).collect()
+    assert a == b
