@@ -26,6 +26,8 @@ HEADLINE = [
     "dq_range_check",
     "dq_uniqueness",
     "dq_freshness",
+    "dq_table_profile",
+    "dq_kl_divergence",
     "dq_suite_report",
     "mart_pricing_summary",
     "mart_region_revenue",

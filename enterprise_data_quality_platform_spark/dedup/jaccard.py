@@ -28,7 +28,8 @@ def ngram_jaccard_pairs(
     max_doc_freq: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for all pairs with Jaccard ≥ threshold."""
-    sh = df.select(
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(parallelism, F.col(id_col)).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("grams")
     ).withColumn("sz", F.size("grams"))
     ex = sh.select("id", "sz", F.explode("grams").alias("gram"))

@@ -26,8 +26,11 @@ NUM_BANDS = BITS // BAND_BITS  # 4 bands → exact for Hamming ≤ 3
 def simhash_column(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, simhash bigint) — one explode + one hash aggregate."""
-    ex = df.select(
+    """(id, simhash bigint) — one explode + one hash aggregate. Input is
+    repartitioned so the 64 bit-sum aggregates parallelize from a single
+    input file (partial aggregation keeps the shuffle at one row per doc)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    ex = df.repartition(parallelism, F.col(id_col)).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("gram")
     ).withColumn("h", F.xxhash64("gram"))
 

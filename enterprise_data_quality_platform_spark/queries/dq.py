@@ -359,6 +359,44 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_table_profile",
+    oracle=f"""
+    SELECT COUNT(*) AS row_count,
+           COUNT(*) FILTER (WHERE c_custkey IS NULL) AS c_custkey__nulls,
+           COUNT(DISTINCT c_custkey) AS c_custkey__distinct,
+           MIN(CAST(c_custkey AS DOUBLE)) AS c_custkey__min,
+           MAX(CAST(c_custkey AS DOUBLE)) AS c_custkey__max,
+           {sql_avg("CAST(c_custkey AS DOUBLE)")} AS c_custkey__mean,
+           COUNT(*) FILTER (WHERE c_name IS NULL) AS c_name__nulls,
+           COUNT(DISTINCT c_name) AS c_name__distinct,
+           MIN(LENGTH(c_name)) AS c_name__min_len,
+           MAX(LENGTH(c_name)) AS c_name__max_len,
+           COUNT(*) FILTER (WHERE c_acctbal IS NULL) AS c_acctbal__nulls,
+           COUNT(DISTINCT c_acctbal) AS c_acctbal__distinct,
+           MIN(CAST(c_acctbal AS DOUBLE)) AS c_acctbal__min,
+           MAX(CAST(c_acctbal AS DOUBLE)) AS c_acctbal__max,
+           {sql_avg("CAST(c_acctbal AS DOUBLE)")} AS c_acctbal__mean,
+           COUNT(*) FILTER (WHERE c_mktsegment IS NULL) AS c_mktsegment__nulls,
+           COUNT(DISTINCT c_mktsegment) AS c_mktsegment__distinct,
+           MIN(LENGTH(c_mktsegment)) AS c_mktsegment__min_len,
+           MAX(LENGTH(c_mktsegment)) AS c_mktsegment__max_len
+    FROM customer
+    """,
+    tables=("customer",),
+)
+def dq_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4.3 single-pass profiler: null/distinct/min/max/mean (numeric) and
+    length bounds (string) for 4 customer columns in ONE scan — the
+    profiling primitive the whole check layer tunes against."""
+    from ..checks.profiler import profile_table
+
+    return profile_table(
+        table(spark, sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"],
+    )
+
+
+@register(
     "dq_kl_divergence",
     oracle=f"""
     WITH hist AS (

@@ -31,6 +31,59 @@ _STREAM_CHECKS = [
 ]
 
 
+def _run_stream(stream_df, name: str, output_mode: str = "append"):
+    import tempfile
+
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="edqp-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register(
+    "streaming_session_windows",
+    oracle=None,  # streaming — rows-only; T4 batch twin carries the oracle
+    tables=("events",),
+)
+def streaming_session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: native session_window (30-min gap) over the event stream, run to
+    completion with AvailableNow (complete mode so open sessions emit)."""
+    from ..streaming import events_stream, streaming_session_windows
+
+    stream = streaming_session_windows(events_stream(spark, sf_dir))
+    _run_stream(stream, "edqp_sessions_q", output_mode="complete")
+    return (
+        spark.table("edqp_sessions_q")
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "streaming_dedup",
+    oracle=None,  # streaming — rows-only; events_dedup carries the oracle
+    tables=("events",),
+)
+def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: dropDuplicatesWithinWatermark on the stream key; returns the
+    per-type counts of the deduplicated stream."""
+    from pyspark.sql import functions as F
+
+    from ..streaming import events_stream, streaming_dedup
+
+    _run_stream(streaming_dedup(events_stream(spark, sf_dir)), "edqp_dedup_q")
+    return (
+        spark.table("edqp_dedup_q")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
 @register(
     "streaming_dq_gate",
     oracle=None,  # streaming — rows-only; semantics oracle'd via batch twins
