@@ -214,6 +214,132 @@ def sort_limit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mart_grouping_sets",
+    oracle=f"""
+    SELECT c_mktsegment AS segment, o_orderstatus AS status,
+           COUNT(*) AS order_count,
+           {sql_sum("o_totalprice")} AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), (c_mktsegment, o_orderstatus))
+    """,
+    tables=("orders", "customer"),
+)
+def mart_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11: explicit GROUPING SETS (per-segment, per-status, and cross) —
+    one scan feeds all three groupings via Expand. DataFrame API
+    (``groupingSets``) so the money arithmetic is byte-identical to every
+    other query (Spark SQL text parses `0.5` as DECIMAL, which would change
+    the rounding path)."""
+    from ..models.marts import money_sum
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    joined = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderstatus").alias("status"),
+        "o_totalprice",
+    )
+    return joined.groupingSets(
+        [["segment"], ["status"], ["segment", "status"]],
+        F.col("segment"),
+        F.col("status"),
+    ).agg(
+        F.count(F.lit(1)).alias("order_count"),
+        money_sum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+@register(
+    "set_intersect_segments",
+    oracle="""
+    SELECT c_mktsegment FROM customer WHERE c_nationkey < 12
+    INTERSECT
+    SELECT c_mktsegment FROM customer WHERE c_nationkey >= 12
+    """,
+    tables=("customer",),
+)
+def set_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12: INTERSECT (distinct) — segments present in both nation halves."""
+    customer = table(spark, sf_dir, "customer")
+    a = customer.filter(F.col("c_nationkey") < 12).select("c_mktsegment")
+    b = customer.filter(F.col("c_nationkey") >= 12).select("c_mktsegment")
+    return a.intersect(b)
+
+
+@register(
+    "events_hourly_delta",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT hour_start, n,
+           n - LAG(n) OVER (ORDER BY hour_start) AS delta_prev,
+           LEAD(n) OVER (ORDER BY hour_start) - n AS delta_next
+    FROM hourly
+    """,
+    tables=("events",),
+)
+def events_hourly_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 lag/lead: hour-over-hour event-count deltas — the
+    DQ-metrics-over-time trend the platform's monitoring premise implies.
+    Single global window over ~720 hourly rows (pre-aggregated first, so
+    the unpartitioned window never sees raw events)."""
+    from pyspark.sql import Window
+
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("hour_start")
+    return hourly.select(
+        "hour_start",
+        "n",
+        (F.col("n") - F.lag("n").over(w)).alias("delta_prev"),
+        (F.lead("n").over(w) - F.col("n")).alias("delta_next"),
+    )
+
+
+@register(
+    "mart_brand_volume",
+    oracle=f"""
+    SELECT p.p_brand, s.s_name,
+           {sql_sum("l_quantity")} AS total_qty,
+           COUNT(*) AS shipment_count
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY p.p_brand, s.s_name
+    ORDER BY total_qty DESC, p_brand, s_name
+    LIMIT 25
+    """,
+    tables=("lineitem", "part", "supplier"),
+)
+def mart_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6/R10: fact ⋈ two dimensions (part, supplier — both broadcast) +
+    agg + deterministic top-25."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    supplier = table(spark, sf_dir, "supplier")
+    from ..models.marts import money_sum
+
+    return (
+        lineitem.join(F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy("p_brand", "s_name")
+        .agg(
+            money_sum(F.col("l_quantity"), "total_qty"),
+            F.count(F.lit(1)).alias("shipment_count"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("p_brand"), F.col("s_name"))
+        .limit(25)
+    )
+
+
+@register(
     "union_balance_tiers",
     oracle="""
     SELECT entity, tier, COUNT(*) AS n FROM (
