@@ -46,6 +46,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "dedup_ops",
         "streaming_ops",
         "multimodal_ops",
+        "training_ops",
     ):
         try:
             importlib.import_module(f".{mod}", __package__)
