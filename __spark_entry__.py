@@ -11,11 +11,21 @@ this module only adapts the registry to the driver contract.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from enterprise_data_quality_platform_spark.queries import oracle_sqls, query_fns
+# make the package importable regardless of the caller's CWD
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from enterprise_data_quality_platform_spark.queries import (  # noqa: E402
+    oracle_sqls,
+    query_fns,
+)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

