@@ -20,3 +20,27 @@ alert fan-out) as an in-process Spark engine:
 """
 
 __version__ = "0.1.0"
+
+# Public API surface — a reference user switching engines starts here.
+from .catalog import load_tables, table  # noqa: E402,F401
+from .checks import (  # noqa: E402,F401
+    Check,
+    gate,
+    run_suite,
+    suite_report_df,
+)
+from .compat import DataValidationPipeline  # noqa: E402,F401
+from .session import configure_session, get_spark  # noqa: E402,F401
+
+__all__ = [
+    "get_spark",
+    "configure_session",
+    "table",
+    "load_tables",
+    "Check",
+    "run_suite",
+    "gate",
+    "suite_report_df",
+    "DataValidationPipeline",
+    "__version__",
+]

@@ -252,6 +252,37 @@ def mart_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mart_cube_status_segment",
+    oracle=f"""
+    SELECT o_orderstatus AS status, c_mktsegment AS segment,
+           COUNT(*) AS order_count,
+           {sql_sum("o_totalprice")} AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY CUBE (o_orderstatus, c_mktsegment)
+    """,
+    tables=("orders", "customer"),
+)
+def mart_cube_status_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11: CUBE — all four grouping combinations (status×segment,
+    per-status, per-segment, grand total) from one scan via Expand."""
+    from ..models.marts import money_sum
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .cube(
+            F.col("o_orderstatus").alias("status"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            money_sum(F.col("o_totalprice"), "total_price"),
+        )
+    )
+
+
+@register(
     "set_intersect_segments",
     oracle="""
     SELECT c_mktsegment FROM customer WHERE c_nationkey < 12
