@@ -37,6 +37,10 @@ BUILD_CONFS: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB scan splits
     "spark.ui.enabled": "false",
+    # local mode runs driver + all executor threads in ONE JVM; the 1g
+    # default heap GC-throttles every job (~2x on short jobs, measured).
+    # On a real cluster this maps to ordinary driver/executor sizing.
+    "spark.driver.memory": os.environ.get("EDQP_DRIVER_MEMORY", "16g"),
     "spark.driver.extraJavaOptions": "-Djava.net.preferIPv4Stack=true",
 }
 
