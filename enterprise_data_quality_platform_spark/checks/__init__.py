@@ -1,5 +1,7 @@
 from .definitions import Check, CheckResult, REPORT_SCHEMA
-from .runner import run_suite, gate, suite_report_df
+from .profiler import profile_table
+from .runner import ValidationGateError, gate, run_suite, suite_report_df
+from .suite_io import load_suite, render_data_docs, save_suite
 
 __all__ = [
     "Check",
@@ -7,5 +9,10 @@ __all__ = [
     "REPORT_SCHEMA",
     "run_suite",
     "gate",
+    "ValidationGateError",
     "suite_report_df",
+    "profile_table",
+    "load_suite",
+    "save_suite",
+    "render_data_docs",
 ]

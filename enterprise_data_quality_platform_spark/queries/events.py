@@ -170,6 +170,38 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_daily_pivot",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events
+    GROUP BY 1
+    """,
+    tables=("events",),
+)
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type, one row per day — the dashboard
+    wide form. Explicit pivot values keep it one pass (without them Spark
+    needs an extra distinct-values job)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for absent (day, type) combos; the oracle's
+    # conditional counts yield 0 — align
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@register(
     "events_type_distribution",
     oracle="""
     SELECT event_type,

@@ -7,6 +7,7 @@ a Python UDF to a hot path fails here, not at 100 TB."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from enterprise_data_quality_platform_spark.queries import all_queries
 
@@ -88,6 +89,62 @@ def test_no_python_udfs_in_jvm_operators(spark):
         plan = plan_of(spark, name)
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
         assert "MapInPandas" not in plan, f"{name} fell off the JVM path"
+
+
+def test_results_invariant_under_join_strategy(spark):
+    """At 100TB the dims stop fitting under the broadcast threshold and the
+    planner falls back to sort-merge — results must not depend on which
+    strategy Catalyst picks."""
+    name = "mart_region_revenue"
+    expected = SPECS[name].fn(spark, SF_SMALL).collect()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got = SPECS[name].fn(spark, SF_SMALL).collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == expected
+
+
+def test_bucketed_join_colocates(spark):
+    """Bucketing both join sides on the key removes the shuffle entirely —
+    the pre-partitioning lever for repeatedly-joined 100TB fact tables
+    (SURVEY.md §4.2). Asserted: the bucketed join plan has NO Exchange."""
+    import tempfile
+
+    from enterprise_data_quality_platform_spark.catalog import table
+
+    with tempfile.TemporaryDirectory(prefix="edqp-wh-") as wh:
+        spark.conf.set("spark.sql.warehouse.dir", wh)
+        orders = table(spark, SF_SMALL, "orders")
+        lineitem = table(spark, SF_SMALL, "lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+            "b_orders", mode="overwrite"
+        )
+        lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+            "b_lineitem", mode="overwrite"
+        )
+        try:
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = spark.table("b_orders").join(
+                spark.table("b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located: no shuffle either side
+            assert joined.count() == lineitem.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
 def test_multimodal_is_arrow_batched(spark):
