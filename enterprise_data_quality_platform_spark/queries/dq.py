@@ -397,6 +397,46 @@ def dq_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_id, value,
+             AVG(value) OVER () AS mu,
+             STDDEV(value) OVER () AS sigma
+      FROM events
+    )
+    SELECT COUNT(*) AS total,
+           COUNT(*) FILTER (WHERE ABS(value - mu) / sigma > 3) AS outliers_3s,
+           COUNT(*) FILTER (WHERE ABS(value - mu) / sigma > 4) AS outliers_4s
+    FROM stats
+    """,
+    tables=("events",),
+)
+def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: z-score outlier counts at 3σ/4σ — the in-engine
+    form of the anomaly investigation the reference delegates to its LLM
+    agent ("validate the data quality and investigate any anomalies",
+    /root/reference/airflow/dags/Glue-etl-pipeline.py:14). Global stats via
+    an unpartitioned window over the single-row aggregate broadcastable
+    form: Spark plans the empty-frame window as one extra exchange of the
+    scalar stats, not a per-row shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    df = table(spark, sf_dir, "events").select(
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev("value").over(w).alias("sigma"),
+    )
+    z = F.abs(F.col("value") - F.col("mu")) / F.col("sigma")
+    return df.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(z > 3, 1).otherwise(0)).alias("outliers_3s"),
+        F.sum(F.when(z > 4, 1).otherwise(0)).alias("outliers_4s"),
+    )
+
+
+@register(
     "dq_kl_divergence",
     oracle=f"""
     WITH hist AS (

@@ -115,36 +115,37 @@ def test_bucketed_join_colocates(spark):
     from enterprise_data_quality_platform_spark.catalog import table
 
     with tempfile.TemporaryDirectory(prefix="edqp-wh-") as wh:
-        spark.conf.set("spark.sql.warehouse.dir", wh)
+        # warehouse.dir is static — park the bucketed tables in a
+        # temp-location database instead
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{wh}/db'")
         orders = table(spark, SF_SMALL, "orders")
         lineitem = table(spark, SF_SMALL, "lineitem")
-        spark.sql("DROP TABLE IF EXISTS b_orders")
-        spark.sql("DROP TABLE IF EXISTS b_lineitem")
-        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
-            "b_orders", mode="overwrite"
-        )
-        lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
-            "b_lineitem", mode="overwrite"
-        )
         try:
+            orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+                "bucketdb.b_orders", mode="overwrite"
+            )
+            lineitem.write.bucketBy(8, "l_orderkey").sortBy(
+                "l_orderkey"
+            ).saveAsTable("bucketdb.b_lineitem", mode="overwrite")
             old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-            joined = spark.table("b_orders").join(
-                spark.table("b_lineitem"),
-                F.col("o_orderkey") == F.col("l_orderkey"),
-            )
-            plan = joined._jdf.queryExecution().explainString(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "formatted"
+            try:
+                joined = spark.table("bucketdb.b_orders").join(
+                    spark.table("bucketdb.b_lineitem"),
+                    F.col("o_orderkey") == F.col("l_orderkey"),
                 )
-            )
-            assert "SortMergeJoin" in plan
-            assert "Exchange" not in plan  # co-located: no shuffle either side
-            assert joined.count() == lineitem.count()
+                plan = joined._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
+                )
+                assert "SortMergeJoin" in plan
+                assert "Exchange" not in plan  # co-located: no shuffle
+                assert joined.count() == lineitem.count()
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         finally:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-            spark.sql("DROP TABLE IF EXISTS b_orders")
-            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+            spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
 
 
 def test_multimodal_is_arrow_batched(spark):
