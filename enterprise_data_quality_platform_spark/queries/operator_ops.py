@@ -1,0 +1,88 @@
+"""Custom-operator queries: as-of join and range join (SURVEY.md §2.6 /
+task brief: "operators Spark lacks — as-of join, range join").
+
+Both have DuckDB oracles: DuckDB ships native ASOF JOIN and plans the
+inequality join directly (IEJoin), so the oracle states the semantics
+declaratively while the Spark side proves the scalable composition."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators import asof_join, interval_join
+from .registry import register
+
+
+@register(
+    "events_asof_purchase_view",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, v.ts AS last_view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    tables=("events",),
+)
+def events_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the most recent view (ts <= purchase
+    ts) by the same user — attribution's core primitive. One shuffle on
+    user_id (union + carry-forward window), no inequality join."""
+    events = table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = asof_join(purchases, views, on="ts", key="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("ts_right").alias("last_view_ts"),
+    )
+
+
+@register(
+    "events_range_join_incidents",
+    oracle="""
+    WITH incidents AS (
+      SELECT MIN(ts) AS start_ts, MIN(ts) + INTERVAL 45 MINUTE AS end_ts
+      FROM events WHERE event_type = 'error'
+      GROUP BY date_trunc('hour', ts)
+      HAVING COUNT(*) >= 8
+    )
+    SELECT COUNT(*) AS n_pairs,
+           COUNT(DISTINCT e.event_id) AS n_events,
+           COUNT(DISTINCT i.start_ts) AS n_incidents
+    FROM events e
+    JOIN incidents i ON e.ts >= i.start_ts AND e.ts < i.end_ts
+    """,
+    tables=("events",),
+)
+def events_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events falling inside 45-minute "incident windows"
+    (hours with >= 8 errors, window from the first error). The Spark side
+    uses the bucketed interval join (hash join on time bucket + residual
+    predicate) instead of the O(n*m) nested loop the naive predicate
+    would plan."""
+    events = table(spark, sf_dir, "events")
+    incidents = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("start_ts"))
+        .filter(F.col("n") >= 8)
+        .select(
+            "start_ts",
+            (F.col("start_ts") + F.expr("INTERVAL 45 MINUTES")).alias("end_ts"),
+        )
+    )
+    joined = interval_join(
+        events, incidents, point_ts="ts", start_ts="start_ts",
+        end_ts="end_ts", bucket_seconds=2700,
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("event_id").alias("n_events"),
+        F.count_distinct("start_ts").alias("n_incidents"),
+    )

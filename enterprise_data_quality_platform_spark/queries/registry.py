@@ -47,6 +47,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "streaming_ops",
         "multimodal_ops",
         "training_ops",
+        "operator_ops",
     ):
         try:
             importlib.import_module(f".{mod}", __package__)
