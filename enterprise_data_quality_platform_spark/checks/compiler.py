@@ -65,9 +65,6 @@ def _count_eval(check: Check) -> Callable[[Mapping[str, Any], str], CheckResult]
         ok_fraction = 1.0 if total == 0 else 1.0 - violations / total
         status = "pass" if ok_fraction >= check.mostly else "fail"
         observed: dict[str, Any] = {"ok_fraction": round(ok_fraction, 6)}
-        sample = row.get(f"{prefix}__sample")
-        if sample:
-            observed["sample"] = list(sample)[:SAMPLE_CAP]
         return _result(check, status, violations, total, observed)
 
     return evaluate
@@ -98,6 +95,54 @@ def _metric_eval(
         )
 
     return evaluate
+
+
+#: C strftime directive → JVM datetime pattern. GE suites carry strftime
+#: strings (expect_column_values_to_match_strftime_format kwarg), but Spark's
+#: to_timestamp wants JVM patterns — translate on compile so real GE suites
+#: validate instead of flagging every row.
+_STRFTIME_MAP = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%I": "hh",
+    "%M": "mm",
+    "%S": "ss",
+    "%f": "SSSSSS",
+    "%j": "DDD",
+    "%p": "a",
+    "%z": "XX",
+    "%%": "%",
+}
+
+
+def strftime_to_spark(fmt: str) -> str:
+    """Translate a C strftime format to a Spark/JVM datetime pattern.
+    Strings without ``%`` are assumed to already be Spark patterns and pass
+    through unchanged; unknown directives raise eagerly (analysis-time), not
+    per-row."""
+    if "%" not in fmt:
+        return fmt
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            directive = fmt[i : i + 2]
+            if directive not in _STRFTIME_MAP:
+                raise ValueError(f"unsupported strftime directive: {directive!r}")
+            out.append(_STRFTIME_MAP[directive])
+            i += 2
+        elif ch.isalpha():
+            # literal letters are pattern chars to the JVM — quote them
+            out.append(f"'{ch}'")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def _violation_cond(check: Check) -> Column:
@@ -132,9 +177,12 @@ def _violation_cond(check: Check) -> Column:
     if t == "not_match_regex":
         return c.isNotNull() & c.rlike(p["regex"])
     if t == "match_strftime":
-        return c.isNotNull() & F.try_to_timestamp(c, F.lit(p["format"])).isNull()
+        fmt = strftime_to_spark(p["format"])
+        return c.isNotNull() & F.try_to_timestamp(c, F.lit(fmt)).isNull()
     if t == "expression":
         return ~F.expr(p["condition"])
+    if t == "distinct_in_set":
+        return c.isNotNull() & ~c.isin(list(p["values"]))
     if t == "pair_greater_than":
         a, b = check.columns
         op = (
@@ -191,13 +239,12 @@ def compile_agg_check(check: Check, prefix: str) -> CompiledAggCheck:
             F.when(cond, F.lit(1)).otherwise(F.lit(0))
         )
         exprs[f"{prefix}__total"] = total
-        if check.column is not None and check.check_type != "not_null":
-            # bounded violating-value sample for the report
-            exprs[f"{prefix}__sample"] = F.slice(
-                F.array_sort(F.collect_set(F.when(cond, c.cast("string")))),
-                1,
-                SAMPLE_CAP,
-            )
+        # No violating-value sample in the fused scan: collect_set would
+        # accumulate EVERY distinct violating value in one aggregation
+        # buffer before any cap applies — unbounded state on a
+        # high-cardinality column. The runner fetches a capped sample with
+        # a separate limit-k query only for checks that FAIL
+        # (violation_sample_df below).
         return CompiledAggCheck(check, exprs, _count_eval(check), prefix)
 
     if check.check_type == "row_count_between":
@@ -207,17 +254,16 @@ def compile_agg_check(check: Check, prefix: str) -> CompiledAggCheck:
 
     if check.check_type in {"unique", "compound_unique"}:
         cols = [check.column] if check.check_type == "unique" else list(check.columns)
-        # excess rows = count(non-null tuples) - count_distinct(tuples);
-        # count_distinct over multiple cols skips rows with any NULL, so
-        # count the same population on the left for consistency.
+        # excess rows = count(all-cols-non-null rows) - distinct(tuples over
+        # that SAME population). count_distinct over a bare struct would
+        # count tuples containing NULL fields (struct(NULL) is non-null), so
+        # both sides are gated on the identical any-NULL filter: NULL-keyed
+        # rows are skipped entirely, duplicates among non-null keys count.
+        nn_cond = F.expr(" AND ".join(f"`{x}` IS NOT NULL" for x in cols))
         tup = F.struct(*[F.col(x) for x in cols])
-        nn = F.when(
-            F.lit(True)
-            if not cols
-            else F.expr(" AND ".join(f"`{x}` IS NOT NULL" for x in cols)),
-            F.lit(1),
-        )
-        exprs[f"{prefix}__violations"] = F.count(nn) - F.count_distinct(tup)
+        exprs[f"{prefix}__violations"] = F.count(
+            F.when(nn_cond, F.lit(1))
+        ) - F.count_distinct(F.when(nn_cond, tup))
         exprs[f"{prefix}__total"] = total
         return CompiledAggCheck(check, exprs, _count_eval(check), prefix)
 
@@ -225,9 +271,7 @@ def compile_agg_check(check: Check, prefix: str) -> CompiledAggCheck:
         cond = c.isNotNull() & ~c.isin(list(p["values"]))
         exprs[f"{prefix}__violations"] = F.count_distinct(F.when(cond, c))
         exprs[f"{prefix}__total"] = F.count_distinct(c)
-        exprs[f"{prefix}__sample"] = F.slice(
-            F.array_sort(F.collect_set(F.when(cond, c.cast("string")))), 1, SAMPLE_CAP
-        )
+        # sample fetched post-hoc on failure (violation_sample_df)
         return CompiledAggCheck(check, exprs, _count_eval(check), prefix)
 
     metric_map: dict[str, tuple[str, Column]] = {
@@ -307,6 +351,32 @@ def compile_agg_check(check: Check, prefix: str) -> CompiledAggCheck:
     raise ValueError(f"unhandled aggregate check type: {check.check_type}")
 
 
+#: Check types whose violating VALUES are meaningful in a report sample.
+SAMPLEABLE_TYPES = frozenset(_ROW_COND_TYPES - {"not_null"}) | {"distinct_in_set"}
+
+
+def violating_rows(df: DataFrame, check: Check) -> DataFrame:
+    """The FULL violating-row frame for a row-condition check — the
+    quarantine path. The reference reports the complete violation list
+    (pager-workflow.py:220-225); reports here carry a capped sample, and
+    this frame is what a quarantine sink writes when the full set is
+    needed (see ``sinks/quarantine.py``)."""
+    return df.filter(_violation_cond(check))
+
+
+def violation_sample_df(df: DataFrame, check: Check, cap: int = SAMPLE_CAP) -> DataFrame:
+    """Capped distinct violating-value frame, fetched as a separate tiny
+    query only for FAILED checks — never as unbounded collect_set state
+    inside the fused scan. limit(cap) bounds both shuffle and driver
+    transfer."""
+    return (
+        df.filter(_violation_cond(check))
+        .select(F.col(check.column).cast("string").alias("value"))
+        .distinct()
+        .limit(cap)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Plan checks — need a different plan shape or no scan at all.
 # ---------------------------------------------------------------------------
@@ -379,21 +449,39 @@ def run_plan_check(
         return evaluate_ri(check, row, prefix="ri")
 
     if t == "kl_divergence_less_than":
-        # Histogram via groupBy (distributed), KL on the driver over the
-        # (small) bucket vector — SURVEY.md §2.2 G18.
-        import math
-
+        # G18, fully in-plan: distributed groupBy histogram, expected
+        # distribution as a broadcast literal map, KL sum folded into a
+        # second aggregate. Only ONE scalar row ever reaches the driver —
+        # a high-cardinality column can't ship its histogram here (the
+        # old driver-side form collected the whole groupBy).
         expected: Mapping[Any, float] = p["expected_distribution"]
-        counts = {
-            r[0]: r[1]
-            for r in df.groupBy(check.column).count().collect()
-        }
-        total = sum(counts.values())
-        kl = 0.0
-        for k, q in expected.items():
-            obs = counts.get(k, 0) / total if total else 0.0
-            if obs > 0 and q > 0:
-                kl += obs * math.log(obs / q)
+        counts = df.groupBy(
+            F.col(check.column).cast("string").alias("__k")
+        ).agg(F.count(F.lit(1)).alias("__n"))
+        totals = counts.agg(F.sum("__n").alias("__t"))
+        qmap = F.create_map(
+            *[
+                lit
+                for k, v in expected.items()
+                for lit in (F.lit(str(k)), F.lit(float(v)))
+            ]
+        )
+        pcol = F.col("__n") / F.col("__t")
+        qcol = qmap[F.col("__k")]
+        row = (
+            counts.crossJoin(F.broadcast(totals))
+            .agg(
+                F.sum(
+                    F.when(
+                        qcol.isNotNull() & (qcol > 0), pcol * F.log(pcol / qcol)
+                    )
+                ).alias("__kl"),
+                F.first("__t").alias("__total"),
+            )
+            .collect()[0]
+        )
+        kl = float(row["__kl"] or 0.0)
+        total = int(row["__total"] or 0)
         ok = kl <= float(p["threshold"])
         return _result(
             check, "pass" if ok else "fail", None, total, {"kl_divergence": round(kl, 6)}

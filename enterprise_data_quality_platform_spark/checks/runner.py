@@ -32,11 +32,14 @@ from typing import Iterable, Mapping, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from .compiler import (
+    SAMPLE_CAP,
+    SAMPLEABLE_TYPES,
     CompiledAggCheck,
     compile_agg_check,
     evaluate_ri,
     ri_frame,
     run_plan_check,
+    violation_sample_df,
     _result,
 )
 from .definitions import AGG_CHECK_TYPES, Check, CheckResult, REPORT_SCHEMA
@@ -46,10 +49,42 @@ def _error_result(check: Check, exc: Exception) -> CheckResult:
     return _result(check, "error", None, None, {}, error=f"{type(exc).__name__}: {exc}")
 
 
+def _attach_samples(
+    tables: Mapping[str, DataFrame],
+    checks: Sequence[Check],
+    results: dict[int, CheckResult],
+) -> None:
+    """Enrich FAILED row-condition checks with a capped violating-value
+    sample via a separate limit-k query per failure. Failures are the rare
+    path, so this costs nothing when the suite is green, and the fused scan
+    never carries unbounded collect_set state."""
+    for i, r in results.items():
+        check = checks[i]
+        if (
+            r.status != "fail"
+            or check.check_type not in SAMPLEABLE_TYPES
+            or check.column is None
+            or check.table not in tables
+        ):
+            continue
+        try:
+            vals = [
+                row[0]
+                for row in violation_sample_df(
+                    tables[check.table], check, SAMPLE_CAP
+                ).collect()
+            ]
+            if vals:
+                r.observed["sample"] = str(sorted(vals))
+        except Exception:  # noqa: BLE001 — sample is best-effort decoration
+            pass
+
+
 def run_suite(
     tables: Mapping[str, DataFrame],
     checks: Sequence[Check],
     fuse: bool = True,
+    sample_violations: bool = True,
 ) -> list[CheckResult]:
     """Run all checks; never raises for an individual check's failure."""
     results: dict[int, CheckResult] = {}
@@ -95,8 +130,13 @@ def run_suite(
                     loose.append((i, compiled))
     factors.extend(frame for _, _, frame in ri_checks)
 
-    if not factors:
+    def finish() -> list[CheckResult]:
+        if sample_violations:
+            _attach_samples(tables, checks, results)
         return [results[i] for i in sorted(results)]
+
+    if not factors:
+        return finish()
 
     if fuse:
         try:
@@ -115,7 +155,7 @@ def run_suite(
                     results[i] = evaluate_ri(check, row, prefix=f"c{i}")
                 except Exception as exc:  # noqa: BLE001
                     results[i] = _error_result(check, exc)
-            return [results[i] for i in sorted(results)]
+            return finish()
         except Exception:
             pass  # fused job failed — fall through to isolated execution
 
@@ -134,7 +174,7 @@ def run_suite(
             results[i] = evaluate_ri(check, row, prefix=f"c{i}")
         except Exception as exc:  # noqa: BLE001
             results[i] = _error_result(check, exc)
-    return [results[i] for i in sorted(results)]
+    return finish()
 
 
 def suite_report_df(spark: SparkSession, results: Iterable[CheckResult]) -> DataFrame:

@@ -68,7 +68,10 @@ def check_to_dict(check: Check) -> dict:
     kwargs: dict = {}
     if check.column:
         kwargs["column"] = check.column
-    if check.columns:
+    if check.check_type == "pair_greater_than" and len(check.columns) == 2:
+        # GE spells the pair expectation with column_A/column_B kwargs
+        kwargs["column_A"], kwargs["column_B"] = check.columns
+    elif check.columns:
         kwargs["column_list"] = list(check.columns)
     reverse_kw = {v: k for k, v in _KW_RENAMES.items()}
     for k, v in check.params.items():
@@ -88,11 +91,21 @@ def check_from_dict(d: dict) -> Check:
     kwargs = dict(d.get("kwargs", {}))
     meta = d.get("meta", {})
     column = kwargs.pop("column", None)
-    columns = tuple(kwargs.pop("column_list", ()) or ())
+    column_a = kwargs.pop("column_A", None)
+    column_b = kwargs.pop("column_B", None)
+    column_list = list(kwargs.pop("column_list", ()) or ())
     mostly = float(kwargs.pop("mostly", 1.0))
     params = {_KW_RENAMES.get(k, k): v for k, v in kwargs.items()}
     if "values" in params and isinstance(params["values"], list):
         params["values"] = tuple(params["values"])
+    if check_type == "pair_greater_than" and column_a and column_b:
+        columns = (column_a, column_b)
+    else:
+        columns = tuple(column_list)
+    if check_type == "columns_match_list":
+        # run_plan_check reads params['column_list'] — keep it in BOTH
+        # places so a saved suite round-trips to a runnable check
+        params["column_list"] = column_list
     return Check(
         name=meta.get("name", etype),
         check_type=check_type,

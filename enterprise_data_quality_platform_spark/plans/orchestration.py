@@ -93,16 +93,27 @@ class Pipeline:
 
         with ThreadPoolExecutor(max_workers=self.max_parallel) as pool:
             while pending or running:
+                progressed = False
                 for name in list(pending):
                     stage = pending[name]
                     ups = [status.get(u) for u in stage.upstream]
                     if any(u in ("failed", "skipped") for u in ups):
                         status[name] = "skipped"
                         del pending[name]
+                        progressed = True
                     elif all(u == "success" for u in ups):
                         running[name] = pool.submit(attempt, stage)
                         del pending[name]
+                        progressed = True
                 if not running:
+                    if pending and not progressed:
+                        # nothing runnable, nothing in flight, nothing newly
+                        # resolved: the remaining stages wait on each other —
+                        # a dependency cycle. Raise instead of busy-spinning.
+                        raise ValueError(
+                            "dependency cycle among stages: "
+                            + ", ".join(sorted(pending))
+                        )
                     continue
                 done = [n for n, f in running.items() if f.done()]
                 if not done:

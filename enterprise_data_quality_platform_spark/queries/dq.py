@@ -416,18 +416,16 @@ def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anomaly detection: z-score outlier counts at 3σ/4σ — the in-engine
     form of the anomaly investigation the reference delegates to its LLM
     agent ("validate the data quality and investigate any anomalies",
-    /root/reference/airflow/dags/Glue-etl-pipeline.py:14). Global stats via
-    an unpartitioned window over the single-row aggregate broadcastable
-    form: Spark plans the empty-frame window as one extra exchange of the
-    scalar stats, not a per-row shuffle."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy()
-    df = table(spark, sf_dir, "events").select(
-        "value",
-        F.avg("value").over(w).alias("mu"),
-        F.stddev("value").over(w).alias("sigma"),
+    /root/reference/airflow/dags/Glue-etl-pipeline.py:14). Two-pass shape:
+    mu/sigma come from a 1-row aggregate that is broadcast back onto the
+    scan, so no stage ever co-locates the raw rows (an unpartitioned
+    window would move every row to one partition — a guaranteed straggler
+    at scale)."""
+    ev = table(spark, sf_dir, "events").select("value")
+    stats = ev.agg(
+        F.avg("value").alias("mu"), F.stddev("value").alias("sigma")
     )
+    df = ev.crossJoin(F.broadcast(stats))
     z = F.abs(F.col("value") - F.col("mu")) / F.col("sigma")
     return df.agg(
         F.count(F.lit(1)).alias("total"),

@@ -40,3 +40,50 @@ def materialize_model(
         cols = ["p_date"]
     write_partitioned(df, path, cols, mode)
     return spark.read.parquet(path)
+
+
+def materialize_incremental(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    date_col: str,
+) -> DataFrame:
+    """dbt-style incremental materialization: dynamic-partition overwrite
+    replaces ONLY the ``p_date`` partitions present in ``df``, leaving all
+    other partitions untouched. This is the re-run-one-day path a daily
+    pipeline needs — a full `mode=overwrite` rewrite of a 100TB mart to
+    refresh yesterday is not viable. Uses Spark's
+    ``partitionOverwriteMode=dynamic`` (scoped to this write, restored
+    after)."""
+    out = df.withColumn("p_date", F.to_date(F.col(date_col)))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("p_date").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.read.parquet(path)
+
+
+def write_violations(
+    df: DataFrame,
+    check,
+    path: str,
+    mode: str = "append",
+) -> None:
+    """Quarantine sink: write the FULL violating-row set of a row-condition
+    check as parquet partitioned by check name — the escape hatch for users
+    who need every violation (the reference prints the complete
+    unauthorized-region list, pager-workflow.py:220-225), while reports
+    carry only a capped sample. Append-mode so successive runs accumulate;
+    rows are stamped with the check name and run timestamp for lineage."""
+    from ..checks.compiler import violating_rows
+
+    (
+        violating_rows(df, check)
+        .withColumn("__check_name", F.lit(check.name))
+        .withColumn("__run_ts", F.current_timestamp())
+        .write.mode(mode)
+        .partitionBy("__check_name")
+        .parquet(path)
+    )

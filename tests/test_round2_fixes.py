@@ -1,0 +1,295 @@
+"""Round-2 hardening tests: NULL semantics of uniqueness checks, strftime
+translation, in-plan KL, GE suite round-trips, cycle detection, quarantine
+sink, incremental materialization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from enterprise_data_quality_platform_spark.checks import Check, run_suite
+from enterprise_data_quality_platform_spark.checks.compiler import strftime_to_spark
+from enterprise_data_quality_platform_spark.checks.suite_io import (
+    check_from_dict,
+    check_to_dict,
+    load_suite,
+    save_suite,
+)
+from enterprise_data_quality_platform_spark.plans.orchestration import Pipeline
+from enterprise_data_quality_platform_spark.sources.writers import (
+    materialize_incremental,
+    write_violations,
+)
+
+
+# ---------------------------------------------------------------------------
+# unique / compound_unique under NULLs (ADVICE: struct(NULL) is non-null, so
+# bare count_distinct(struct) counted NULL tuples and shifted violations)
+# ---------------------------------------------------------------------------
+
+
+def _unique_violations(spark, values, check_type="unique", columns=()):
+    df = spark.createDataFrame([Row(a=v) for v in values], "a int")
+    check = (
+        Check("u", "unique", "t", column="a")
+        if check_type == "unique"
+        else Check("u", "compound_unique", "t", columns=columns)
+    )
+    [r] = run_suite({"t": df}, [check])
+    return r
+
+
+def test_unique_dup_plus_null(spark):
+    # [1, 1, NULL]: the duplicate must count; the NULL row is skipped
+    r = _unique_violations(spark, [1, 1, None])
+    assert r.status == "fail" and r.violations == 1
+
+
+def test_unique_all_distinct_plus_null(spark):
+    # [1, 2, 3, NULL]: no duplicates — violations must be 0, never -1
+    r = _unique_violations(spark, [1, 2, 3, None])
+    assert r.status == "pass" and r.violations == 0
+
+
+def test_compound_unique_null_fields(spark):
+    rows = [
+        Row(a=1, b="x"),
+        Row(a=1, b="x"),  # real duplicate
+        Row(a=2, b=None),
+        Row(a=2, b=None),  # NULL-keyed rows are skipped, not duplicates
+        Row(a=3, b="y"),
+    ]
+    df = spark.createDataFrame(rows)
+    [r] = run_suite(
+        {"t": df}, [Check("cu", "compound_unique", "t", columns=("a", "b"))]
+    )
+    assert r.violations == 1
+
+
+# ---------------------------------------------------------------------------
+# strftime → Spark pattern translation
+# ---------------------------------------------------------------------------
+
+
+def test_strftime_translation():
+    assert strftime_to_spark("%Y-%m-%d") == "yyyy-MM-dd"
+    assert strftime_to_spark("%Y-%m-%dT%H:%M:%S") == "yyyy-MM-dd'T'HH:mm:ss"
+    assert strftime_to_spark("yyyy-MM-dd") == "yyyy-MM-dd"  # passthrough
+    with pytest.raises(ValueError):
+        strftime_to_spark("%Q")
+
+
+def test_match_strftime_with_ge_format(spark):
+    df = spark.createDataFrame(
+        [Row(d="2025-01-01"), Row(d="2025-02-30"), Row(d="not a date")]
+    )
+    [r] = run_suite(
+        {"t": df},
+        [
+            Check(
+                "dates",
+                "match_strftime",
+                "t",
+                column="d",
+                params={"format": "%Y-%m-%d"},
+            )
+        ],
+    )
+    # 2025-02-30 is invalid, "not a date" unparseable → 2 violations
+    assert r.violations == 2 and r.total == 3
+
+
+# ---------------------------------------------------------------------------
+# in-plan KL divergence — high-cardinality column must not ship a histogram
+# to the driver (old form collected the whole groupBy)
+# ---------------------------------------------------------------------------
+
+
+def test_kl_divergence_high_cardinality(spark):
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    [r] = run_suite(
+        {"t": df},
+        [
+            Check(
+                "kl",
+                "kl_divergence_less_than",
+                "t",
+                column="k",
+                params={
+                    "expected_distribution": {"0": 0.5, "1": 0.5},
+                    "threshold": 0.1,
+                },
+            )
+        ],
+    )
+    # the point: it executes in-plan (no driver histogram) and reports
+    # a finite KL over the expected support, even at high cardinality
+    assert r.error_message is None
+    assert r.total == 5000
+
+
+def test_kl_divergence_skew_fails(spark):
+    rows = [Row(t="a")] * 99 + [Row(t="b")]
+    df = spark.createDataFrame(rows)
+    [r] = run_suite(
+        {"t": df},
+        [
+            Check(
+                "kl",
+                "kl_divergence_less_than",
+                "t",
+                column="t",
+                params={
+                    "expected_distribution": {"a": 0.5, "b": 0.5},
+                    "threshold": 0.1,
+                },
+            )
+        ],
+    )
+    assert r.status == "fail"
+    assert float(r.observed["kl_divergence"]) > 0.5
+
+
+def test_kl_divergence_uniform_pass(spark):
+    rows = [Row(t=x) for x in ("a", "b", "c", "d", "e") * 20]
+    df = spark.createDataFrame(rows)
+    [r] = run_suite(
+        {"t": df},
+        [
+            Check(
+                "kl",
+                "kl_divergence_less_than",
+                "t",
+                column="t",
+                params={
+                    "expected_distribution": {k: 0.2 for k in "abcde"},
+                    "threshold": 0.01,
+                },
+            )
+        ],
+    )
+    assert r.status == "pass"
+    assert float(r.observed["kl_divergence"]) == pytest.approx(0.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# GE suite round-trips (ADVICE: column_list / column_A/column_B were lost)
+# ---------------------------------------------------------------------------
+
+
+def test_columns_match_list_roundtrip(tmp_path, spark):
+    check = Check(
+        "ordered cols",
+        "columns_match_list",
+        "t",
+        params={"column_list": ["a", "b"]},
+    )
+    path = str(tmp_path / "suite.json")
+    save_suite([check], path)
+    [loaded] = load_suite(path)
+    assert loaded.params["column_list"] == ["a", "b"]
+    df = spark.createDataFrame([Row(a=1, b=2)])
+    [r] = run_suite({"t": df}, [loaded])
+    assert r.status == "pass"
+
+
+def test_pair_greater_than_roundtrip_ge_kwargs(spark):
+    # a real GE suite spells the pair as column_A / column_B
+    d = {
+        "expectation_type": "expect_column_pair_values_a_to_be_greater_than_b",
+        "kwargs": {"column_A": "hi", "column_B": "lo"},
+        "meta": {"name": "pair", "table": "t"},
+    }
+    check = check_from_dict(d)
+    assert check.columns == ("hi", "lo")
+    df = spark.createDataFrame([Row(hi=2, lo=1), Row(hi=0, lo=1)])
+    [r] = run_suite({"t": df}, [check])
+    assert r.violations == 1
+    # and back out: column_A/column_B kwargs are preserved
+    out = check_to_dict(check)
+    assert out["kwargs"]["column_A"] == "hi" and out["kwargs"]["column_B"] == "lo"
+
+
+# ---------------------------------------------------------------------------
+# orchestration: dependency cycles raise instead of busy-spinning
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_cycle_raises():
+    p = (
+        Pipeline()
+        .add("a", lambda ctx: 1, upstream=("b",))
+        .add("b", lambda ctx: 2, upstream=("a",))
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        p.run()
+
+
+def test_pipeline_self_dependency_raises():
+    p = Pipeline().add("a", lambda ctx: 1, upstream=("a",))
+    with pytest.raises(ValueError, match="cycle"):
+        p.run()
+
+
+def test_pipeline_cycle_after_valid_stages():
+    log = []
+    p = (
+        Pipeline()
+        .add("ok", lambda ctx: log.append("ok"))
+        .add("x", lambda ctx: 1, upstream=("y", "ok"))
+        .add("y", lambda ctx: 2, upstream=("x",))
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        p.run()
+    assert log == ["ok"]  # acyclic prefix still ran
+
+
+# ---------------------------------------------------------------------------
+# quarantine sink: full violating-row set, exactly
+# ---------------------------------------------------------------------------
+
+
+def test_write_violations_quarantine(tmp_path, spark):
+    rows = [Row(region=r, value=float(i)) for i, r in enumerate(
+        ["North America", "Europe", "South America", "Antarctica", "Europe"]
+    )]
+    df = spark.createDataFrame(rows)
+    check = Check(
+        "whitelist",
+        "values_in_set",
+        "t",
+        column="region",
+        params={"values": ("North America", "Europe")},
+    )
+    path = str(tmp_path / "quarantine")
+    write_violations(df, check, path)
+    back = spark.read.parquet(path)
+    got = sorted(r["region"] for r in back.collect())
+    assert got == ["Antarctica", "South America"]  # complete, not sampled
+    assert set(back.columns) >= {"region", "value", "__check_name", "__run_ts"}
+
+
+# ---------------------------------------------------------------------------
+# incremental materialization: one partition rewritten, others untouched
+# ---------------------------------------------------------------------------
+
+
+def test_materialize_incremental_one_partition(tmp_path, spark):
+    path = str(tmp_path / "mart")
+    full = spark.createDataFrame(
+        [
+            Row(d="2025-01-01", v=1),
+            Row(d="2025-01-02", v=2),
+        ]
+    ).withColumn("d", F.to_date("d"))
+    materialize_incremental(spark, full, path, date_col="d")
+
+    # re-run ONLY day 2 with a new value
+    day2 = spark.createDataFrame([Row(d="2025-01-02", v=99)]).withColumn(
+        "d", F.to_date("d")
+    )
+    out = materialize_incremental(spark, day2, path, date_col="d")
+    got = {(str(r["p_date"]), r["v"]) for r in out.collect()}
+    # day 1 untouched, day 2 replaced (not appended)
+    assert got == {("2025-01-01", 1), ("2025-01-02", 99)}
