@@ -1,3 +1,4 @@
+from .clusters import keep_one_per_cluster, resolve_clusters
 from .exact import exact_dedup, fingerprint_dedup
 from .jaccard import ngram_jaccard_pairs
 from .minhash import minhash_candidate_pairs, minhash_near_dup_pairs, minhash_signature
@@ -12,4 +13,6 @@ __all__ = [
     "minhash_near_dup_pairs",
     "simhash_column",
     "simhash_near_dup_pairs",
+    "resolve_clusters",
+    "keep_one_per_cluster",
 ]

@@ -7,8 +7,8 @@ stage a first-class engine operator:
 
     raw documents
       → exact dedup            (normalized-fingerprint, deterministic winner)
-      → near-dup removal       (MinHash-LSH candidate pairs; drop the higher
-                                doc_id of each verified pair)
+      → near-dup removal       (MinHash-LSH verified pairs → connected
+                                components → keep min-id per cluster)
       → quality filter         (length/punct/stopword composite ≥ threshold)
       → language ID            (marker-vote heuristic; keep allowed langs)
       → token accounting       (whitespace tokenizer; corpus budget stats)
@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..dedup import fingerprint_dedup, minhash_near_dup_pairs
+from ..dedup import fingerprint_dedup, keep_one_per_cluster, minhash_near_dup_pairs
 from ..functions import text as TX
 
 
@@ -39,11 +39,12 @@ def curate_documents(
     # 1. exact dedup (content fingerprint, lowest-id winner)
     deduped = fingerprint_dedup(docs)
 
-    # 2. near-dup removal: for each verified pair, keep the lower doc_id
+    # 2. near-dup removal: resolve pair graph to clusters, keep the
+    # canonical (min-id) member of each — per-pair dropping of id_b would
+    # keep multiple members of a chained cluster (A~C, B~C drops only C)
     if with_near_dup:
         pairs = minhash_near_dup_pairs(deduped, threshold=near_dup_threshold)
-        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-        deduped = deduped.join(losers, on="doc_id", how="left_anti")
+        deduped = keep_one_per_cluster(deduped, pairs)
 
     # 3-5. narrow annotate + filter (single scan)
     t = F.col("text")

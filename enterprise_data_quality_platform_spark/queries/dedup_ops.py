@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..dedup import (
+    keep_one_per_cluster,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
@@ -74,6 +75,25 @@ def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return minhash_near_dup_pairs(docs, threshold=JACCARD_THRESHOLD).orderBy(
         "id_a", "id_b"
+    )
+
+
+@register(
+    "dedup_minhash_keep",
+    oracle=None,  # engine-specific hashing feeds the pair graph → rows-only
+    tables=("documents",),
+)
+def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 end-to-end: MinHash-LSH pairs → connected components (iterative
+    min-label propagation, dedup/clusters.py) → keep one doc per near-dup
+    cluster. Survivor count + token mass — the number a curation pipeline
+    actually acts on. Idempotence (dedup∘dedup == dedup) is test-asserted."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, threshold=JACCARD_THRESHOLD)
+    kept = keep_one_per_cluster(docs, pairs)
+    return kept.agg(
+        F.count(F.lit(1)).alias("surviving_docs"),
+        F.sum(F.length("text")).alias("surviving_chars"),
     )
 
 

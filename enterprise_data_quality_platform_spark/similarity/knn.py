@@ -37,6 +37,33 @@ def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return hyperplane_bucket(vec, planes)
 
 
+def _topk_per_probe(
+    sims: DataFrame, k: int, probe_id_col: str, id_col: str
+) -> DataFrame:
+    """Two-level top-k: a window partitioned by ONLY the probe id would
+    co-locate every scored corpus row of a probe in one partition — with a
+    handful of probes that serializes the corpus through a few tasks. Level
+    1 ranks within (probe, physical-partition-id) groups, which spread
+    evenly across the cluster and cut the survivors to k per input
+    partition; the level-2 merge then ranks ≤ k×P rows per probe — a
+    k-row-per-partition merge, not a corpus sort."""
+    w_local = Window.partitionBy(probe_id_col, "__pid").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    local = (
+        sims.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__local_rank", F.row_number().over(w_local))
+        .filter(F.col("__local_rank") <= k)
+        .drop("__pid", "__local_rank")
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return local.withColumn("sim_rank", F.row_number().over(w)).filter(
+        F.col("sim_rank") <= k
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -54,13 +81,7 @@ def brute_force_topk(
             "cosine_sim"
         ),
     )
-    w = Window.partitionBy(probe_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col)
-    )
-    return (
-        sims.withColumn("sim_rank", F.row_number().over(w))
-        .filter(F.col("sim_rank") <= k)
-    )
+    return _topk_per_probe(sims, k, probe_id_col, id_col)
 
 
 def _multiprobe_buckets(
@@ -122,13 +143,8 @@ def lsh_ann_topk(
             "cosine_sim"
         ),
     )
-    w = Window.partitionBy(probe_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col)
-    )
-    return (
-        sims.dropDuplicates([probe_id_col, id_col])
-        .withColumn("sim_rank", F.row_number().over(w))
-        .filter(F.col("sim_rank") <= k)
+    return _topk_per_probe(
+        sims.dropDuplicates([probe_id_col, id_col]), k, probe_id_col, id_col
     )
 
 

@@ -142,3 +142,73 @@ def test_brute_force_self_is_top1(spark):
     )
     top = brute_force_topk(emb, probes, k=1).collect()
     assert top[0].vec_id == 7 and abs(top[0].cosine_sim - 1.0) < 1e-9
+
+
+def test_cluster_resolution_chains(spark):
+    """Pair-level dropping keeps extra members of chained clusters; the
+    component resolution must not. Pairs (1,3),(3,5) chain {1,3,5};
+    (10,11) is separate; 99 untouched."""
+    from enterprise_data_quality_platform_spark.dedup import (
+        keep_one_per_cluster,
+        resolve_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=3), Row(id_a=3, id_b=5), Row(id_a=10, id_b=11)]
+    )
+    clusters = {r.id: r.cluster_id for r in resolve_clusters(pairs).collect()}
+    assert clusters == {1: 1, 3: 1, 5: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in (1, 3, 5, 10, 11, 99)]
+    )
+    kept = sorted(r.doc_id for r in keep_one_per_cluster(docs, pairs).collect())
+    assert kept == [1, 10, 99]
+
+
+def test_cluster_resolution_long_chain(spark):
+    """A 12-hop chain needs multiple propagation rounds to converge."""
+    from enterprise_data_quality_platform_spark.dedup import resolve_clusters
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(12)]
+    )
+    clusters = {r.id: r.cluster_id for r in resolve_clusters(pairs).collect()}
+    assert set(clusters.values()) == {0}
+    assert len(clusters) == 13
+
+
+def test_keep_one_per_cluster_idempotent(near_dup_docs):
+    from enterprise_data_quality_platform_spark.dedup import keep_one_per_cluster
+
+    pairs1 = minhash_near_dup_pairs(near_dup_docs, threshold=0.5)
+    once = keep_one_per_cluster(near_dup_docs, pairs1)
+    pairs2 = minhash_near_dup_pairs(once, threshold=0.5)
+    twice = keep_one_per_cluster(once, pairs2)
+    assert sorted(r.doc_id for r in once.collect()) == sorted(
+        r.doc_id for r in twice.collect()
+    )
+    kept = {r.doc_id for r in once.collect()}
+    assert 0 in kept and 1 not in kept and 2 not in kept  # {0,1,2} → keep 0
+
+
+def test_knn_no_single_partition_window(spark):
+    """Plan assertion: the brute-force top-k must rank via the two-level
+    (probe, partition-id) window, never a bare per-probe window over the
+    whole scored corpus."""
+    emb = table(spark, SF_SMALL, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    df = brute_force_topk(emb, probes, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    window_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert window_specs, "expected Window nodes in plan"
+    # the level-1 window partitions by (probe_id, __pid); level-2 sees only
+    # k survivors per (probe, input-partition)
+    assert any("__pid" in spec for spec in window_specs)
+    # results still exact
+    top = {r.vec_id for r in df.filter(F.col("probe_id") == 0).collect()}
+    assert 0 in top and len(top) == 5

@@ -90,3 +90,60 @@ def test_interval_join_plans_hash_join_not_nested_loop(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "NestedLoop" not in plan  # the whole point of the bucket trick
+
+
+def test_asof_split_hot_keys_matches_plain(spark):
+    """One user owns 50% of both sides; the sliced window must return
+    byte-identical results to the plain per-key window."""
+    # hot key 0: 500 left rows spread over ~14 days; keys 1-9: 500 more
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 500, 0).otherwise((F.col("id") % 9) + 1).alias("key"),
+        F.timestamp_seconds(F.col("id") * 2400 + 1_700_000_000).alias("ts"),
+        F.col("id"),
+    )
+    right = spark.range(300).select(
+        F.when(F.col("id") < 150, 0).otherwise((F.col("id") % 9) + 1).alias("key"),
+        F.timestamp_seconds(F.col("id") * 7919 + 1_700_000_000).alias("ts"),
+        (F.col("id") * 10).alias("v"),
+    )
+    plain = asof_join(left, right, on="ts", key="key", right_value_cols=["v"])
+    split = asof_join(
+        left,
+        right,
+        on="ts",
+        key="key",
+        right_value_cols=["v"],
+        split_hot_keys=True,
+        slice_seconds=86400,
+    )
+    p = {(r.id): (r.ts_right, r.v_right) for r in plain.collect()}
+    s = {(r.id): (r.ts_right, r.v_right) for r in split.collect()}
+    assert p == s
+    assert len(s) == 1000
+
+
+def test_asof_split_bounds_window_groups(spark):
+    """The point of the split: no (key, slice) window group holds more than
+    one slice's worth of the hot key — max group size stays near the mean,
+    instead of one group owning 50% of all rows."""
+    n = 2000
+    left = spark.range(n).select(
+        F.lit(0).alias("key"),  # EVERY row on one key — worst case
+        F.timestamp_seconds(F.col("id") * 3600 + 1_700_000_000).alias("ts"),
+        F.col("id"),
+    )
+    right = left.select("key", "ts", (F.col("id") * 2).alias("v")).drop("id")
+    out = asof_join(
+        left, right, on="ts", key="key", right_value_cols=["v"],
+        split_hot_keys=True, slice_seconds=86400,
+    )
+    assert out.count() == n
+    # group cardinality check: with 1-day slices and hourly rows, each
+    # (key, slice) group sees <= 24 left + 24 right + 1 carry rows, while
+    # the unsplit window would put all 4000 in one group
+    slices = (
+        left.select(F.floor(F.unix_timestamp("ts") / 86400).alias("s"))
+        .groupBy("s").count()
+    )
+    max_group = slices.agg(F.max("count")).collect()[0][0]
+    assert max_group <= 24
