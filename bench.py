@@ -40,7 +40,14 @@ HEADLINE = [
     "text_quality_scores",
     "dedup_exact_docs",
     "embed_knn_bruteforce",
+    "dedup_minhash_docs",
+    "embed_ann_lsh",
 ]
+
+#: Multi-second LLM-pipeline operators: median of fewer runs so the bench
+#: stays inside the per-round budget (they dominate total wall anyway).
+HEAVY = {"dedup_minhash_docs"}
+HEAVY_RUNS = min(RUNS, int(os.environ.get("BENCH_HEAVY_RUNS", "2")))
 
 
 def main() -> None:
@@ -51,6 +58,10 @@ def main() -> None:
     spark = get_spark("edqp-bench")
     fns = query_fns()
     names = [n for n in HEADLINE if n in fns]
+    only = os.environ.get("BENCH_QUERIES")  # comma-list subset override
+    if only:
+        chosen = {q.strip() for q in only.split(",")}
+        names = [n for n in names if n in chosen]
 
     # warm the whole path once (scan caches, codegen) before any timing
     for name in names:
@@ -59,19 +70,27 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         samples = []
-        for _ in range(RUNS):
+        for _ in range(HEAVY_RUNS if name in HEAVY else RUNS):
             t0 = time.perf_counter()
             fns[name](spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
+    # BASELINE.md-comparable subset: the oracle-backed shapes; the LLM-ops
+    # (minhash/ann) have no DuckDB twin and dominate wall time, so they are
+    # reported but kept out of the baseline-comparison total.
+    comparable = round(
+        sum(v for n, v in timings.items() if n not in ("dedup_minhash_docs", "embed_ann_lsh")),
+        4,
+    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
+                "comparable_total": comparable,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

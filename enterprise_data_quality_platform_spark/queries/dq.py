@@ -449,18 +449,19 @@ def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dq_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G18: KL divergence of the observed event_type distribution vs the
-    uniform expectation (5 types → q=0.2). Histogram via groupBy, the KL
-    sum folded into the same plan (window-over-aggregate for the total) —
-    no driver-side math, so it scales with the scan."""
-    from pyspark.sql import Window
-
+    uniform expectation (5 types → q=0.2). Histogram via groupBy, total as
+    a 1-row aggregate broadcast back onto the buckets (not an unpartitioned
+    window — even over a bounded histogram that co-locates rows and spams
+    WindowExec warnings) — no driver-side math, so it scales with the scan."""
     counts = (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    p = F.col("n") / F.sum("n").over(Window.partitionBy())
-    hist = counts.select(p.alias("p"))
+    totals = counts.agg(F.sum("n").alias("__t"))
+    hist = counts.crossJoin(F.broadcast(totals)).select(
+        (F.col("n") / F.col("__t")).alias("p")
+    )
     return hist.agg(
         fx_round(F.sum(F.col("p") * F.log(F.col("p") / 0.2)), 6).alias(
             "kl_divergence"

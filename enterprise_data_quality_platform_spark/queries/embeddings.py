@@ -32,13 +32,14 @@ PROBE_IDS = (0, 1, 2)
 )
 def embed_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: brute-force cosine top-10 against a fixed probe (vec_id=0). The
-    probe is broadcast-cross-joined (1 row), similarity runs JVM-side via
-    zip_with/aggregate, and the top-k is TakeOrderedAndProject — at scale
-    this is partition-local top-k then a k-row merge, no global sort."""
+    probe is broadcast-cross-joined (1 row), similarity is Arrow-vectorized
+    (numpy matrix op per batch), and the top-k is TakeOrderedAndProject —
+    at scale this is partition-local top-k then a k-row merge, no global
+    sort."""
     emb = table(spark, sf_dir, "embeddings")
     vec = V.to_double(F.col("embedding"))
     probe = emb.filter(F.col("vec_id") == 0).select(vec.alias("pvec"))
-    sim = V.cosine(vec, F.col("pvec"))
+    sim = V.cosine_batch(vec, F.col("pvec"))
     return (
         emb.crossJoin(F.broadcast(probe))
         .select("vec_id", sim.alias("raw_sim"))
@@ -83,7 +84,9 @@ def embed_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = (
         emb.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", V.cosine(vec, F.col("pvec")).alias("raw_sim"))
+        .select(
+            "probe_id", "vec_id", V.cosine_batch(vec, F.col("pvec")).alias("raw_sim")
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("raw_sim").desc(), F.col("vec_id"))
     return (

@@ -213,16 +213,17 @@ def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables=("events",),
 )
 def events_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2-adjacent: categorical distribution profile with window-over-agg
-    (fraction of total) — the KL-divergence check's observed side."""
+    """X2-adjacent: categorical distribution profile (fraction of total) —
+    the KL-divergence check's observed side. Total via 1-row aggregate
+    broadcast onto the buckets, not an unpartitioned window."""
     counts = (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    total = Window.partitionBy()
-    return counts.select(
+    totals = counts.agg(F.sum("n").alias("__t"))
+    return counts.crossJoin(F.broadcast(totals)).select(
         "event_type",
         "n",
-        F.round(F.col("n") / F.sum("n").over(total), 6).alias("fraction"),
+        F.round(F.col("n") / F.col("__t"), 6).alias("fraction"),
     )

@@ -2,9 +2,11 @@
 (SURVEY.md §2.6 X5-X6).
 
 - ``brute_force_topk``: the exact baseline. Probes broadcast against the
-  corpus; cosine runs JVM-side (zip_with/aggregate); per-probe top-k via
-  window row_number. At scale this is a full corpus scan per probe batch —
-  correct, predictable, shuffle-light (only (probe, candidate-k) rows move).
+  corpus; cosine is Arrow-vectorized (one numpy matrix op per batch —
+  ~5x the JVM higher-order-function form, whose aggregate lambda
+  interprets per element); per-probe top-k via the two-level window. At
+  scale this is a full corpus scan per probe batch — correct, predictable,
+  shuffle-light (only (probe, candidate-k) rows move).
 - ``lsh_ann_topk``: the scale path. Random-hyperplane signs bucket the
   corpus (the coarse quantizer of an IVF-style index); probes search only
   their own bucket ± multiprobe neighbors (Hamming-1 flips), turning the
@@ -23,7 +25,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, to_double
+from ..functions.vectors import cosine_batch, to_double
 
 
 def _planes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
@@ -32,9 +34,9 @@ def _planes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
 
 
 def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    from ..functions.vectors import hyperplane_bucket
+    from ..functions.vectors import hyperplane_bucket_batch
 
-    return hyperplane_bucket(vec, planes)
+    return hyperplane_bucket_batch(vec, planes)
 
 
 def _topk_per_probe(
@@ -77,9 +79,9 @@ def brute_force_topk(
     sims = corpus.crossJoin(F.broadcast(probes)).select(
         F.col(probe_id_col),
         F.col(id_col),
-        cosine(to_double(F.col(vec_col)), to_double(F.col(probe_vec_col))).alias(
-            "cosine_sim"
-        ),
+        cosine_batch(
+            to_double(F.col(vec_col)), to_double(F.col(probe_vec_col))
+        ).alias("cosine_sim"),
     )
     return _topk_per_probe(sims, k, probe_id_col, id_col)
 
@@ -139,9 +141,9 @@ def lsh_ann_topk(
     sims = c.join(F.broadcast(p), on="bucket").select(
         F.col(probe_id_col),
         F.col(id_col),
-        cosine(to_double(F.col(vec_col)), to_double(F.col(probe_vec_col))).alias(
-            "cosine_sim"
-        ),
+        cosine_batch(
+            to_double(F.col(vec_col)), to_double(F.col(probe_vec_col))
+        ).alias("cosine_sim"),
     )
     return _topk_per_probe(
         sims.dropDuplicates([probe_id_col, id_col]), k, probe_id_col, id_col
@@ -174,7 +176,7 @@ def near_dup_embeddings(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
     )
-    sim = cosine(to_double(F.col("va")), to_double(F.col("vb")))
+    sim = cosine_batch(to_double(F.col("va")), to_double(F.col("vb")))
     return (
         a.join(b, on="bucket")
         .filter(F.col("id_a") < F.col("id_b"))

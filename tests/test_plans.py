@@ -76,19 +76,29 @@ def test_suite_fusion_reduces_actions(spark):
 
 
 def test_no_python_udfs_in_jvm_operators(spark):
-    """Text/vector/dedup queries must stay inside codegen — no
-    BatchEvalPython / ArrowEvalPython nodes (multimodal is the sanctioned
-    exception: its decode is mapInPandas by design)."""
+    """Text/dedup/relational queries must stay inside codegen — no
+    BatchEvalPython / ArrowEvalPython nodes (multimodal decode and the
+    vectorized cosine are the sanctioned Arrow exceptions)."""
     for name in (
         "text_quality_scores",
         "text_langid_agg",
-        "embed_knn_bruteforce",
         "dedup_ngram_jaccard",
         "events_sessionization",
     ):
         plan = plan_of(spark, name)
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
         assert "MapInPandas" not in plan, f"{name} fell off the JVM path"
+
+
+def test_knn_scoring_is_arrow_vectorized(spark):
+    """Embedding scoring deliberately uses a pandas_udf (one numpy matrix
+    op per Arrow batch — measured ~5x the interpreted higher-order
+    ``aggregate`` lambda). It must be the VECTORIZED Python node, never
+    row-at-a-time."""
+    for name in ("embed_knn_bruteforce", "embed_ann_lsh"):
+        plan = plan_of(spark, name)
+        assert "ArrowEvalPython" in plan, f"{name} lost the vectorized scorer"
+        assert "BatchEvalPython" not in plan, f"{name} fell to row-at-a-time"
 
 
 def test_results_invariant_under_join_strategy(spark):

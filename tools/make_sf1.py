@@ -1,0 +1,92 @@
+"""Scale the driver's sf0.1 test data 10x to an sf1 tier for benching.
+
+The driver ships sf{0.001,0.01,0.1}; at sf0.1 every headline query is
+dominated by Spark's fixed per-job floor (~0.13-0.3 s), so the 2x-of-DuckDB
+bench gate is unmeasurable there (VERDICT r1). This tool materializes
+/root/repo/testdata_sf1 (gitignored) by replicating sf0.1 ten times with
+FK-consistent key offsets:
+
+- fact/entity surrogate keys shift by replica * (max(key)+1), so joins stay
+  1:1-correct and uniqueness invariants hold at 10x the rows;
+- dimension tables (region, nation) and non-key attributes copy unchanged;
+- schemas are preserved EXACTLY (pyarrow round-trip, including the
+  timestamp[ns] events.ts the engine special-cases).
+
+Usage: python tools/make_sf1.py [src_dir] [dst_dir] [replicas]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+#: table -> columns to offset by (replica * stride(owning table key)).
+#: Strides come from the key's OWN table so FKs stay aligned.
+OFFSET_COLS: dict[str, list[tuple[str, str, str]]] = {
+    # (column, stride_table, stride_col)
+    "customer": [("c_custkey", "customer", "c_custkey")],
+    "supplier": [("s_suppkey", "supplier", "s_suppkey")],
+    "part": [("p_partkey", "part", "p_partkey")],
+    "orders": [
+        ("o_orderkey", "orders", "o_orderkey"),
+        ("o_custkey", "customer", "c_custkey"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "orders", "o_orderkey"),
+        ("l_partkey", "part", "p_partkey"),
+        ("l_suppkey", "supplier", "s_suppkey"),
+    ],
+    "events": [("event_id", "events", "event_id")],
+    "documents": [("doc_id", "documents", "doc_id")],
+    "embeddings": [("vec_id", "embeddings", "vec_id")],
+}
+
+COPY_TABLES = ["region", "nation"]
+
+
+def main() -> None:
+    src = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+    dst = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1")
+    replicas = int(sys.argv[3] if len(sys.argv) > 3 else 10)
+    dst.mkdir(parents=True, exist_ok=True)
+
+    tables = {
+        t: pq.read_table(src / f"{t}.parquet")
+        for t in COPY_TABLES + list(OFFSET_COLS)
+    }
+    strides = {
+        (st, sc): pc.max(tables[st][sc]).as_py() + 1
+        for cols in OFFSET_COLS.values()
+        for (_, st, sc) in cols
+    }
+
+    for t in COPY_TABLES:
+        pq.write_table(tables[t], dst / f"{t}.parquet")
+        print(f"{t}: copied {tables[t].num_rows} rows")
+
+    for t, cols in OFFSET_COLS.items():
+        base = tables[t]
+        chunks = []
+        for r in range(replicas):
+            tbl = base
+            for col, st, sc in cols:
+                typ = tbl.schema.field(col).type
+                shifted = pc.cast(
+                    pc.add(tbl[col], strides[(st, sc)] * r), typ
+                )
+                tbl = tbl.set_column(
+                    tbl.schema.get_field_index(col), tbl.schema.field(col), shifted
+                )
+            chunks.append(tbl)
+        out = pa.concat_tables(chunks)
+        pq.write_table(out, dst / f"{t}.parquet")
+        assert out.schema.equals(base.schema), f"schema drift in {t}"
+        print(f"{t}: {base.num_rows} -> {out.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
