@@ -47,11 +47,16 @@ AGG_CHECK_TYPES = frozenset(
         # boolean expr rows must satisfy; compiled to a violation count —
         # custom checks stay JVM-side instead of becoming Python UDFs
         "freshness",  # G20; max(ts) lag bound
-        "unique",  # G4 — count(col) - count_distinct(col) fuses into the scan
-        "compound_unique",  # G5 — count - count_distinct(struct)
-        "distinct_in_set",  # Q3 distinct-violations form (collect_set sample)
+        "unique",  # G4 — two-level groupBy factor (no fused Expand)
+        "compound_unique",  # G5 — same, over a column tuple
+        "distinct_in_set",  # Q3 distinct-violations form
         "quantile_between",  # G12 — percentile() aggregate
         "most_common_in_set",  # G15 — mode() aggregate
+        "pair_equal",  # GE expect_column_pair_values_to_be_equal
+        "multicolumn_sum_equal",  # GE expect_multicolumn_sum_to_equal
+        "json_parseable",  # GE expect_column_values_to_be_json_parseable
+        "distinct_contain_set",  # GE expect_column_distinct_values_to_contain_set
+        "distinct_equal_set",  # GE expect_column_distinct_values_to_equal_set
     }
 )
 
@@ -62,7 +67,10 @@ PLAN_CHECK_TYPES = frozenset(
         "column_exists",  # G1
         "columns_match_list",  # G1
         "column_of_type",  # G17
-        "kl_divergence_less_than",  # G18 — groupBy histogram + driver-side KL
+        "kl_divergence_less_than",  # G18 — in-plan histogram + broadcast map
+        "row_count_equal_other_table",  # GE expect_table_row_count_to_equal_other_table
+        "z_score_less_than",  # GE expect_column_value_z_scores_to_be_less_than
+        "monotonic",  # GE expect_column_values_to_be_increasing/decreasing
     }
 )
 

@@ -108,17 +108,31 @@ def run_suite(
     factors: list[DataFrame] = []
     loose: list[tuple[int, CompiledAggCheck]] = []  # groups that failed analysis
     for table_name, group in agg_groups.items():
+        # distinct-shaped checks carry their own groupBy factor (see
+        # CompiledAggCheck.frame_builder) — they join the same fused job as
+        # independent concurrent stages instead of Expand-ing the shared scan
+        for i, compiled in group:
+            if compiled.frame_builder is None:
+                continue
+            try:
+                factors.append(compiled.frame_builder(tables[table_name]))
+            except Exception as exc:  # noqa: BLE001
+                results[i] = _error_result(compiled.check, exc)
+                loose.append((i, compiled))
+        expr_group = [(i, c) for i, c in group if c.frame_builder is None]
         exprs = [
             col.alias(alias)
-            for _, compiled in group
+            for _, compiled in expr_group
             for alias, col in compiled.exprs.items()
         ]
+        if not exprs:
+            continue
         try:
             factors.append(tables[table_name].agg(*exprs))
         except Exception:
             # one bad expression fails the whole group's analysis — retry
             # each check alone so the good ones still run (isolation)
-            for i, compiled in group:
+            for i, compiled in expr_group:
                 try:
                     factors.append(
                         tables[table_name].agg(
@@ -163,8 +177,11 @@ def run_suite(
         df = tables[table_name]
         for i, compiled in group:
             try:
-                exprs = [col.alias(a) for a, col in compiled.exprs.items()]
-                row = df.agg(*exprs).collect()[0].asDict()
+                if compiled.frame_builder is not None:
+                    row = compiled.frame_builder(df).collect()[0].asDict()
+                else:
+                    exprs = [col.alias(a) for a, col in compiled.exprs.items()]
+                    row = df.agg(*exprs).collect()[0].asDict()
                 results[i] = compiled.evaluate(row, compiled.prefix)
             except Exception as exc:  # noqa: BLE001
                 results[i] = _error_result(compiled.check, exc)

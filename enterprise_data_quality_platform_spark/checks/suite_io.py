@@ -51,6 +51,17 @@ GE_TYPE_MAP = {
     "expect_column_values_to_be_of_type": "column_of_type",
     "expect_column_kl_divergence_to_be_less_than": "kl_divergence_less_than",
     "expect_column_pair_values_a_to_be_greater_than_b": "pair_greater_than",
+    "expect_column_pair_values_to_be_equal": "pair_equal",
+    "expect_multicolumn_sum_to_equal": "multicolumn_sum_equal",
+    "expect_column_values_to_be_json_parseable": "json_parseable",
+    "expect_column_distinct_values_to_contain_set": "distinct_contain_set",
+    "expect_column_distinct_values_to_equal_set": "distinct_equal_set",
+    "expect_table_row_count_to_equal_other_table": "row_count_equal_other_table",
+    "expect_column_value_z_scores_to_be_less_than": "z_score_less_than",
+    "expect_column_values_to_be_increasing": "monotonic",
+    # decreasing maps to the same check type with params['decreasing']=True
+    # (special-cased in check_from_dict/check_to_dict)
+    "expect_column_values_to_be_decreasing": "monotonic",
 }
 _REVERSE_GE = {v: k for k, v in GE_TYPE_MAP.items()}
 
@@ -61,15 +72,19 @@ _KW_RENAMES = {  # GE kwarg → Check param
     "strftime_format": "format",
     "column_list": "column_list",
     "type_": "type",
+    "other_table_name": "other_table",
 }
+
+#: check types whose GE kwargs spell the column pair as column_A/column_B
+_PAIR_TYPES = frozenset({"pair_greater_than", "pair_equal"})
 
 
 def check_to_dict(check: Check) -> dict:
     kwargs: dict = {}
     if check.column:
         kwargs["column"] = check.column
-    if check.check_type == "pair_greater_than" and len(check.columns) == 2:
-        # GE spells the pair expectation with column_A/column_B kwargs
+    if check.check_type in _PAIR_TYPES and len(check.columns) == 2:
+        # GE spells the pair expectations with column_A/column_B kwargs
         kwargs["column_A"], kwargs["column_B"] = check.columns
     elif check.columns:
         kwargs["column_list"] = list(check.columns)
@@ -78,8 +93,16 @@ def check_to_dict(check: Check) -> dict:
         kwargs[reverse_kw.get(k, k)] = list(v) if isinstance(v, tuple) else v
     if check.mostly != 1.0:
         kwargs["mostly"] = check.mostly
+    etype = _REVERSE_GE.get(check.check_type, check.check_type)
+    if check.check_type == "monotonic":
+        etype = (
+            "expect_column_values_to_be_decreasing"
+            if check.params.get("decreasing")
+            else "expect_column_values_to_be_increasing"
+        )
+        kwargs.pop("decreasing", None)
     return {
-        "expectation_type": _REVERSE_GE.get(check.check_type, check.check_type),
+        "expectation_type": etype,
         "kwargs": kwargs,
         "meta": {"name": check.name, "table": check.table},
     }
@@ -98,7 +121,7 @@ def check_from_dict(d: dict) -> Check:
     params = {_KW_RENAMES.get(k, k): v for k, v in kwargs.items()}
     if "values" in params and isinstance(params["values"], list):
         params["values"] = tuple(params["values"])
-    if check_type == "pair_greater_than" and column_a and column_b:
+    if check_type in ("pair_greater_than", "pair_equal") and column_a and column_b:
         columns = (column_a, column_b)
     else:
         columns = tuple(column_list)
@@ -106,6 +129,8 @@ def check_from_dict(d: dict) -> Check:
         # run_plan_check reads params['column_list'] — keep it in BOTH
         # places so a saved suite round-trips to a runnable check
         params["column_list"] = column_list
+    if etype == "expect_column_values_to_be_decreasing":
+        params["decreasing"] = True
     return Check(
         name=meta.get("name", etype),
         check_type=check_type,

@@ -525,6 +525,135 @@ def dq_expression_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_monotonic_events",
+    oracle="""
+    WITH seq AS (
+      SELECT ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+      FROM events
+    )
+    SELECT COUNT(*) AS total,
+           COUNT(*) FILTER (WHERE prev_ts IS NOT NULL AND ts < prev_ts)
+             AS monotonic_violations
+    FROM seq
+    """,
+    tables=("events",),
+)
+def dq_monotonic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GE increasing-values check through the engine's ``monotonic`` check
+    type: per-user, event timestamps must not regress when replayed in
+    event_id order. The per-user partition keeps the lag window distributed
+    (no global sort)."""
+    results = run_suite(
+        {"events": table(spark, sf_dir, "events")},
+        [
+            Check(
+                "ts monotonic per user",
+                "monotonic",
+                "events",
+                column="ts",
+                params={"order_by": "event_id", "partition_by": "user_id"},
+            )
+        ],
+    )
+    r = results[0]
+    return spark.createDataFrame(
+        [(r.total, r.violations)], "total bigint, monotonic_violations bigint"
+    )
+
+
+@register(
+    "dq_json_validity",
+    oracle="""
+    SELECT COUNT(*) AS total,
+           COUNT(*) FILTER (WHERE props IS NOT NULL AND NOT json_valid(props))
+             AS invalid_json
+    FROM events
+    """,
+    tables=("events",),
+)
+def dq_json_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GE json-parseable check through the ``json_parseable`` check type
+    (Spark ``try_parse_json`` vs DuckDB ``json_valid``) — schema-on-read
+    hygiene for the semi-structured props column."""
+    results = run_suite(
+        {"events": table(spark, sf_dir, "events")},
+        [Check("props parse", "json_parseable", "events", column="props")],
+    )
+    r = results[0]
+    return spark.createDataFrame(
+        [(r.total, r.violations)], "total bigint, invalid_json bigint"
+    )
+
+
+@register(
+    "dq_distinct_coverage",
+    oracle="""
+    SELECT CAST(3 - COUNT(DISTINCT CASE WHEN o_orderstatus IN ('O','F','P')
+                                        THEN o_orderstatus END) AS BIGINT)
+             AS missing_values,
+           COUNT(DISTINCT o_orderstatus) AS distinct_count
+    FROM orders
+    """,
+    tables=("orders",),
+)
+def dq_distinct_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GE distinct-values-contain-set check: every expected status code must
+    actually occur (coverage, the dual of the whitelist). Two-level groupBy
+    factor — the distinct set never leaves the executors."""
+    results = run_suite(
+        {"orders": table(spark, sf_dir, "orders")},
+        [
+            Check(
+                "status coverage",
+                "distinct_contain_set",
+                "orders",
+                column="o_orderstatus",
+                params={"values": ORDERSTATUS_DOMAIN},
+            )
+        ],
+    )
+    r = results[0]
+    return spark.createDataFrame(
+        [(r.violations, int(r.observed["distinct_count"]))],
+        "missing_values bigint, distinct_count bigint",
+    )
+
+
+@register(
+    "dq_rowcount_match",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM orders) AS orders_count,
+           (SELECT COUNT(*) FROM customer) AS customer_count
+    """,
+    tables=("orders", "customer"),
+)
+def dq_rowcount_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GE row-count-vs-other-table check (dbt cardinality test): orders is
+    exactly 10x customer in this schema; both counts land in one job via a
+    crossJoin of 1-row aggregates."""
+    tables = {
+        "orders": table(spark, sf_dir, "orders"),
+        "customer": table(spark, sf_dir, "customer"),
+    }
+    results = run_suite(
+        tables,
+        [
+            Check(
+                "orders/customer ratio",
+                "row_count_equal_other_table",
+                "orders",
+                params={"other_table": "customer", "ratio": 10.0},
+            )
+        ],
+    )
+    r = results[0]
+    return spark.createDataFrame(
+        [(int(r.observed["row_count"]), int(r.observed["other_row_count"]))],
+        "orders_count bigint, customer_count bigint",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Suite runner end-to-end: the engine's check compiler + fused scan + report,
 # verified against a UNION ALL oracle replicating each check's semantics.

@@ -293,3 +293,152 @@ def test_materialize_incremental_one_partition(tmp_path, spark):
     got = {(str(r["p_date"]), r["v"]) for r in out.collect()}
     # day 1 untouched, day 2 replaced (not appended)
     assert got == {("2025-01-01", 1), ("2025-01-02", 99)}
+
+
+# ---------------------------------------------------------------------------
+# new GE-gallery check types (round 2 coverage widening)
+# ---------------------------------------------------------------------------
+
+
+def test_pair_equal_check(spark):
+    df = spark.createDataFrame([Row(a=1, b=1), Row(a=2, b=3), Row(a=None, b=1)])
+    [r] = run_suite({"t": df}, [Check("eq", "pair_equal", "t", columns=("a", "b"))])
+    assert r.violations == 1 and r.total == 3  # NULL rows skipped
+
+
+def test_multicolumn_sum_equal_check(spark):
+    df = spark.createDataFrame([Row(a=1, b=9), Row(a=5, b=5), Row(a=4, b=7)])
+    [r] = run_suite(
+        {"t": df},
+        [
+            Check(
+                "sums to 10",
+                "multicolumn_sum_equal",
+                "t",
+                columns=("a", "b"),
+                params={"sum_total": 10},
+            )
+        ],
+    )
+    assert r.violations == 1
+
+
+def test_distinct_equal_set_check(spark):
+    df = spark.createDataFrame([Row(s=x) for x in ("a", "b", "b", "z")])
+    [r] = run_suite(
+        {"t": df},
+        [
+            Check(
+                "exact domain",
+                "distinct_equal_set",
+                "t",
+                column="s",
+                params={"values": ("a", "b", "c")},
+            )
+        ],
+    )
+    # 'c' missing + 'z' extra = 2 violations
+    assert r.status == "fail" and r.violations == 2
+
+
+def test_distinct_contain_set_pass(spark):
+    df = spark.createDataFrame([Row(s=x) for x in ("a", "b", "c", "z")])
+    [r] = run_suite(
+        {"t": df},
+        [
+            Check(
+                "coverage",
+                "distinct_contain_set",
+                "t",
+                column="s",
+                params={"values": ("a", "b", "c")},
+            )
+        ],
+    )
+    assert r.status == "pass" and r.violations == 0  # extras allowed
+
+
+def test_z_score_check(spark):
+    vals = [10.0] * 50 + [11.0] * 49 + [1000.0]
+    df = spark.createDataFrame([Row(v=v) for v in vals])
+    [r] = run_suite(
+        {"t": df},
+        [
+            Check(
+                "no outliers",
+                "z_score_less_than",
+                "t",
+                column="v",
+                params={"threshold": 3.0},
+            )
+        ],
+    )
+    assert r.status == "fail" and r.violations == 1 and r.total == 100
+
+
+def test_monotonic_decreasing_check(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, seq=i, v=x) for i, x in enumerate([9, 7, 7, 8, 3])]
+    )
+    [r] = run_suite(
+        {"t": df},
+        [
+            Check(
+                "desc",
+                "monotonic",
+                "t",
+                column="v",
+                params={"order_by": "seq", "partition_by": "k", "decreasing": True},
+            )
+        ],
+    )
+    assert r.violations == 1  # 7 -> 8 breaks non-strict decreasing
+
+
+def test_monotonic_strictly_increasing(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, seq=i, v=x) for i, x in enumerate([1, 2, 2, 5])]
+    )
+    [r] = run_suite(
+        {"t": df},
+        [
+            Check(
+                "strict asc",
+                "monotonic",
+                "t",
+                column="v",
+                params={"order_by": "seq", "partition_by": "k", "strictly": True},
+            )
+        ],
+    )
+    assert r.violations == 1  # the 2 -> 2 tie
+
+
+def test_rowcount_equal_other_table_strict(spark):
+    a = spark.range(10)
+    b = spark.range(10)
+    c = spark.range(7)
+    [ok] = run_suite(
+        {"a": a, "b": b},
+        [Check("same", "row_count_equal_other_table", "a", params={"other_table": "b"})],
+    )
+    assert ok.status == "pass"
+    [bad] = run_suite(
+        {"a": a, "c": c},
+        [Check("same", "row_count_equal_other_table", "a", params={"other_table": "c"})],
+    )
+    assert bad.status == "fail"
+
+
+def test_monotonic_ge_roundtrip(tmp_path):
+    check = Check(
+        "desc ts",
+        "monotonic",
+        "t",
+        column="v",
+        params={"order_by": "seq", "decreasing": True},
+    )
+    d = check_to_dict(check)
+    assert d["expectation_type"] == "expect_column_values_to_be_decreasing"
+    back = check_from_dict(d)
+    assert back.check_type == "monotonic" and back.params.get("decreasing") is True
