@@ -1,6 +1,8 @@
 from .pipeline import (
     events_stream,
+    rate_events_stream,
     run_streaming_dq_gate,
+    shape_rate_events,
     streaming_dedup,
     streaming_session_windows,
     streaming_tumbling_counts,
@@ -8,6 +10,8 @@ from .pipeline import (
 
 __all__ = [
     "events_stream",
+    "rate_events_stream",
+    "shape_rate_events",
     "streaming_tumbling_counts",
     "streaming_session_windows",
     "streaming_dedup",

@@ -62,6 +62,44 @@ def events_stream(
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def rate_events_stream(
+    spark: SparkSession,
+    rows_per_second: int = 1000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """T1 (non-file source): a ``rate``-source stream shaped like the
+    events table — the demo/load-test twin of ``events_stream`` and the
+    structural stand-in for a Kafka topic (same downstream code: every
+    operator below consumes either). Synthetic fields are deterministic
+    functions of the rate source's monotonically increasing ``value``
+    column, so output is reproducible for a given trigger window."""
+    reader = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    )
+    if num_partitions:
+        reader = reader.option("numPartitions", num_partitions)
+    raw = reader.load()  # columns: timestamp, value
+    return shape_rate_events(raw)
+
+
+def shape_rate_events(raw: DataFrame) -> DataFrame:
+    """Map a rate-source frame (timestamp, value) to the events schema —
+    split out so the transform is testable on a static batch twin."""
+    types = F.array(
+        F.lit("view"), F.lit("click"), F.lit("purchase"), F.lit("signup"), F.lit("error")
+    )
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        F.pmod(F.xxhash64(F.col("value")), F.lit(1000)).alias("user_id"),
+        types[F.pmod(F.col("value"), F.lit(5)).cast("int")].alias("event_type"),
+        (F.pmod(F.xxhash64(F.col("value"), F.lit(1)), F.lit(10000)) / 100.0).alias(
+            "value"
+        ),
+        F.to_json(F.struct(F.col("value").alias("seq"))).alias("props"),
+    )
+
+
 def streaming_tumbling_counts(
     stream: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:

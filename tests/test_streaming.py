@@ -159,3 +159,37 @@ def test_watermark_drops_late_rows(spark):
             for so in p["stateOperators"]
         )
         assert dropped >= 1
+
+
+def test_rate_source_stream_shape(spark):
+    """The rate-source twin must produce the events schema and be a real
+    streaming frame (structural stand-in for a Kafka topic)."""
+    from enterprise_data_quality_platform_spark.streaming import rate_events_stream
+
+    s = rate_events_stream(spark, rows_per_second=10)
+    assert s.isStreaming
+    assert [f.name for f in s.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+
+
+def test_shape_rate_events_deterministic(spark):
+    """Batch twin of the rate transform: deterministic synthetic fields,
+    valid JSON props, event_type cycling through the domain."""
+    from pyspark.sql import functions as F
+
+    from enterprise_data_quality_platform_spark.streaming import shape_rate_events
+
+    raw = spark.range(100).select(
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("timestamp"),
+        F.col("id").alias("value"),
+    )
+    out = shape_rate_events(raw)
+    rows = out.collect()
+    assert len(rows) == 100
+    assert {r.event_type for r in rows} == {"view", "click", "purchase", "signup", "error"}
+    assert all(0 <= r.user_id < 1000 for r in rows)
+    bad_json = out.filter(F.expr("try_parse_json(props)").isNull()).count()
+    assert bad_json == 0
+    again = shape_rate_events(raw).collect()
+    assert rows == again  # deterministic
