@@ -263,6 +263,15 @@ def compile_agg_check(check: Check, prefix: str) -> CompiledAggCheck:
 
     if check.check_type in _ROW_COND_TYPES:
         cond = _violation_cond(check)
+        # GE conditional expectations: params['row_condition'] is a SQL
+        # boolean expr scoping the check to matching rows only — both the
+        # violation count and the total (the `mostly` denominator) are
+        # computed over the scoped population, still in the fused scan.
+        row_condition = p.get("row_condition")
+        if row_condition is not None:
+            scope = F.expr(row_condition)
+            cond = scope & cond
+            total = F.sum(F.when(scope, F.lit(1)).otherwise(F.lit(0)))
         exprs[f"{prefix}__violations"] = F.sum(
             F.when(cond, F.lit(1)).otherwise(F.lit(0))
         )
@@ -491,13 +500,22 @@ def compile_agg_check(check: Check, prefix: str) -> CompiledAggCheck:
 SAMPLEABLE_TYPES = frozenset(_ROW_COND_TYPES - {"not_null"}) | {"distinct_in_set"}
 
 
+def _scoped_violation_cond(check: Check) -> Column:
+    """Violation condition including the optional row_condition scope."""
+    cond = _violation_cond(check)
+    row_condition = check.params.get("row_condition")
+    if row_condition is not None:
+        cond = F.expr(row_condition) & cond
+    return cond
+
+
 def violating_rows(df: DataFrame, check: Check) -> DataFrame:
     """The FULL violating-row frame for a row-condition check — the
     quarantine path. The reference reports the complete violation list
     (pager-workflow.py:220-225); reports here carry a capped sample, and
     this frame is what a quarantine sink writes when the full set is
     needed (see ``sinks/quarantine.py``)."""
-    return df.filter(_violation_cond(check))
+    return df.filter(_scoped_violation_cond(check))
 
 
 def violation_sample_df(df: DataFrame, check: Check, cap: int = SAMPLE_CAP) -> DataFrame:
@@ -506,7 +524,7 @@ def violation_sample_df(df: DataFrame, check: Check, cap: int = SAMPLE_CAP) -> D
     inside the fused scan. limit(cap) bounds both shuffle and driver
     transfer."""
     return (
-        df.filter(_violation_cond(check))
+        df.filter(_scoped_violation_cond(check))
         .select(F.col(check.column).cast("string").alias("value"))
         .distinct()
         .limit(cap)

@@ -113,6 +113,9 @@ def check_from_dict(d: dict) -> Check:
     check_type = GE_TYPE_MAP.get(etype, etype)
     kwargs = dict(d.get("kwargs", {}))
     meta = d.get("meta", {})
+    # GE pairs row_condition with a condition_parser kwarg; the condition
+    # compiles to F.expr here, so the parser tag is dropped on load
+    kwargs.pop("condition_parser", None)
     column = kwargs.pop("column", None)
     column_a = kwargs.pop("column_A", None)
     column_b = kwargs.pop("column_B", None)

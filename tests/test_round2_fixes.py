@@ -442,3 +442,71 @@ def test_monotonic_ge_roundtrip(tmp_path):
     assert d["expectation_type"] == "expect_column_values_to_be_decreasing"
     back = check_from_dict(d)
     assert back.check_type == "monotonic" and back.params.get("decreasing") is True
+
+
+# ---------------------------------------------------------------------------
+# GE conditional expectations (row_condition scoping)
+# ---------------------------------------------------------------------------
+
+
+def test_row_condition_scopes_check(spark):
+    rows = [
+        Row(seg="gold", bal=100.0),
+        Row(seg="gold", bal=-5.0),   # violates, in scope
+        Row(seg="lead", bal=-50.0),  # violates but OUT of scope
+        Row(seg="gold", bal=7.0),
+    ]
+    df = spark.createDataFrame(rows)
+    [r] = run_suite(
+        {"t": df},
+        [
+            Check(
+                "gold balances non-negative",
+                "values_between",
+                "t",
+                column="bal",
+                params={"min": 0, "row_condition": "seg = 'gold'"},
+            )
+        ],
+    )
+    # scoped: 3 gold rows total, 1 violation; the lead row is ignored
+    assert r.total == 3 and r.violations == 1 and r.status == "fail"
+
+
+def test_row_condition_scopes_sample_and_quarantine(tmp_path, spark):
+    rows = [
+        Row(seg="gold", region="Mars"),
+        Row(seg="lead", region="Pluto"),
+        Row(seg="gold", region="Europe"),
+    ]
+    df = spark.createDataFrame(rows)
+    check = Check(
+        "gold regions",
+        "values_in_set",
+        "t",
+        column="region",
+        params={"values": ("Europe",), "row_condition": "seg = 'gold'"},
+    )
+    [r] = run_suite({"t": df}, [check])
+    assert r.violations == 1
+    assert "Mars" in r.observed["sample"] and "Pluto" not in r.observed["sample"]
+    path = str(tmp_path / "q")
+    write_violations(df, check, path)
+    back = spark.read.parquet(path).collect()
+    assert [b["region"] for b in back] == ["Mars"]  # scoped quarantine
+
+
+def test_row_condition_ge_roundtrip():
+    d = {
+        "expectation_type": "expect_column_values_to_be_between",
+        "kwargs": {
+            "column": "bal",
+            "min_value": 0,
+            "row_condition": "seg = 'gold'",
+            "condition_parser": "spark",
+        },
+        "meta": {"name": "scoped", "table": "t"},
+    }
+    check = check_from_dict(d)
+    assert check.params["row_condition"] == "seg = 'gold'"
+    assert "condition_parser" not in check.params
