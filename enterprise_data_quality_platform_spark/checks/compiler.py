@@ -735,4 +735,79 @@ def run_plan_check(
             },
         )
 
+    if t == "column_count_between":
+        n = len(df.columns)
+        lo, hi = p.get("min"), p.get("max")
+        ok = (lo is None or n >= lo) and (hi is None or n <= hi)
+        return _result(
+            check, "pass" if ok else "fail", None, None, {"column_count": n}
+        )
+
+    if t == "chi_square_test":
+        # Pearson goodness-of-fit against params['expected_distribution']
+        # (category -> probability), compared to params['critical_value']
+        # (the chi2 quantile for the caller's alpha/dof — kept a parameter
+        # so no stats library is needed). Same in-plan shape as KL:
+        # distributed histogram, broadcast expected map, one scalar out.
+        # Categories outside the expected support fail the test outright
+        # (their expected count is 0 → infinite statistic).
+        expected: Mapping[Any, float] = p["expected_distribution"]
+        critical = float(p["critical_value"])
+        counts = df.groupBy(
+            F.col(check.column).cast("string").alias("__k")
+        ).agg(F.count(F.lit(1)).alias("__n"))
+        totals = counts.agg(F.sum("__n").alias("__t"))
+        qmap = F.create_map(
+            *[
+                lit
+                for k, v in expected.items()
+                for lit in (F.lit(str(k)), F.lit(float(v)))
+            ]
+        )
+        qcol = qmap[F.col("__k")]
+        exp_n = qcol * F.col("__t")
+        row = (
+            counts.crossJoin(F.broadcast(totals))
+            .agg(
+                F.sum(
+                    F.when(
+                        qcol.isNotNull() & (qcol > 0),
+                        (F.col("__n") - exp_n) * (F.col("__n") - exp_n) / exp_n,
+                    )
+                ).alias("__stat"),
+                F.sum(
+                    F.when(
+                        F.col("__k").isNotNull()
+                        & (qcol.isNull() | (qcol == 0)),
+                        F.col("__n"),
+                    )
+                ).alias("__unexpected"),
+                F.sum(F.when(qcol.isNotNull(), qcol)).alias("__qpresent"),
+                F.first("__t").alias("__total"),
+            )
+            .collect()[0]
+        )
+        stat = float(row["__stat"] or 0.0)
+        unexpected = int(row["__unexpected"] or 0)
+        total = int(row["__total"] or 0)
+        # expected-but-absent categories each contribute (0-E)^2/E = E =
+        # q_k * total; their total q-mass is (sum q) - (q-mass observed)
+        q_absent = sum(float(v) for v in expected.values()) - float(
+            row["__qpresent"] or 0.0
+        )
+        if q_absent > 1e-12:
+            stat += total * q_absent
+        ok = unexpected == 0 and stat <= critical
+        return _result(
+            check,
+            "pass" if ok else "fail",
+            unexpected or None,
+            total,
+            {
+                "chi_square": round(stat, 6),
+                "critical_value": critical,
+                "unexpected_category_rows": unexpected,
+            },
+        )
+
     raise ValueError(f"unhandled plan check type: {t}")

@@ -71,6 +71,8 @@ PLAN_CHECK_TYPES = frozenset(
         "row_count_equal_other_table",  # GE expect_table_row_count_to_equal_other_table
         "z_score_less_than",  # GE expect_column_value_z_scores_to_be_less_than
         "monotonic",  # GE expect_column_values_to_be_increasing/decreasing
+        "column_count_between",  # GE expect_table_column_count_to_be_between
+        "chi_square_test",  # GE expect_column_chisquare_test_p_value... (statistic form)
     }
 )
 

@@ -58,6 +58,8 @@ GE_TYPE_MAP = {
     "expect_column_distinct_values_to_equal_set": "distinct_equal_set",
     "expect_table_row_count_to_equal_other_table": "row_count_equal_other_table",
     "expect_column_value_z_scores_to_be_less_than": "z_score_less_than",
+    "expect_table_column_count_to_be_between": "column_count_between",
+    "expect_column_chisquare_test_p_value_to_be_greater_than": "chi_square_test",
     "expect_column_values_to_be_increasing": "monotonic",
     # decreasing maps to the same check type with params['decreasing']=True
     # (special-cased in check_from_dict/check_to_dict)

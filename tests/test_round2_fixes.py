@@ -510,3 +510,84 @@ def test_row_condition_ge_roundtrip():
     check = check_from_dict(d)
     assert check.params["row_condition"] == "seg = 'gold'"
     assert "condition_parser" not in check.params
+
+
+def test_column_count_between(spark):
+    df = spark.createDataFrame([Row(a=1, b=2, c=3)])
+    [ok] = run_suite(
+        {"t": df},
+        [Check("cols", "column_count_between", "t", params={"min": 2, "max": 5})],
+    )
+    assert ok.status == "pass"
+    [bad] = run_suite(
+        {"t": df}, [Check("cols", "column_count_between", "t", params={"max": 2})]
+    )
+    assert bad.status == "fail"
+
+
+def test_chi_square_uniform_pass(spark):
+    rows = [Row(t=x) for x in ("a", "b", "c", "d") * 25]
+    df = spark.createDataFrame(rows)
+    [r] = run_suite(
+        {"t": df},
+        [
+            Check(
+                "chi2",
+                "chi_square_test",
+                "t",
+                column="t",
+                params={
+                    "expected_distribution": {k: 0.25 for k in "abcd"},
+                    "critical_value": 7.815,  # chi2(0.95, dof=3)
+                },
+            )
+        ],
+    )
+    assert r.status == "pass"
+    assert float(r.observed["chi_square"]) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_chi_square_skew_fails(spark):
+    rows = [Row(t="a")] * 90 + [Row(t="b")] * 10
+    df = spark.createDataFrame(rows)
+    [r] = run_suite(
+        {"t": df},
+        [
+            Check(
+                "chi2",
+                "chi_square_test",
+                "t",
+                column="t",
+                params={
+                    "expected_distribution": {"a": 0.5, "b": 0.5},
+                    "critical_value": 3.841,  # chi2(0.95, dof=1)
+                },
+            )
+        ],
+    )
+    # statistic = (90-50)^2/50 + (10-50)^2/50 = 64 >> 3.841
+    assert r.status == "fail"
+    assert float(r.observed["chi_square"]) == pytest.approx(64.0, abs=1e-6)
+
+
+def test_chi_square_absent_category_counts(spark):
+    rows = [Row(t="a")] * 100  # 'b' expected but absent
+    df = spark.createDataFrame(rows)
+    [r] = run_suite(
+        {"t": df},
+        [
+            Check(
+                "chi2",
+                "chi_square_test",
+                "t",
+                column="t",
+                params={
+                    "expected_distribution": {"a": 0.5, "b": 0.5},
+                    "critical_value": 3.841,
+                },
+            )
+        ],
+    )
+    # (100-50)^2/50 + (0-50)^2/50 = 50 + 50 = 100
+    assert r.status == "fail"
+    assert float(r.observed["chi_square"]) == pytest.approx(100.0, abs=1e-6)
