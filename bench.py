@@ -69,6 +69,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        if name in HEAVY:
+            # Multi-second shuffle-heavy queries regress ~20% when the JVM
+            # old gen is full of prior queries' metadata (measured: 7.6 s
+            # fresh vs 9.2 s after 60 light jobs); collect it first so the
+            # recorded number reflects the query, not the harness history.
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1)
         samples = []
         for _ in range(HEAVY_RUNS if name in HEAVY else RUNS):
             t0 = time.perf_counter()

@@ -20,11 +20,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # coalesce by target size, not core count: a KB-sized shuffle collapses
-    # to one task instead of 32 near-empty ones; at 100TB the size target
-    # still yields full parallelism, so this only removes small-stage
-    # overhead (the default optimizes for idle-core usage instead)
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # Keep Spark's default parallelism-first coalesce. The size-first
+    # alternative (false, 64 MB targets) was measured WORSE here: shuffle
+    # bytes undercount downstream compute, so a 17 MB compressed
+    # per-customer aggregate coalesced to ONE task that then ran the final
+    # 1.5M-key agg + join + window serially (mart_topk_customers 4.0 s vs
+    # 1.25 s, rollup 2.05 s vs 1.18 s at sf10; sf0.1 headline total
+    # unchanged). minPartitionSize (1 MB default) still collapses KB-sized
+    # stages to one task either way.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # The events table carries TIMESTAMP(NANOS) parquet, which Spark 4

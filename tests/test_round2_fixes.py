@@ -591,3 +591,30 @@ def test_chi_square_absent_category_counts(spark):
     # (100-50)^2/50 + (0-50)^2/50 = 50 + 50 = 100
     assert r.status == "fail"
     assert float(r.observed["chi_square"]) == pytest.approx(100.0, abs=1e-6)
+
+
+def test_sessionization_gap_boundary_semantics(spark):
+    """The batch sessionization uses native session_window; Spark's batch
+    session merge is inclusive (event exactly at session_end extends it),
+    which must match the oracle's `gap > 30 minutes` new-session rule:
+    a 30:00.000000 gap stays one session, 30:00.000001 starts a new one."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("exact30", base, 1),
+        ("exact30", base + dt.timedelta(minutes=30), 2),
+        ("over30", base, 3),
+        ("over30", base + dt.timedelta(minutes=30, microseconds=1), 4),
+        ("under30", base, 5),
+        ("under30", base + dt.timedelta(minutes=29), 6),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id long")
+    sessions = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("session_count"))
+    )
+    got = {r["user_id"]: r["session_count"] for r in sessions.collect()}
+    assert got == {"exact30": 1, "over30": 2, "under30": 1}
