@@ -179,12 +179,23 @@ def minhash_near_dup_pairs(
     Output: (id_a, id_b, jaccard). Only candidate pairs pay the exact
     verification; everything else was pruned by LSH."""
     cands = minhash_candidate_pairs(df, text_col, id_col, bands, rows, n)
-    sh = df.select(
+    # Build the shingle arrays at full parallelism: without the repartition
+    # the arrays are computed inside the corpus SCAN stage (as few tasks as
+    # file splits — measured 2 tasks × 61 s at sf1), and Spark's size
+    # estimate of that frame (parquet stats, pre-projection) tempts it to
+    # BROADCAST ~100 MB of built arrays. The candidates frame is the
+    # genuinely small side (pairs of ids): broadcast it explicitly and keep
+    # the second join a shuffle join on id_b (measured: verify 110 s ->
+    # ~8 s at sf1, identical output).
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(parallelism, F.col(id_col)).select(
         F.col(id_col), shingles(F.col(text_col), n).alias("grams")
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))
-    joined = cands.join(a, "id_a").join(b, "id_b")
+    joined = a.join(F.broadcast(cands), "id_a").join(
+        b.hint("shuffle_hash"), "id_b"
+    )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     union = F.size("grams_a") + F.size("grams_b") - inter
     jac = inter / F.greatest(union, F.lit(1))
