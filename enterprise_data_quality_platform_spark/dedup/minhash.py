@@ -3,10 +3,11 @@
 Pipeline (shingle → minhash → band → bucket-join), entirely with JVM-side
 higher-order functions — no pyspark.ml Vector conversion, no Python UDFs:
 
-1. signature: each shingle is hashed ONCE (``xxhash64``), then the
-   ``num_perm`` permutations are universal hashes over that integer:
+1. signature: each shingle is hashed ONCE — multi-arg ``xxhash64`` over
+   its n tokens, no gram string ever built (see ``shingle_hashes``) — then
+   the ``num_perm`` permutations are universal hashes over that integer:
    ``(a_i * h + b_i) mod p`` with p = 2^31-1 and seeded random a/b — one
-   string hash + num_perm integer mul/adds per shingle instead of num_perm
+   hash + num_perm integer mul/adds per shingle instead of num_perm
    string hashes (the classic MinHash permutation family; ~3x cheaper at
    32 perms, same collision statistics). Constants stay < 2^31 so the
    products fit in a signed 64-bit long — no ANSI overflow.
@@ -29,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles
+from ..functions.text import tokens
 
 DEFAULT_BANDS = 8
 DEFAULT_ROWS = 4
@@ -61,12 +62,22 @@ def minhash_signature(
     text: Column, num_perm: int = DEFAULT_BANDS * DEFAULT_ROWS, n: int = 3
 ) -> Column:
     """array<bigint> MinHash signature of the text's shingle set — the
-    column-expression form (nested higher-order functions). Correct, but
-    nested HOF lambdas evaluate interpreted; for corpus-scale signature
-    computation use ``signatures`` (explode + flat codegen aggregates),
-    which computes identical values much faster."""
+    column-expression form (nested higher-order functions). Correct and
+    value-identical to ``signatures`` (same multi-arg token hashing,
+    test-asserted), but nested HOF lambdas evaluate interpreted; for
+    corpus-scale signature computation use ``signatures`` (explode + flat
+    codegen aggregates)."""
+    toks = tokens(F.lower(text))
+    upper = F.array_size(toks) - n
+    idx = F.when(upper >= 0, F.sequence(F.lit(0), upper)).otherwise(
+        F.array().cast("array<int>")
+    )
     sh = F.transform(
-        shingles(text, n), lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME))
+        idx,
+        lambda i: F.pmod(
+            F.xxhash64(*[F.element_at(toks, i + j + 1) for j in range(n)]),
+            F.lit(_PRIME),
+        ),
     )
     consts = _perm_constants(num_perm)
     return F.array(
@@ -74,6 +85,51 @@ def minhash_signature(
             F.array_min(F.transform(sh, lambda h: _perm_hash(h, a, b)))
             for a, b in consts
         ]
+    )
+
+
+def shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, h) stream of per-shingle hashes in [0, p) — the shared first
+    stage of the MinHash pipeline, with NO shingle strings materialized:
+    the n tokens of each gram are hashed directly with multi-arg
+    ``xxhash64(tok_i, …, tok_{i+n-1})``. Building concat-string grams goes
+    through an interpreted higher-order ``transform`` (CodegenFallback) and
+    allocates ~20 bytes × corpus-grams (150M grams at our sf10); this path
+    is whole-stage-codegen end to end — explode over an int sequence plus
+    n ``element_at`` lookups (bounds-safe under ANSI: i ≤ size-n by
+    construction). Multiset, not set: min() consumers are insensitive to
+    duplicates, set consumers (Jaccard) collect_set downstream.
+    The input is repartitioned first so hash computation parallelizes even
+    from a single input file / row group."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toks = tokens(F.lower(F.col(text_col)))
+    upper = F.array_size(F.col("__toks")) - n
+    return (
+        df.repartition(parallelism, F.col(id_col))
+        .select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.explode(
+                F.when(upper >= 0, F.sequence(F.lit(0), upper)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("__i"),
+        )
+        .select(
+            F.col(id_col),
+            F.pmod(
+                F.xxhash64(
+                    *[
+                        F.element_at(F.col("__toks"), F.col("__i") + j + 1)
+                        for j in range(n)
+                    ]
+                ),
+                F.lit(_PRIME),
+            ).alias("h"),
+        )
     )
 
 
@@ -86,21 +142,12 @@ def signatures(
 ) -> DataFrame:
     """(id, sig array<bigint>) for the corpus — the scale path.
 
-    explode(shingles) → one xxhash64 per gram → num_perm flat
-    ``min((a_i*h+b_i) mod p)`` aggregates: every hash stays inside
-    whole-stage codegen and the partial min happens map-side, so the
-    shuffle carries one num_perm-wide row per document.
-    The input is repartitioned first so signature computation parallelizes
-    even from a single input file."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    ex = (
-        df.repartition(parallelism, F.col(id_col))
-        .select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("gram"))
-        .select(
-            F.col(id_col),
-            F.pmod(F.xxhash64(F.col("gram")), F.lit(_PRIME)).alias("h"),
-        )
-    )
+    shingle-hash stream → num_perm flat ``min((a_i*h+b_i) mod p)``
+    aggregates: every hash stays inside whole-stage codegen and the partial
+    min happens map-side (the repartition in ``shingle_hashes`` already
+    clusters by id, so the aggregation needs no further exchange), so the
+    shuffle carries one num_perm-wide row per document."""
+    ex = shingle_hashes(df, text_col, id_col, n)
     aggs = [
         F.min(_perm_hash(F.col("h"), a, b)).alias(f"m{i}")
         for i, (a, b) in enumerate(_perm_constants(num_perm))
@@ -119,12 +166,12 @@ def _banded(df: DataFrame, id_col: str, sig_col: str, bands: int, rows: int) -> 
             F.explode(
                 F.transform(
                     band_idx,
+                    # xxhash64 hashes the array slice natively — no
+                    # string materialization per band
                     lambda b: F.struct(
                         b.alias("band_idx"),
                         F.xxhash64(
-                            F.slice(F.col(sig_col), b * rows + 1, rows).cast(
-                                "array<string>"
-                            ).cast("string")
+                            F.slice(F.col(sig_col), b * rows + 1, rows)
                         ).alias("band_hash"),
                     ),
                 )
@@ -179,17 +226,21 @@ def minhash_near_dup_pairs(
     Output: (id_a, id_b, jaccard). Only candidate pairs pay the exact
     verification; everything else was pruned by LSH."""
     cands = minhash_candidate_pairs(df, text_col, id_col, bands, rows, n)
-    # Build the shingle arrays at full parallelism: without the repartition
-    # the arrays are computed inside the corpus SCAN stage (as few tasks as
-    # file splits — measured 2 tasks × 61 s at sf1), and Spark's size
-    # estimate of that frame (parquet stats, pre-projection) tempts it to
-    # BROADCAST ~100 MB of built arrays. The candidates frame is the
-    # genuinely small side (pairs of ids): broadcast it explicitly and keep
-    # the second join a shuffle join on id_b (measured: verify 110 s ->
-    # ~8 s at sf1, identical output).
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.repartition(parallelism, F.col(id_col)).select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("grams")
+    # Exact Jaccard over HASHED shingle sets (collect_set of the same
+    # codegen shingle-hash stream the signatures use): identical up to
+    # 64-bit hash collisions (~1e-10 per pair) and ~2.5x cheaper than
+    # string-gram arrays — no gram strings built, and the id_b shuffle
+    # carries 8-byte longs. Two plan guards, both measured (61 s 2-task
+    # stages at sf1 before): the stream repartitions to full parallelism
+    # so array building never runs inside the file-split-limited scan
+    # stage, and the genuinely-small candidates frame is broadcast
+    # explicitly — Spark's own estimate of the gram frame (parquet stats,
+    # pre-projection) tempts it to broadcast ~100 MB of built arrays. The
+    # id_b join stays a shuffle join for the same reason.
+    sh = (
+        shingle_hashes(df, text_col, id_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_set("h").alias("grams"))
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))

@@ -212,3 +212,34 @@ def test_knn_no_single_partition_window(spark):
     # results still exact
     top = {r.vec_id for r in df.filter(F.col("probe_id") == 0).collect()}
     assert 0 in top and len(top) == 5
+
+
+def test_minhash_signature_forms_agree(spark):
+    """The column-expression form and the corpus-scale aggregate form must
+    produce identical signature values (same token-hash family)."""
+    from enterprise_data_quality_platform_spark.dedup.minhash import (
+        minhash_signature,
+        signatures,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "spark shuffles partitions across the cluster at scale"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    col_form = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id", minhash_signature(F.col("text")).alias("sig")
+        ).collect()
+    }
+    agg_form = {r["doc_id"]: r["sig"] for r in signatures(df).collect()}
+    # doc 3 has < n tokens: absent from the aggregate form, all-null in the
+    # column form — both mean "no shingles"
+    assert set(agg_form) == {1, 2}
+    assert col_form[3] == [None] * 32
+    for k in agg_form:
+        assert col_form[k] == agg_form[k], k

@@ -54,10 +54,13 @@ def _perturb_texts(texts: list[str | None], replica: int) -> list[str | None]:
     `replicas` exact twins, which makes near-dup candidate pairs (and the
     minhash bench) grow quadratically in the replication factor — an
     artifact no real corpus has (VERDICT r1 / ROUND_NOTES). Instead each
-    replica doc is either a NEAR-DUP of its base (1 in 3: every 20th word
-    swapped — survives MinHash banding like real boilerplate dupes) or
-    DISTINCT (2 in 3: every word tagged with the replica id, so no shingles
-    are shared), keeping a long-tailed duplicate distribution at scale.
+    replica doc is either a NEAR-DUP of its base (every 20th word swapped —
+    survives MinHash banding like real boilerplate dupes) or DISTINCT
+    (every word tagged with the replica id, so no shingles are shared).
+    The near-dup rate is long-tailed like a real post-exact-dedup corpus:
+    10% of replicas for most docs, 50% for the 1-in-97 "boilerplate" docs —
+    so cluster sizes grow with the tier but stay dominated by small
+    clusters, with a few heavy cliques exercising the skew guards.
     n_chars is left as the base doc's value: it is a free-form metadata
     column and the quality/stats queries compute from `text` itself."""
     out: list[str | None] = []
@@ -66,7 +69,8 @@ def _perturb_texts(texts: list[str | None], replica: int) -> list[str | None]:
             out.append(None)
             continue
         words = text.split(" ")
-        if (i * 2654435761 + replica) % 3 == 0:
+        near_dup_pct = 50 if i % 97 == 0 else 10
+        if (i * 2654435761 + replica * 40503) % 100 < near_dup_pct:
             words = [
                 f"r{replica}w{i % 7}" if j % 20 == 19 else w
                 for j, w in enumerate(words)
@@ -119,7 +123,15 @@ def main() -> None:
                 tbl = tbl.set_column(idx, tbl.schema.field("text"), perturbed)
             chunks.append(tbl)
         out = pa.concat_tables(chunks)
-        pq.write_table(out, dst / f"{t}.parquet")
+        # Bound row-group size: pyarrow's default (~1M rows/group) gives a
+        # 500k-row documents table ONE row group, and Spark's scan splits
+        # can't cut inside a row group — every text query ran single-task
+        # at sf10. ~128 groups ≈ full local parallelism with groups still
+        # MB-scale.
+        pq.write_table(
+            out, dst / f"{t}.parquet",
+            row_group_size=max(5000, out.num_rows // 128),
+        )
         assert out.schema.equals(base.schema), f"schema drift in {t}"
         print(f"{t}: {base.num_rows} -> {out.num_rows} rows")
 
