@@ -272,6 +272,45 @@ def compile_agg_check(check: Check, prefix: str) -> CompiledAggCheck:
             scope = F.expr(row_condition)
             cond = scope & cond
             total = F.sum(F.when(scope, F.lit(1)).otherwise(F.lit(0)))
+        if p.get("categorical") and (check.columns or check.column):
+            # Low-cardinality columns: evaluate the (possibly expensive)
+            # row predicate on DISTINCT values, weighted by group counts,
+            # instead of once per row. A regex check over 15M rows of a
+            # 5-value priority column costs a map-side-collapsing groupBy
+            # (~3 exec-s at sf10) plus 5 regex evaluations, versus 15M
+            # regex evaluations inline (~56 exec-s measured). The groupBy
+            # factor joins the same fused job as a concurrent stage. With
+            # a row_condition, the scope expr becomes one more grouping
+            # key so both counts stay scoped. Opt-in because on a
+            # high-cardinality column the groupBy would shuffle every
+            # distinct value — the inline path is the safe default.
+            group_cols = [F.col(x) for x in (check.columns or [check.column])]
+            if row_condition is not None:
+                group_cols.append(F.expr(row_condition).alias("__scope"))
+
+            def build_categorical(df: DataFrame) -> DataFrame:
+                per = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__c"))
+                tot = (
+                    F.sum(F.when(F.col("__scope"), F.col("__c")))
+                    if row_condition is not None
+                    else F.sum(F.col("__c"))
+                )
+                viol = (
+                    F.col("__scope") & _violation_cond(check)
+                    if row_condition is not None
+                    else _violation_cond(check)
+                )
+                return per.agg(
+                    F.coalesce(
+                        F.sum(F.when(viol, F.col("__c"))), F.lit(0)
+                    ).alias(f"{prefix}__violations"),
+                    F.coalesce(tot, F.lit(0)).alias(f"{prefix}__total"),
+                )
+
+            return CompiledAggCheck(
+                check, {}, _count_eval(check), prefix,
+                frame_builder=build_categorical,
+            )
         exprs[f"{prefix}__violations"] = F.sum(
             F.when(cond, F.lit(1)).otherwise(F.lit(0))
         )

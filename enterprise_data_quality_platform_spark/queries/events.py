@@ -87,15 +87,20 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R16: JSON property extraction (events.props is a JSON string, the
-    alert-payload pattern of pager-workflow.py:15-27) + aggregate."""
+    alert-payload pattern of pager-workflow.py:15-27) + aggregate. The
+    extraction is projected ONCE before the aggregate: referencing the
+    get_json_object expression from two aggregate functions re-parses the
+    JSON per reference (no CSE across agg expressions — one parse per row
+    instead of two, measured ~1.6x at sf10)."""
     k = F.get_json_object("props", "$.k").cast("bigint")
     return (
         table(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            fx_avg(k, "avg_k"),
-            F.max(k).alias("max_k"),
+            fx_avg(F.col("k"), "avg_k"),
+            F.max("k").alias("max_k"),
         )
     )
 

@@ -618,3 +618,50 @@ def test_sessionization_gap_boundary_semantics(spark):
     )
     got = {r["user_id"]: r["session_count"] for r in sessions.collect()}
     assert got == {"exact30": 1, "over30": 2, "under30": 1}
+
+
+def test_categorical_check_matches_inline(spark):
+    """categorical=True routes a row-condition check through a distinct-
+    value groupBy factor; result must be identical to the inline path,
+    including nulls, mostly, and row_condition scoping."""
+    rows = (
+        [Row(v="1-URGENT", seg="gold")] * 5
+        + [Row(v="9-BOGUS", seg="gold")] * 3
+        + [Row(v=None, seg="gold")] * 2
+        + [Row(v="9-BOGUS", seg="bronze")] * 7
+    )
+    df = spark.createDataFrame(rows)
+    for extra in (
+        {},
+        {"mostly": 0.5},
+        {"row_condition": "seg = 'gold'"},
+    ):
+        base = Check(
+            "rx", "match_regex", "t", column="v",
+            params={"regex": r"^\d-[A-Z]+$", **extra},
+        )
+        cat = Check(
+            "rx", "match_regex", "t", column="v",
+            params={"regex": r"^\d-[A-Z]+$", "categorical": True, **extra},
+        )
+        [a] = run_suite({"t": df}, [base])
+        [b] = run_suite({"t": df}, [cat])
+        assert (a.status, a.violations, a.total) == (
+            b.status,
+            b.violations,
+            b.total,
+        ), extra
+
+
+def test_categorical_pair_check(spark):
+    df = spark.createDataFrame(
+        [Row(a=2, b=1)] * 4 + [Row(a=1, b=2)] * 3 + [Row(a=None, b=1)] * 2
+    )
+    base = Check("pair", "pair_greater_than", "t", columns=("a", "b"))
+    cat = Check(
+        "pair", "pair_greater_than", "t", columns=("a", "b"),
+        params={"categorical": True},
+    )
+    [x] = run_suite({"t": df}, [base])
+    [y] = run_suite({"t": df}, [cat])
+    assert (x.status, x.violations, x.total) == (y.status, y.violations, y.total)
