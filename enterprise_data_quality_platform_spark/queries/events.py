@@ -234,3 +234,50 @@ def events_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("__t"), 6).alias("fraction"),
     )
+
+
+@register(
+    "events_incident_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type, ts, event_id, value,
+             LAG(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             ) AS prev_value
+      FROM events
+    )
+    SELECT event_type, ts, event_id, value,
+           CASE WHEN value > 150.0 THEN 'trigger' ELSE 'resolve' END AS action
+    FROM ordered
+    WHERE (value > 150.0 AND (prev_value IS NULL OR prev_value <= 150.0))
+       OR (value <= 150.0 AND prev_value > 150.0)
+    """,
+    tables=("events",),
+)
+def events_incident_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState incident tracker
+    (streaming/pipeline.py): with resolve == trigger threshold the
+    post-event incident state is memorylessly `value > T`, so transitions
+    reduce to a per-key lag comparison — trigger where value crosses above
+    T, resolve where it crosses back. Identical rows to the streaming
+    operator (test-asserted) and DuckDB-oracle-checked."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = F.lit(150.0)
+    prev = F.col("prev_value")
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn("prev_value", F.lag("value").over(w))
+        .filter(
+            ((F.col("value") > t) & (prev.isNull() | (prev <= t)))
+            | ((F.col("value") <= t) & (prev > t))
+        )
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            "value",
+            F.when(F.col("value") > t, F.lit("trigger"))
+            .otherwise(F.lit("resolve"))
+            .alias("action"),
+        )
+    )

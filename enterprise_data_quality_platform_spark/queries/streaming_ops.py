@@ -111,3 +111,20 @@ def streaming_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id bigint, rows bigint, checks_total bigint, "
         "checks_passed bigint, checks_failed bigint, overall_status string",
     )
+
+
+@register(
+    "streaming_incident_lifecycle",
+    oracle=None,  # streaming — rows-only; events_incident_transitions twin
+    tables=("events",),
+)
+def streaming_incident_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-event-type
+    incident lifecycle — trigger above threshold, suppress while open,
+    resolve on recovery (the reference's PagerDuty incident_key semantics
+    as a streaming state machine). Batch twin carries the oracle."""
+    from ..streaming import events_stream, streaming_incident_tracker
+
+    stream = streaming_incident_tracker(events_stream(spark, sf_dir))
+    _run_stream(stream, "edqp_incidents_q", output_mode="append")
+    return spark.table("edqp_incidents_q").orderBy("event_type", "ts", "event_id")

@@ -4,6 +4,7 @@ from .pipeline import (
     run_streaming_dq_gate,
     shape_rate_events,
     streaming_dedup,
+    streaming_incident_tracker,
     streaming_session_windows,
     streaming_tumbling_counts,
 )
@@ -15,5 +16,6 @@ __all__ = [
     "streaming_tumbling_counts",
     "streaming_session_windows",
     "streaming_dedup",
+    "streaming_incident_tracker",
     "run_streaming_dq_gate",
 ]

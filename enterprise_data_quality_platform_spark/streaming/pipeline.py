@@ -147,6 +147,90 @@ def streaming_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFra
     )
 
 
+def streaming_incident_tracker(
+    stream: DataFrame,
+    threshold: float = 150.0,
+    resolve_below: float | None = None,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: the
+    reference's PagerDuty incident_key lifecycle
+    (``pager-workflow.py:247-267`` trigger / suppress-while-open / resolve,
+    ``alerts.py`` batch semantics) as a per-key streaming state machine —
+    not expressible with built-in windows/dedup because the open-incident
+    bit must carry across micro-batches.
+
+    Per event_type: an event with value > ``threshold`` TRIGGERS an
+    incident unless one is open (suppression = the reference's idempotent
+    incident_key); an event with value <= ``resolve_below`` (default: the
+    threshold — pure hysteresis off) RESOLVES it. Emits only transition
+    rows. State per key is a single boolean — O(|keys|), watermark-free.
+
+    Scale/impl notes: events are processed in (ts, event_id) order within
+    each micro-batch; cross-batch order is source order, matching the
+    reference's poll-loop arrival semantics. With resolve_below ==
+    threshold the post-event state equals ``value > threshold``
+    memorylessly, so the transition scan vectorizes (numpy shift) instead
+    of folding row-by-row in Python; the hysteresis case falls back to the
+    per-row fold. Arrow-batched either way.
+    """
+    import pandas as pd
+
+    resolve_at = threshold if resolve_below is None else resolve_below
+    if resolve_at > threshold:
+        raise ValueError("resolve_below must not exceed threshold")
+
+    def track(key, pdf_iter, state) -> "pd.DataFrame":
+        (etype,) = key
+        open_ = state.get[0] if state.exists else False
+        outs = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            vals = pdf["value"].to_numpy()
+            if resolve_at == threshold:
+                # memoryless: state after event i is vals[i] > threshold
+                was_open = pdf["value"].gt(threshold).shift(
+                    1, fill_value=open_
+                )
+                trig = (vals > threshold) & ~was_open.to_numpy()
+                reso = (vals <= resolve_at) & was_open.to_numpy()
+                if len(vals):
+                    open_ = bool(vals[-1] > threshold)
+            else:
+                trig = [False] * len(vals)
+                reso = [False] * len(vals)
+                for i, v in enumerate(vals):
+                    if v > threshold and not open_:
+                        trig[i] = open_ = True
+                    elif v <= resolve_at and open_:
+                        reso[i] = True
+                        open_ = False
+            emit = pdf.loc[[t or r for t, r in zip(trig, reso)],
+                           ["ts", "event_id", "value"]].copy()
+            emit.insert(0, "event_type", etype)
+            emit["action"] = [
+                "trigger" if t else "resolve"
+                for t, r in zip(trig, reso)
+                if t or r
+            ]
+            if len(emit):
+                outs.append(emit)
+        state.update((bool(open_),))
+        yield pd.concat(outs) if outs else pd.DataFrame(
+            columns=["event_type", "ts", "event_id", "value", "action"]
+        )
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        track,
+        outputStructType=(
+            "event_type string, ts timestamp, event_id long, "
+            "value double, action string"
+        ),
+        stateStructType="open boolean",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_streaming_dq_gate(
     spark: SparkSession,
     sf_dir: str,

@@ -193,3 +193,74 @@ def test_shape_rate_events_deterministic(spark):
     assert bad_json == 0
     again = shape_rate_events(raw).collect()
     assert rows == again  # deterministic
+
+
+def test_incident_tracker_matches_batch_twin(spark):
+    """The applyInPandasWithState incident lifecycle emits exactly the
+    batch twin's transition rows (same keys, order, actions)."""
+    from enterprise_data_quality_platform_spark.queries.events import (
+        events_incident_transitions,
+    )
+    from enterprise_data_quality_platform_spark.streaming import (
+        streaming_incident_tracker,
+    )
+
+    stream = streaming_incident_tracker(events_stream(spark, SF_SMALL))
+    _run_to_memory(stream, "incidents_test", output_mode="append")
+    got = sorted(
+        (r.event_type, r.ts, r.event_id, r.action)
+        for r in spark.table("incidents_test").collect()
+    )
+    expected = sorted(
+        (r.event_type, r.ts, r.event_id, r.action)
+        for r in events_incident_transitions(spark, SF_SMALL).collect()
+    )
+    assert got and got == expected
+
+
+def test_incident_tracker_hysteresis(spark):
+    """resolve_below < threshold takes the per-row fold path: values in
+    (resolve_below, threshold] neither trigger nor resolve."""
+    import pandas as pd
+
+    from enterprise_data_quality_platform_spark.streaming import (
+        streaming_incident_tracker,
+    )
+
+    rows = [
+        # (event_id, second, value): trigger at 200, hold at 120 (between
+        # resolve 100 and trigger 150), resolve at 80, re-trigger at 160
+        (1, 0, 200.0),
+        (2, 60, 120.0),
+        (3, 120, 80.0),
+        (4, 180, 160.0),
+    ]
+    src = tempfile.mkdtemp(prefix="edqp-inc-src-")
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=r[1]) for r in rows],
+            "user_id": [1] * len(rows),
+            "event_type": ["error"] * len(rows),
+            "value": [r[2] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    stream_df = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).parquet(src)
+    )
+    # pandas defaults to nanos; Spark's `timestamp` wants micros
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(f"{src}/batch.parquet")
+    out = streaming_incident_tracker(
+        stream_df, threshold=150.0, resolve_below=100.0
+    )
+    _run_to_memory(out, "incidents_hyst_test", output_mode="append")
+    got = [
+        (r.event_id, r.action)
+        for r in spark.table("incidents_hyst_test").orderBy("ts").collect()
+    ]
+    assert got == [(1, "trigger"), (3, "resolve"), (4, "trigger")]
