@@ -141,3 +141,27 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine_sim", 4).alias("cosine_sim"),
         F.col("sim_rank").cast("bigint").alias("sim_rank"),
     ).orderBy("probe_id", "sim_rank")
+
+
+@register(
+    "embed_ann_ivf",
+    oracle=None,  # approximate by construction → rows-only
+    tables=("embeddings",),
+)
+def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 alternate scale path: IVF (k-means coarse quantizer) ANN top-5
+    for 3 probes — data-adaptive inverted lists where LSH uses random
+    hyperplanes. Recall vs brute force asserted in tests."""
+    from ..similarity.ivf import ivf_ann_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    out = ivf_ann_topk(emb, probes, k=5, num_centroids=32, nprobe=8)
+    return out.select(
+        "probe_id",
+        "vec_id",
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+        F.col("sim_rank").cast("bigint").alias("sim_rank"),
+    ).orderBy("probe_id", "sim_rank")

@@ -243,3 +243,65 @@ def test_minhash_signature_forms_agree(spark):
     assert col_form[3] == [None] * 32
     for k in agg_form:
         assert col_form[k] == agg_form[k], k
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF-ANN finds most of the exact top-10 while probing only
+    nprobe/num_centroids of the inverted lists; scores it does return are
+    the true cosines."""
+    from enterprise_data_quality_platform_spark.similarity import ivf_ann_topk
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    exact = brute_force_topk(emb, probes, k=10)
+    approx = ivf_ann_topk(emb, probes, k=10, num_centroids=16, nprobe=6)
+    exact_sets: dict[int, set] = {}
+    exact_scores = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.probe_id, set()).add(r.vec_id)
+        exact_scores[(r.probe_id, r.vec_id)] = round(r.cosine_sim, 6)
+    approx_sets: dict[int, set] = {p: set() for p in exact_sets}
+    for r in approx.collect():
+        approx_sets[r.probe_id].add(r.vec_id)
+        if (r.probe_id, r.vec_id) in exact_scores:
+            assert round(r.cosine_sim, 6) == exact_scores[(r.probe_id, r.vec_id)]
+    recalls = [
+        len(exact_sets[p] & approx_sets[p]) / len(exact_sets[p]) for p in exact_sets
+    ]
+    # near-orthogonal synthetic vectors are the hard regime (see the LSH
+    # test); 6/16 lists probed should still recover half the true top-10
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_ivf_centroids_deterministic_and_balanced(spark):
+    """Same seed → identical centroids; k-means lists are reasonably
+    balanced on this corpus (no degenerate single-list collapse)."""
+    import numpy as np
+
+    from enterprise_data_quality_platform_spark.similarity import train_centroids
+    from enterprise_data_quality_platform_spark.similarity.ivf import (
+        assign_centroids,
+    )
+    from enterprise_data_quality_platform_spark.functions.vectors import to_double
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    c1 = train_centroids(emb, num_centroids=16, sample_size=500, seed=7)
+    c2 = train_centroids(emb, num_centroids=16, sample_size=500, seed=7)
+    assert np.allclose(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    sizes = (
+        emb.select(
+            F.element_at(
+                assign_centroids(to_double(F.col("embedding")), c1), 1
+            ).alias("cid")
+        )
+        .groupBy("cid")
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in sizes]
+    total = sum(counts)
+    assert len(counts) >= 8  # most lists populated
+    assert max(counts) < total * 0.5  # no single-list collapse
