@@ -74,3 +74,145 @@ def corpus_stats(curated: DataFrame) -> DataFrame:
         )
         .orderBy("pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus → training-set mechanics: deterministic splits, benchmark
+# decontamination, sequence packing, repetition signals. Each is a
+# DataFrame→DataFrame operator; the queries/ twins carry DuckDB oracles.
+# ---------------------------------------------------------------------------
+
+# Knuth multiplicative hash: engine-portable (plain BIGINT arithmetic, no
+# engine hash builtin), deterministic, and uncorrelated with doc_id order.
+# doc_id < ~2^32 keeps the product < 2^62 (ANSI-safe, no overflow throw).
+_SPLIT_HASH = 2654435761
+
+
+def assign_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic hash-based train/val/test split — a narrow (shuffle-
+    free) projection, so it composes with any downstream partitioning at
+    100 TB. The same row lands in the same split on any cluster layout,
+    which is what makes held-out sets reproducible."""
+    bucket = (F.col(id_col) * F.lit(_SPLIT_HASH)) % F.lit(1000)
+    return docs.withColumn(
+        "split",
+        F.when(bucket < train_pct * 10, F.lit("train"))
+        .when(bucket < (train_pct + val_pct) * 10, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def word_ngrams(text: Column, n: int = 8) -> Column:
+    """Array of word n-grams (literal strings) from whitespace-tokenized,
+    lowercased text. Oracle-portable form — the hot dedup path hashes
+    token windows directly (``dedup/minhash.py``) instead of building gram
+    strings; use this one where cross-engine string parity matters
+    (decontamination, repetition)."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    # guard: sequence(1, 0) generates DESCENDING [1, 0] (Spark's sequence
+    # auto-negates the step), which would slice from index 0 and throw
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    ngram: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥1 word ``ngram``
+    with any benchmark doc, with the shared-gram count per doc —
+    the standard eval-leakage sweep before training. The benchmark side is
+    tiny by nature (an eval set), so its distinct grams BROADCAST; the
+    corpus side explodes grams and inner-joins — no corpus-vs-corpus
+    pairing ever forms. Returns (doc_id, shared_grams) for flagged docs."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(text_col), ngram)).alias("gram")
+        )
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), ngram)).alias("gram"),
+    ).distinct()  # count each shared gram once per doc
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), on="gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    num_shards: int = 32,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM pretraining
+    layout: within each shard, document token streams are concatenated (in
+    id order) and cut into fixed ``budget``-token training sequences, so
+    documents may straddle a sequence boundary. Per doc: the sequence its
+    stream position STARTS in (``seq_id``), the offset inside it, and
+    whether it straddles into the next one. The prefix-sum window
+    partitions by shard, so it parallelizes across ``num_shards`` tasks
+    instead of serializing the corpus through one partition. No document
+    is ever dropped; chunk count per shard is exactly
+    ``ceil(total_tokens / budget)``."""
+    from pyspark.sql import Window
+
+    shard = (F.col(id_col) % F.lit(num_shards)).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.col(tokens_col)
+    start = F.sum(toks).over(w) - toks  # exclusive prefix sum
+    return (
+        docs.select(F.col(id_col), F.col(tokens_col), shard)
+        .withColumn("seq_id", F.floor(start / F.lit(budget)))
+        .withColumn("seq_offset", start % F.lit(budget))
+        .withColumn(
+            "straddles",
+            (toks > 0)
+            & (
+                F.floor((start + toks - 1) / F.lit(budget))
+                != F.col("seq_id")
+            ),
+        )
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    ngram: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition signal: per-doc fraction of repeated word
+    n-grams (1 - distinct/total). Computed entirely inside the row —
+    ``array_distinct`` over the gram array, no explode, no shuffle — so it
+    fuses into any annotation scan."""
+    grams = word_ngrams(F.col(text_col), ngram)
+    n = F.size(grams)
+    d = F.size(F.array_distinct(grams))
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_grams"),
+        d.alias("distinct_grams"),
+        F.when(n > 0, (n - d) / n).otherwise(F.lit(0.0)).alias("rep_ratio"),
+    )

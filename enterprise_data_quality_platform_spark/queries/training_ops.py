@@ -8,9 +8,10 @@ MinHash near-dup removal is ``plans.training_data.curate_documents``
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.numeric import sql_avg
+from ..functions.numeric import fx_round, sql_avg, sql_round
 from ..plans.training_data import corpus_stats, curate_documents
 from .registry import register
 
@@ -97,3 +98,198 @@ def training_data_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, quality_threshold=0.05, near_dup_threshold=0.7, with_near_dup=True
     )
     return corpus_stats(curated)
+
+
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+def _gram_sql(n: int) -> str:
+    """DuckDB word-n-gram list matching plans.training_data.word_ngrams."""
+    return (
+        f"[array_to_string(t[i:i+{n - 1}], ' ') "
+        f"FOR i IN range(1, greatest(len(t) - {n - 2}, 1))]"
+    )
+
+
+@register(
+    "training_split_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_tokens,
+             (doc_id * 2654435761) % 1000 AS b
+      FROM documents
+    )
+    SELECT CASE WHEN b < 800 THEN 'train'
+                WHEN b < 900 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+    tables=("documents",),
+)
+def training_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (80/10/10) + per-split
+    budget stats. The split is a narrow projection (multiplicative hash on
+    doc_id — no engine hash builtin, so the oracle computes the identical
+    assignment); reproducible on any cluster layout."""
+    from ..functions.text import token_count
+    from ..plans.training_data import assign_split
+
+    docs = assign_split(table(spark, sf_dir, "documents"))
+    return (
+        docs.withColumn("n_tokens", token_count(F.col("text")).cast("bigint"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "training_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest({_gram_sql(4)}) AS gram FROM toks
+      WHERE len(t) >= 4
+    ),
+    bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 101 = 0
+    ),
+    corpus AS (
+      SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 101 <> 0
+    )
+    SELECT c.doc_id, COUNT(*) AS shared_grams
+    FROM corpus c JOIN bench b USING (gram)
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+    tables=("documents",),
+)
+def training_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 4-gram with
+    the held-out 'benchmark' slice (doc_id % 101 == 0 stands in for an eval
+    set). Benchmark grams broadcast; corpus grams explode + inner join —
+    the eval-leakage sweep every pretraining run needs. 4-grams suit the
+    short synthetic docs; real corpora run 8-13 (the operator's default
+    is 8)."""
+    from ..plans.training_data import decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 0)
+    corpus = docs.filter(F.col("doc_id") % 101 != 0)
+    return decontaminate(corpus, bench, ngram=4).orderBy("doc_id")
+
+
+@register(
+    "training_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_tokens,
+             doc_id % 32 AS shard
+      FROM documents
+    ),
+    placed AS (
+      SELECT shard, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS start
+      FROM d
+    )
+    SELECT shard,
+           CAST(CEIL(SUM(n_tokens) / 2048.0) AS BIGINT) AS n_seqs,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           COUNT(*) FILTER (
+             WHERE n_tokens > 0
+               AND FLOOR((start + n_tokens - 1) / 2048.0) <> FLOOR(start / 2048.0)
+           ) AS straddling_docs
+    FROM placed GROUP BY shard ORDER BY shard
+    """,
+    tables=("documents",),
+)
+def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing into 2048-token training sequences, 32-way
+    sharded (the prefix-sum window parallelizes per shard). Reports chunk
+    count and boundary-straddling docs per shard."""
+    from ..functions.text import token_count
+    from ..plans.training_data import pack_sequences
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text")).cast("bigint")
+    )
+    packed = pack_sequences(docs, budget=2048, num_shards=32)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.ceil(F.sum("n_tokens") / F.lit(2048.0)).alias("n_seqs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.count(F.when(F.col("straddles"), F.lit(1))).alias(
+                "straddling_docs"
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_TOKS} AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(t) >= 5 THEN {_gram_sql(5)} ELSE [] END AS grams
+      FROM toks
+    ),
+    per AS (
+      SELECT doc_id, lang, len(grams) AS n_grams,
+             len(list_distinct(grams)) AS distinct_grams,
+             CASE WHEN len(grams) > 0
+                  THEN (len(grams) - len(list_distinct(grams))) * 1.0 / len(grams)
+                  ELSE 0.0 END AS rep_ratio
+      FROM g
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {sql_round("AVG(rep_ratio)", 4)} AS avg_rep_ratio,
+           COUNT(*) FILTER (WHERE rep_ratio > 0.2) AS high_rep_docs
+    FROM per GROUP BY lang ORDER BY lang
+    """,
+    tables=("documents",),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signal: per-doc repeated-5-gram
+    fraction (array_distinct inside the row — no explode, no shuffle),
+    aggregated per language."""
+    from ..plans.training_data import repetition_stats
+
+    docs = table(spark, sf_dir, "documents")
+    per = repetition_stats(docs, ngram=5).join(
+        docs.select("doc_id", "lang"), on="doc_id"
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fx_round(F.avg("rep_ratio"), 4).alias("avg_rep_ratio"),
+            F.count(F.when(F.col("rep_ratio") > 0.2, F.lit(1))).alias(
+                "high_rep_docs"
+            ),
+        )
+        .orderBy("lang")
+    )

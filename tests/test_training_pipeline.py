@@ -71,3 +71,101 @@ def test_curation_idempotent(spark):
     assert sorted(r.doc_id for r in once.collect()) == sorted(
         r.doc_id for r in twice.collect()
     )
+
+
+def test_assign_split_deterministic_proportions(spark):
+    from enterprise_data_quality_platform_spark.plans.training_data import (
+        assign_split,
+    )
+
+    docs = table(spark, SF_SMALL, "documents")
+    a = {r.doc_id: r.split for r in assign_split(docs).collect()}
+    b = {r.doc_id: r.split for r in assign_split(docs).collect()}
+    assert a == b  # deterministic
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert 0.6 * n < c["train"] < 0.95 * n  # ~80% within sampling noise
+
+
+def test_pack_sequences_chunking(spark):
+    from enterprise_data_quality_platform_spark.plans.training_data import (
+        pack_sequences,
+    )
+    from enterprise_data_quality_platform_spark.functions.text import token_count
+
+    docs = table(spark, SF_SMALL, "documents").withColumn(
+        "n_tokens", token_count(F.col("text")).cast("bigint")
+    )
+    packed = pack_sequences(docs, budget=100, num_shards=4)
+    assert packed.count() == docs.count()  # every doc placed exactly once
+    # offsets live inside the chunk; seq_id is the chunk the doc starts in
+    assert packed.filter(
+        (F.col("seq_offset") < 0) | (F.col("seq_offset") >= 100)
+    ).count() == 0
+    # chunk ids are dense per shard: max seq_id == ceil(total/budget) - 1
+    import math
+
+    for r in (
+        packed.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("t"), F.max("seq_id").alias("m"))
+        .collect()
+    ):
+        assert r.m <= math.ceil(r.t / 100) - 1 + 1  # last doc may start in final chunk
+
+
+def test_pack_sequences_crafted(spark):
+    from enterprise_data_quality_platform_spark.plans.training_data import (
+        pack_sequences,
+    )
+
+    rows = [(0, 50), (1, 5000), (2, 60)]  # doc 1 spans 50 chunks
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r.doc_id: r for r in pack_sequences(df, budget=100, num_shards=1).collect()
+    }
+    assert len(got) == 3  # oversize doc kept, never dropped
+    assert (got[0].seq_id, got[0].seq_offset, bool(got[0].straddles)) == (0, 0, False)
+    assert (got[1].seq_id, got[1].seq_offset, bool(got[1].straddles)) == (0, 50, True)
+    assert (got[2].seq_id, got[2].seq_offset, bool(got[2].straddles)) == (50, 50, True)
+
+
+def test_repetition_stats_crafted(spark):
+    from enterprise_data_quality_platform_spark.plans.training_data import (
+        repetition_stats,
+    )
+
+    rows = [
+        (0, "a b c d e " * 10),  # pure repetition of one 5-gram cycle
+        (1, " ".join(f"w{i}" for i in range(50))),  # all distinct
+        (2, "x y"),  # shorter than the gram width
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df, ngram=5).collect()}
+    assert got[0].rep_ratio > 0.8
+    assert got[1].rep_ratio == 0.0
+    assert got[2].n_grams == 0 and got[2].rep_ratio == 0.0
+
+
+def test_decontaminate_crafted(spark):
+    from enterprise_data_quality_platform_spark.plans.training_data import (
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the secret eval answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "some clean document with no overlap at all here"),
+            (2, "we found the secret eval answer is forty two exactly wow"),
+            (3, "another clean one nothing shared with benchmarks"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.shared_grams for r in decontaminate(corpus, bench, ngram=4).collect()}
+    assert set(got) == {2}
+    assert got[2] >= 4  # several shared 4-grams in the leaked span
