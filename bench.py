@@ -38,6 +38,8 @@ HEADLINE = [
     "events_json_extract",
     "text_token_topk",
     "text_quality_scores",
+    "text_repetition_stats",
+    "training_decontaminate",
     "dedup_exact_docs",
     "embed_knn_bruteforce",
     "dedup_minhash_docs",

@@ -89,7 +89,11 @@ def minhash_signature(
 
 
 def shingle_hashes(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    prime_mod: bool = True,
 ) -> DataFrame:
     """(id, h) stream of per-shingle hashes in [0, p) — the shared first
     stage of the MinHash pipeline, with NO shingle strings materialized:
@@ -106,6 +110,9 @@ def shingle_hashes(
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     toks = tokens(F.lower(F.col(text_col)))
     upper = F.array_size(F.col("__toks")) - n
+    _h = F.xxhash64(
+        *[F.element_at(F.col("__toks"), F.col("__i") + j + 1) for j in range(n)]
+    )
     return (
         df.repartition(parallelism, F.col(id_col))
         .select(F.col(id_col), toks.alias("__toks"))
@@ -120,14 +127,13 @@ def shingle_hashes(
         )
         .select(
             F.col(id_col),
-            F.pmod(
-                F.xxhash64(
-                    *[
-                        F.element_at(F.col("__toks"), F.col("__i") + j + 1)
-                        for j in range(n)
-                    ]
-                ),
-                F.lit(_PRIME),
+            # prime_mod folds into [0, p) for the universal-hash permutation
+            # family; prime_mod=False keeps the full 64-bit hash (2^-64
+            # collision odds) for consumers that compare distinct-gram
+            # COUNTS against a string-gram oracle (repetition_stats,
+            # decontaminate).
+            (
+                F.pmod(_h, F.lit(_PRIME)) if prime_mod else _h
             ).alias("h"),
         )
     )

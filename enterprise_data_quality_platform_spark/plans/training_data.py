@@ -134,22 +134,26 @@ def decontaminate(
 ) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing ≥1 word ``ngram``
     with any benchmark doc, with the shared-gram count per doc —
-    the standard eval-leakage sweep before training. The benchmark side is
-    tiny by nature (an eval set), so its distinct grams BROADCAST; the
-    corpus side explodes grams and inner-joins — no corpus-vs-corpus
-    pairing ever forms. Returns (doc_id, shared_grams) for flagged docs."""
+    the standard eval-leakage sweep before training. Grams are compared as
+    full-width ``xxhash64`` over the token window (``shingle_hashes`` with
+    ``prime_mod=False``) — whole-stage codegen, no gram strings built; at
+    2^-64 collision odds the hashed counts equal the string-gram oracle's.
+    The benchmark side is tiny by nature (an eval set), so its distinct
+    gram hashes BROADCAST; the corpus side explodes hashes and inner-joins
+    — no corpus-vs-corpus pairing ever forms. Returns (doc_id,
+    shared_grams) for flagged docs."""
+    from ..dedup.minhash import shingle_hashes
+
     bench_grams = (
-        benchmark.select(
-            F.explode(word_ngrams(F.col(text_col), ngram)).alias("gram")
-        )
+        shingle_hashes(benchmark, text_col, id_col, n=ngram, prime_mod=False)
+        .select("h")
         .distinct()
     )
-    corpus_grams = corpus.select(
-        F.col(id_col),
-        F.explode(word_ngrams(F.col(text_col), ngram)).alias("gram"),
-    ).distinct()  # count each shared gram once per doc
+    corpus_grams = shingle_hashes(
+        corpus, text_col, id_col, n=ngram, prime_mod=False
+    ).dropDuplicates([id_col, "h"])  # count each shared gram once per doc
     return (
-        corpus_grams.join(F.broadcast(bench_grams), on="gram")
+        corpus_grams.join(F.broadcast(bench_grams), on="h")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("shared_grams"))
     )
@@ -204,13 +208,28 @@ def repetition_stats(
     text_col: str = "text",
 ) -> DataFrame:
     """Gopher-style repetition signal: per-doc fraction of repeated word
-    n-grams (1 - distinct/total). Computed entirely inside the row —
-    ``array_distinct`` over the gram array, no explode, no shuffle — so it
-    fuses into any annotation scan."""
-    grams = word_ngrams(F.col(text_col), ngram)
-    n = F.size(grams)
-    d = F.size(F.array_distinct(grams))
-    return docs.select(
+    n-grams (1 - distinct/total). Grams flow as hashed token windows
+    (``shingle_hashes``, full 64-bit — codegen end to end) through a
+    two-level groupBy — (doc, gram-hash) counts, then per-doc totals — so
+    no count_distinct Expand and no gram strings (the in-row
+    ``transform``+``array_join``+``array_distinct`` form is interpreted
+    per element: measured 8.8 s vs 0.6 s at sf0.1). Docs shorter than the
+    gram width report 0 grams, ratio 0.0."""
+    from ..dedup.minhash import shingle_hashes
+
+    grams = shingle_hashes(docs, text_col, id_col, n=ngram, prime_mod=False)
+    per = (
+        grams.groupBy(id_col, "h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_grams"),
+            F.count(F.lit(1)).alias("distinct_grams"),
+        )
+    )
+    n = F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint")
+    d = F.coalesce(F.col("distinct_grams"), F.lit(0)).cast("bigint")
+    return docs.select(F.col(id_col)).join(per, on=id_col, how="left").select(
         F.col(id_col),
         n.alias("n_grams"),
         d.alias("distinct_grams"),
