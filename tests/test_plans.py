@@ -164,3 +164,15 @@ def test_multimodal_is_arrow_batched(spark):
     plan = plan_of(spark, "multimodal_features")
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_knn_batch_topk_has_partial_window_limit(spark):
+    """The per-probe top-k window must not serialize the scored corpus
+    through one partition per probe: Spark 4 plans rank<=k as
+    WindowGroupLimit with a PARTIAL map-side pass, so only <=k rows per
+    (probe, input partition) cross the shuffle. Assert the partial pass is
+    present (losing it — e.g. by filtering on a non-rank predicate —
+    regresses to a full per-probe sort)."""
+    plan = plan_of(spark, "embed_knn_batch")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan, "map-side top-k pass lost"
