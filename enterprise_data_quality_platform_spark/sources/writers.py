@@ -87,3 +87,31 @@ def write_violations(
         .partitionBy("__check_name")
         .parquet(path)
     )
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    partition_cols: list[str] | None = None,
+    row_group_bytes: int = 16 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> None:
+    """Write-time clustering for scan pruning — the row-group-level
+    companion to partitioning (directory-level) and bucketing
+    (shuffle-avoidance). ``repartitionByRange`` gives each output file a
+    disjoint ``cluster_by`` key range, and the within-partition sort makes
+    every parquet row group's min/max stats tight, so a predicate on the
+    cluster key skips whole files (via range metadata) and whole row
+    groups (via parquet stats pushdown) instead of scanning 100 TB.
+    Bounded ``parquet.block.size`` keeps row groups splittable AND makes
+    the skip granularity fine (one giant row group per file can never be
+    skipped partially). The standard lever for high-selectivity filter
+    columns that are NOT the partition key — e.g. cluster the date-
+    partitioned events mart by user_id so per-user lookups touch a few
+    row groups per day."""
+    out = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
+    w = out.write.mode(mode).option("parquet.block.size", row_group_bytes)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)

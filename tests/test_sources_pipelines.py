@@ -194,3 +194,50 @@ def test_etl_pipeline_fan_in(spark):
     ctx = etl_pipeline(spark, SF_SMALL).run()
     assert ctx["__status__"]["beta_validation"] == "success"
     assert ctx["enrichment"].count() > 0
+
+
+def test_write_clustered_tightens_row_group_stats(spark, tmp_path):
+    """Clustering must produce (near-)disjoint per-row-group min/max ranges
+    on the cluster key — the property parquet predicate pushdown needs to
+    skip row groups — and identical data."""
+    import pyarrow.parquet as pq
+
+    from enterprise_data_quality_platform_spark.catalog import table
+    from enterprise_data_quality_platform_spark.sources.writers import (
+        write_clustered,
+    )
+
+    src = table(spark, SF_SMALL, "orders")
+    clustered = str(tmp_path / "clustered")
+    write_clustered(
+        src, clustered, cluster_by=["o_custkey"], row_group_bytes=64 * 1024
+    )
+
+    def ranges(root):
+        import glob as _g
+
+        out = []
+        for f in _g.glob(f"{root}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "o_custkey"
+                )
+                out.append((col.statistics.min, col.statistics.max))
+        return sorted(out)
+
+    rs = ranges(clustered)
+    assert len(rs) >= 2  # bounded block size → multiple row groups
+    # tight, ordered, (near-)disjoint ranges: each group's span is a small
+    # slice of the key domain, and consecutive groups don't interleave
+    overlaps = sum(1 for (a, b), (c, d) in zip(rs, rs[1:]) if c < b)
+    assert overlaps <= len(rs) // 4  # range boundaries may share edge keys
+    # same data back
+    assert spark.read.parquet(clustered).count() == src.count()
+    # and a point-lookup predicate still answers identically
+    k = src.select("o_custkey").first()[0]
+    a = sorted(r.o_orderkey for r in spark.read.parquet(clustered).filter(F.col("o_custkey") == k).collect())
+    b = sorted(r.o_orderkey for r in src.filter(F.col("o_custkey") == k).collect())
+    assert a == b
