@@ -112,6 +112,73 @@ def validation_pipeline(
     )
 
 
+def incremental_refresh_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    mart_path: str,
+    refresh_dates: list | None = None,
+) -> Pipeline:
+    """The reference's refresh loop — trigger a dbt re-run, then re-validate
+    the refreshed tables (pager-workflow.py:292-306 trigger, :316-322
+    re-validate) — as an INCREMENTAL materialization: rebuild only the
+    requested date partitions of the daily events mart, swap them in with
+    dynamic partition overwrite, re-validate the refreshed table.
+
+    100 TB posture: the build stage filters the source scan to the refresh
+    dates (predicate reaches the parquet scan → row-group/partition prune),
+    the write replaces only those ``p_date`` partitions
+    (``materialize_incremental``), and validation runs on the re-read
+    materialized table — so a one-day refresh touches one day of data on
+    both sides, never the full mart."""
+    from ..catalog import table
+    from ..functions.numeric import fx_sum
+    from ..sources.writers import materialize_incremental
+
+    def build_increment(ctx: Ctx):
+        events = table(spark, sf_dir, "events")
+        if refresh_dates:
+            events = events.filter(F.to_date(F.col("ts")).isin(refresh_dates))
+        daily = (
+            events.groupBy(
+                F.to_date(F.col("ts")).alias("d"),
+                "event_type",
+            ).agg(
+                F.count(F.lit(1)).alias("event_count"),
+                fx_sum(F.col("value"), "total_value"),
+            )
+        )
+        ctx["daily"] = daily
+        return True
+
+    def refresh(ctx: Ctx):
+        ctx["mart"] = materialize_incremental(
+            spark, ctx["daily"], mart_path, date_col="d"
+        )
+        return ctx["mart"].count()
+
+    def revalidate(ctx: Ctx):
+        results = run_suite(
+            {"mart_events_daily": ctx["mart"]},
+            [
+                Check("refreshed mart non-empty", "row_count_between",
+                      "mart_events_daily", params={"min": 1}),
+                Check("day not null", "not_null", "mart_events_daily",
+                      column="d"),
+                Check("counts positive", "values_between", "mart_events_daily",
+                      column="event_count", params={"min": 1}),
+            ],
+        )
+        gate(results)
+        return results
+
+    return (
+        Pipeline()
+        .add("build_increment", build_increment, retries=1)
+        .add("refresh", refresh, upstream=("build_increment",))
+        .add("revalidate", revalidate, upstream=("refresh",))
+    )
+
+
 def etl_pipeline(spark: SparkSession, sf_dir: str) -> Pipeline:
     """Glue fan-in DAG: product/hcp/territory masters → enrichment → beta
     validation (Glue-etl-pipeline.py:64-129), natively."""

@@ -46,6 +46,61 @@ def _run_stream(stream_df, name: str, output_mode: str = "append"):
 
 
 @register(
+    "streaming_tumbling_windows",
+    # real oracle (not rows-only): with AvailableNow + complete output mode
+    # the run is deterministic and finite, so the emitted windows must equal
+    # the batch SQL exactly. Doubles stay out of the projection (counts are
+    # exact integers) so distributed summation order can't perturb the hash.
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS event_count
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tables=("events",),
+)
+def streaming_tumbling_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: watermarked tumbling hourly aggregate over the event stream, run
+    to completion with AvailableNow (complete mode so the final window
+    emits). Value-checked against the batch SQL oracle — the streaming
+    result IS the batch result for a finite source."""
+    from ..streaming import events_stream, streaming_tumbling_counts
+
+    stream = streaming_tumbling_counts(events_stream(spark, sf_dir))
+    _run_stream(stream, "edqp_tumbling_q", output_mode="complete")
+    return spark.table("edqp_tumbling_q").select(
+        "window_start", "event_type", "event_count"
+    )
+
+
+@register(
+    "streaming_sliding_windows",
+    # same oracle as the batch twin events_sliding_windows — complete-mode
+    # AvailableNow output equals the batch answer (parity-tested).
+    oracle="""
+    WITH slides AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) - s.off * INTERVAL 1 MINUTE AS window_start
+      FROM events, (SELECT UNNEST([0, 15, 30, 45]) AS off) s
+    )
+    SELECT window_start, COUNT(*) AS event_count
+    FROM slides
+    GROUP BY 1
+    """,
+    tables=("events",),
+)
+def streaming_sliding_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: watermarked sliding (1h, 15min) window aggregate over the event
+    stream (streaming_sliding_counts), run to completion with AvailableNow
+    in complete mode. Oracle-checked against the batch sliding SQL."""
+    from ..streaming import events_stream, streaming_sliding_counts
+
+    stream = streaming_sliding_counts(events_stream(spark, sf_dir))
+    _run_stream(stream, "edqp_sliding_q", output_mode="complete")
+    return spark.table("edqp_sliding_q")
+
+
+@register(
     "streaming_session_windows",
     oracle=None,  # streaming — rows-only; T4 batch twin carries the oracle
     tables=("events",),

@@ -1,5 +1,12 @@
 from .readers import read_table, read_csv, read_json, read_parquet
-from .writers import write_partitioned, materialize_model
+from .writers import (
+    materialize_incremental,
+    materialize_model,
+    merge_upsert,
+    write_clustered,
+    write_partitioned,
+    write_violations,
+)
 
 __all__ = [
     "read_table",
@@ -8,4 +15,8 @@ __all__ = [
     "read_parquet",
     "write_partitioned",
     "materialize_model",
+    "materialize_incremental",
+    "merge_upsert",
+    "write_clustered",
+    "write_violations",
 ]

@@ -65,6 +65,91 @@ def materialize_incremental(
     return spark.read.parquet(path)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem handle for ``path`` — works for any supported
+    scheme (file://, hdfs://, s3a://), so the staging-swap below is not
+    local-FS-specific."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jvm
+
+
+def merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    date_col: str | None = None,
+) -> DataFrame:
+    """MERGE-by-key upsert on plain parquet: rows in ``updates`` replace
+    target rows with equal ``keys``; unmatched rows insert. The refresh
+    path the reference gets from dbt re-runs (pager-workflow.py:292-306)
+    without rewriting the whole mart. Caller contract: ``updates`` is
+    unique on ``keys`` (MERGE's multiple-match error is the caller's to
+    avoid).
+
+    Scale posture — plain parquet has no row-level log, so a merge must
+    rewrite whatever granularity contains matched rows; the lever is
+    bounding that granularity:
+
+    - ``date_col`` given (the 100 TB path): PARTITION-SCOPED merge. Only
+      ``p_date`` partitions present in ``updates`` are read, anti-joined,
+      unioned and rewritten via a staging dir + per-partition rename;
+      untouched partitions are never read or written, so cost scales with
+      the touched dates, not the table. Requires keys to be
+      partition-stable (a row's date never changes — the usual fact
+      contract).
+    - no ``date_col``: full merge-rewrite through the staging dir + swap.
+      Right for dimension tables; for a 100 TB un-partitioned table a
+      transactional format (Delta/Iceberg/Hudi) is the real answer and
+      this function is the semantic stand-in.
+
+    The staging write keeps Spark's "cannot overwrite a path being read
+    from" invariant intact (the output path differs from the input path)
+    and makes the swap near-atomic per partition (FS rename)."""
+    fs, jvm = _hadoop_fs(spark, path)
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    stage = path.rstrip("/") + "__stage"
+    jstage = jvm.org.apache.hadoop.fs.Path(stage)
+
+    if date_col is not None:
+        updates = updates.withColumn("p_date", F.to_date(F.col(date_col)))
+
+    if not fs.exists(jpath):  # bootstrap: first write is a plain insert
+        w = updates.write.mode("overwrite")
+        if date_col is not None:
+            w = w.partitionBy("p_date")
+        w.parquet(path)
+        return spark.read.parquet(path)
+
+    if date_col is not None:
+        touched = [r.p_date for r in updates.select("p_date").distinct().collect()]
+        target = spark.read.parquet(path).filter(F.col("p_date").isin(touched))
+        # no broadcast hint: a single-row fix broadcasts via AQE anyway, a
+        # full-day rebuild's key set may be too big to pin driver-side
+        kept = target.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
+        merged = kept.unionByName(updates.select(*kept.columns))
+        merged.write.mode("overwrite").partitionBy("p_date").parquet(stage)
+        for d in touched:
+            part = f"p_date={d.isoformat() if hasattr(d, 'isoformat') else d}"
+            src = jvm.org.apache.hadoop.fs.Path(f"{stage}/{part}")
+            dst = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{part}")
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            if fs.exists(src):  # an update set may empty a partition
+                fs.rename(src, dst)
+        fs.delete(jstage, True)
+    else:
+        target = spark.read.parquet(path)
+        kept = target.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
+        merged = kept.unionByName(updates.select(*kept.columns))
+        merged.write.mode("overwrite").parquet(stage)
+        fs.delete(jpath, True)
+        fs.rename(jstage, jpath)
+    return spark.read.parquet(path)
+
+
 def write_violations(
     df: DataFrame,
     check,

@@ -6,6 +6,7 @@ from .pipeline import (
     streaming_dedup,
     streaming_incident_tracker,
     streaming_session_windows,
+    streaming_sliding_counts,
     streaming_tumbling_counts,
 )
 
@@ -14,6 +15,7 @@ __all__ = [
     "rate_events_stream",
     "shape_rate_events",
     "streaming_tumbling_counts",
+    "streaming_sliding_counts",
     "streaming_session_windows",
     "streaming_dedup",
     "streaming_incident_tracker",

@@ -30,19 +30,38 @@ from ..checks import Check, run_suite
 from ..checks.definitions import CheckResult
 from ..session import configure_session
 
-#: Streaming-source schema for events — ts arrives as long nanos (parquet
-#: NANOS type, see catalog._fix_events_ts) and is normalized in the stream.
+def _events_ts_source_type(spark: SparkSession, sf_dir: str):
+    """Probe the parquet footer type of ``events.ts`` via a batch schema
+    read (footer-only — no data scan). The driver's generator has shipped
+    both TIMESTAMP(NANOS) (arrives as long under ``nanosAsLong``) and
+    TIMESTAMP(MICROS) (arrives as timestamp/timestamp_ntz); a stream source
+    that hardcodes one silently mis-decodes the other, so the stream must
+    branch exactly like the batch reader (``catalog._fix_events_ts``)."""
+    from pyspark.sql import types as T
+
+    dt = spark.read.parquet(table_path(sf_dir, "events")).schema["ts"].dataType
+    if not isinstance(dt, (T.LongType, T.TimestampType, T.TimestampNTZType)):
+        raise TypeError(f"unsupported events.ts parquet type: {dt}")
+    return dt
+
+
 def events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """T1: file-based streaming source over the events table."""
+    """T1: file-based streaming source over the events table.
+
+    The declared read schema follows the footer's actual ts representation
+    (see ``_events_ts_source_type``) and is normalized to LTZ TIMESTAMP in
+    the stream — watermarks require LTZ, and the UTC session TZ makes
+    wall-clock values match the batch/NTZ side exactly."""
     configure_session(spark)
     from pyspark.sql import types as T
 
+    ts_type = _events_ts_source_type(spark, sf_dir)
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
+            T.StructField("ts", ts_type),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -57,9 +76,9 @@ def events_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(sf_dir)
-    # keep LTZ (watermarks require TIMESTAMP, not NTZ); session TZ is UTC so
-    # wall-clock values match the batch/NTZ side exactly
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):  # TIMESTAMP(NANOS) via nanosAsLong
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def rate_events_stream(
@@ -119,6 +138,24 @@ def streaming_tumbling_counts(
             "event_count",
             "total_value",
         )
+    )
+
+
+def streaming_sliding_counts(
+    stream: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T3: watermarked sliding-window aggregate — the streaming twin of the
+    batch ``events_sliding_windows`` oracle query (queries/events.py).
+    ``window()`` fans each event into duration/slide overlapping windows
+    before the shuffle; state per window is bounded by the watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide))
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(F.col("window.start").alias("window_start"), "event_count")
     )
 
 

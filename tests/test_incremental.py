@@ -1,0 +1,143 @@
+"""Incremental materialization (VERDICT r2 missing #1): merge-by-key upsert
+on plain parquet + the incremental refresh pipeline (re-run one date
+partition, swap in, re-validate — pager-workflow.py:292-322 semantics)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from enterprise_data_quality_platform_spark.plans.reference_pipelines import (
+    incremental_refresh_pipeline,
+)
+from enterprise_data_quality_platform_spark.sources.writers import merge_upsert
+
+from conftest import SF_SMALL
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_merge_upsert_unpartitioned_update_and_insert(tmp_path, spark):
+    path = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    merge_upsert(spark, base, path, keys=["k"])  # bootstrap
+
+    updates = spark.createDataFrame([Row(k=2, v="B2"), Row(k=4, v="d")])
+    out = merge_upsert(spark, updates, path, keys=["k"])
+    assert _rows(out, "k", "v") == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+
+
+def test_merge_upsert_idempotent(tmp_path, spark):
+    path = str(tmp_path / "dim")
+    base = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    merge_upsert(spark, base, path, keys=["k"])
+    updates = spark.createDataFrame([Row(k=2, v="B2"), Row(k=5, v="e")])
+    once = _rows(merge_upsert(spark, updates, path, keys=["k"]), "k", "v")
+    twice = _rows(merge_upsert(spark, updates, path, keys=["k"]), "k", "v")
+    assert once == twice == [(1, "a"), (2, "B2"), (5, "e")]
+
+
+def test_merge_upsert_partition_scoped(tmp_path, spark):
+    """Partition-scoped merge: only touched p_date partitions are rewritten;
+    untouched partition files stay byte-identical on disk."""
+    import glob
+    import os
+
+    path = str(tmp_path / "fact")
+    base = spark.createDataFrame(
+        [
+            Row(d="2025-01-01", k=1, v=10.0),
+            Row(d="2025-01-01", k=2, v=20.0),
+            Row(d="2025-01-02", k=3, v=30.0),
+        ]
+    ).withColumn("d", F.to_date("d"))
+    merge_upsert(spark, base, path, keys=["k"], date_col="d")
+
+    day1_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/p_date=2025-01-01/*.parquet")
+    }
+    assert day1_files
+
+    updates = spark.createDataFrame(
+        [Row(d="2025-01-02", k=3, v=99.0), Row(d="2025-01-02", k=4, v=40.0)]
+    ).withColumn("d", F.to_date("d"))
+    out = merge_upsert(spark, updates, path, keys=["k"], date_col="d")
+    assert _rows(out, "k", "v") == [(1, 10.0), (2, 20.0), (3, 99.0), (4, 40.0)]
+    # day-1 partition untouched (same files, same mtimes)
+    assert day1_files == {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/p_date=2025-01-01/*.parquet")
+    }
+    # staging dir cleaned up
+    assert not os.path.exists(path + "__stage")
+
+
+def test_merge_upsert_partition_scoped_idempotent(tmp_path, spark):
+    path = str(tmp_path / "fact")
+    base = spark.createDataFrame(
+        [Row(d="2025-01-01", k=1, v=1.0), Row(d="2025-01-02", k=2, v=2.0)]
+    ).withColumn("d", F.to_date("d"))
+    merge_upsert(spark, base, path, keys=["k"], date_col="d")
+    updates = spark.createDataFrame(
+        [Row(d="2025-01-01", k=1, v=5.0)]
+    ).withColumn("d", F.to_date("d"))
+    once = _rows(
+        merge_upsert(spark, updates, path, keys=["k"], date_col="d"), "k", "v"
+    )
+    twice = _rows(
+        merge_upsert(spark, updates, path, keys=["k"], date_col="d"), "k", "v"
+    )
+    assert once == twice == [(1, 5.0), (2, 2.0)]
+
+
+def test_incremental_refresh_pipeline_one_date(tmp_path, spark):
+    """Full refresh flow: bootstrap the daily mart, then refresh ONE date —
+    only that p_date partition changes, validation gate passes, and the
+    refreshed values equal a from-scratch rebuild (no drift)."""
+    import glob
+    import os
+
+    from enterprise_data_quality_platform_spark.catalog import table
+
+    mart = str(tmp_path / "mart_events_daily")
+    # bootstrap: all dates
+    incremental_refresh_pipeline(spark, SF_SMALL, mart).run()
+    full_first = _rows(
+        spark.read.parquet(mart), "p_date", "event_type", "event_count"
+    )
+
+    dates = sorted(
+        r.d
+        for r in table(spark, SF_SMALL, "events")
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .collect()
+    )
+    refresh_day = dates[1]
+    untouched = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{mart}/p_date={dates[0]}/*.parquet")
+    }
+    ctx = incremental_refresh_pipeline(
+        spark, SF_SMALL, mart, refresh_dates=[refresh_day]
+    ).run()
+    assert len(ctx["revalidate"]) == 3  # all checks ran
+
+    # only the refreshed partition was rewritten
+    assert untouched == {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{mart}/p_date={dates[0]}/*.parquet")
+    }
+    # and the table still equals the full rebuild (refresh introduced no drift)
+    assert (
+        _rows(spark.read.parquet(mart), "p_date", "event_type", "event_count")
+        == full_first
+    )

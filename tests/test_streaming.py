@@ -16,6 +16,8 @@ from enterprise_data_quality_platform_spark.streaming import (
     events_stream,
     run_streaming_dq_gate,
     streaming_dedup,
+    streaming_session_windows,
+    streaming_sliding_counts,
     streaming_tumbling_counts,
 )
 
@@ -52,17 +54,104 @@ def test_streaming_batch_parity_tumbling(spark):
     assert got == expected
 
 
+def test_streaming_batch_parity_sliding(spark):
+    """T3: the streaming sliding-window aggregate equals the batch oracle
+    twin (events_sliding_windows). Complete mode so unfinalized windows
+    are emitted too."""
+    from enterprise_data_quality_platform_spark.queries.events import (
+        events_sliding_windows,
+    )
+
+    stream = streaming_sliding_counts(events_stream(spark, SF_SMALL))
+    _run_to_memory(stream, "sliding_test", output_mode="complete")
+    got = {
+        r.window_start: r.event_count
+        for r in spark.table("sliding_test").collect()
+    }
+    expected = {
+        r.window_start: r.event_count
+        for r in events_sliding_windows(spark, SF_SMALL).collect()
+    }
+    assert got == expected
+
+
+def test_streaming_batch_parity_session(spark):
+    """T4: streaming session windows equal a batch session_window
+    computation over the same table (values: bounds + counts per user)."""
+    from enterprise_data_quality_platform_spark.catalog import table
+
+    stream = streaming_session_windows(events_stream(spark, SF_SMALL))
+    _run_to_memory(stream, "session_test", output_mode="complete")
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.event_count)
+        for r in spark.table("session_test").collect()
+    )
+    batch = (
+        table(spark, SF_SMALL, "events")
+        .groupBy(F.session_window(F.col("ts").cast("timestamp"), "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "event_count",
+        )
+    )
+    expected = sorted(
+        (r.user_id, r.session_start, r.session_end, r.event_count)
+        for r in batch.collect()
+    )
+    assert got and got == expected
+
+
+def test_events_stream_value_parity(spark):
+    """T1: the streamed source rows are value-identical to the batch read —
+    the direct guard against source-decode bugs (a micros-vs-nanos mixup
+    lands every ts in 1970 and fails here immediately)."""
+    from enterprise_data_quality_platform_spark.catalog import table
+
+    _run_to_memory(events_stream(spark, SF_SMALL), "source_parity_test")
+    got = sorted(
+        (r.event_id, r.ts, r.user_id, r.event_type, r.value)
+        for r in spark.table("source_parity_test").collect()
+    )
+    expected = sorted(
+        (r.event_id, r.ts, r.user_id, r.event_type, r.value)
+        for r in table(spark, SF_SMALL, "events").collect()
+    )
+    assert got == expected
+
+
 def test_streaming_dedup_drops_in_batch_duplicates(spark):
+    from enterprise_data_quality_platform_spark.catalog import table
+
     stream = streaming_dedup(events_stream(spark, SF_SMALL))
     _run_to_memory(stream, "dedup_test")
     out = spark.table("dedup_test")
     assert out.count() == out.select("event_id").distinct().count()
+    # value check, not just counts: every surviving row exists verbatim in
+    # the batch table (ts included — catches source-decode drift)
+    batch = {
+        (r.event_id, r.ts, r.value)
+        for r in table(spark, SF_SMALL, "events").collect()
+    }
+    for r in out.collect():
+        assert (r.event_id, r.ts, r.value) in batch
 
 
 def test_streaming_dq_gate_summaries(spark):
     checks = [
         Check("non-empty", "row_count_between", "events", params={"min": 1}),
         Check("id not null", "not_null", "events", column="event_id"),
+        Check(
+            # ts-sensitive guard: fails if the source mis-decodes event time
+            # (e.g. micros-as-nanos lands everything in 1970)
+            "ts plausible",
+            "values_between",
+            "events",
+            column="ts",
+            params={"min": "2000-01-01 00:00:00", "max": "2100-01-01 00:00:00"},
+        ),
         Check(
             "impossible",  # deliberately failing gate, reference-style
             "values_between",
@@ -74,9 +163,9 @@ def test_streaming_dq_gate_summaries(spark):
     summaries = run_streaming_dq_gate(spark, SF_SMALL, checks)
     assert len(summaries) >= 1
     s = summaries[0]
-    assert s["total"] == 3
+    assert s["total"] == 4
     assert s["overall_status"] == "fail"
-    assert "impossible" in s["failed_checks"]
+    assert s["failed_checks"] == ["impossible"]
     assert s["rows"] > 0
 
 
