@@ -176,6 +176,97 @@ def write_validation_results(
     return report
 
 
+def render_data_docs_html(
+    results: Sequence[CheckResult],
+    suite_name: str = "default",
+    run_name: str | None = None,
+) -> str:
+    """Static data-docs page (the HTML analogue of GE's rendered docs site,
+    ``/root/reference/great_expectations/great_expectations.yml:21-30``):
+    summary banner + pass-rate bar + per-table sections with one row per
+    check. Self-contained (inline CSS, no scripts, no external assets) so
+    the file works from any object store or `file://`. Deterministic for a
+    given result set — run timestamps appear only if the caller passes
+    ``run_name`` (golden-file testable)."""
+    import html as _html
+
+    s = summarize(results)
+    status = s["overall_status"]
+    color = "#2e7d32" if status == "pass" else "#c62828"
+    pct = s["pass_rate"] * 100
+
+    by_table: dict[str, list[CheckResult]] = {}
+    for r in results:
+        by_table.setdefault(r.table, []).append(r)
+
+    def esc(v) -> str:
+        return _html.escape(str(v))
+
+    rows_html = []
+    for tbl in sorted(by_table):
+        rows_html.append(f"<h2>table: <code>{esc(tbl)}</code></h2>")
+        rows_html.append(
+            "<table><thead><tr><th></th><th>check</th><th>column</th>"
+            "<th>violations</th><th>observed</th><th>detail</th></tr></thead><tbody>"
+        )
+        for r in by_table[tbl]:
+            mark, cls = {
+                "pass": ("&#10003;", "ok"),
+                "fail": ("&#10007;", "bad"),
+            }.get(r.status, ("!", "err"))
+            viol = (
+                f"{r.violations}/{r.total}"
+                if r.violations is not None and r.total is not None
+                else "&mdash;"
+            )
+            obs = "; ".join(f"{k}={esc(v)}" for k, v in (r.observed or {}).items())
+            rows_html.append(
+                f'<tr class="{cls}"><td class="mark">{mark}</td>'
+                f"<td>{esc(r.check_name)}</td>"
+                f"<td><code>{esc(r.column) if r.column else '&mdash;'}</code></td>"
+                f"<td>{viol}</td><td>{obs or '&mdash;'}</td>"
+                f"<td>{esc(r.error_message) if r.error_message else ''}</td></tr>"
+            )
+        rows_html.append("</tbody></table>")
+
+    run_line = f"<p class=meta>run: <code>{esc(run_name)}</code></p>" if run_name else ""
+    return f"""<!doctype html>
+<html lang="en"><head><meta charset="utf-8">
+<title>Validation docs — {esc(suite_name)}</title>
+<style>
+body {{ font: 14px/1.5 system-ui, sans-serif; margin: 2rem auto; max-width: 60rem; color: #222; }}
+h1 .badge {{ background: {color}; color: #fff; border-radius: 4px; padding: 2px 10px; font-size: .7em; vertical-align: middle; }}
+.bar {{ background: #eee; border-radius: 4px; height: 10px; width: 100%; }}
+.bar > div {{ background: {color}; height: 100%; border-radius: 4px; width: {pct:.1f}%; }}
+table {{ border-collapse: collapse; width: 100%; margin: .5rem 0 1.5rem; }}
+th, td {{ text-align: left; padding: 4px 10px; border-bottom: 1px solid #e5e5e5; }}
+tr.bad td {{ background: #fdecea; }}
+tr.err td {{ background: #fff8e1; }}
+td.mark {{ width: 1.2em; }}
+.meta {{ color: #777; }}
+</style></head><body>
+<h1>Suite <code>{esc(suite_name)}</code> <span class="badge">{esc(status.upper())}</span></h1>
+<p>{s['passed']}/{s['total']} checks passed ({pct:.1f}%)</p>
+<div class="bar"><div></div></div>
+{run_line}
+{''.join(rows_html)}
+</body></html>
+"""
+
+
+def write_data_docs(
+    results: Sequence[CheckResult],
+    path: str,
+    suite_name: str = "default",
+    run_name: str | None = None,
+) -> str:
+    """Render + write the static docs page; returns the written path."""
+    out = Path(path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(render_data_docs_html(results, suite_name, run_name))
+    return str(out)
+
+
 def render_data_docs(results: Sequence[CheckResult]) -> str:
     """Minimal human-readable docs render (data-docs analogue)."""
     s = summarize(results)

@@ -5,12 +5,13 @@ with typed metadata; decode / feature-extraction / resize / frame-sampling
 run as Arrow-batched pandas iterators via ``mapInPandas`` — the Spark-side
 plumbing (schema, batch shape, partitioning) is real and tested.
 
-The actual codecs are NOT available in this environment, so the decode step
-is a clearly-marked stub: ``decode_payload`` raises NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder (seeded by
-content hash) produces stable pseudo-features. Swap ``_fake_decode`` for a
-PIL/ffmpeg call in a real deployment — the surrounding plumbing does not
-change.
+Decode is REAL for stdlib-decodable containers: PNG (full zlib inflate +
+scanline unfilter + pixel statistics) and PCM WAV (sample decode + energy/
+spectral features) — see ``codecs.py``. Formats that need native libraries
+(JPEG, MP4, ...) raise NotImplementedError from ``decode_payload``; a
+deployment with PIL/ffmpeg swaps that branch only — the Arrow plumbing
+does not change. A deterministic fake decoder (seeded by content hash)
+remains for tests that need arbitrary payloads.
 """
 
 from __future__ import annotations
@@ -68,6 +69,43 @@ def attach_fake_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
+def attach_real_payloads(docs: DataFrame) -> DataFrame:
+    """Real-payload twin of ``attach_fake_payloads``: encode each document
+    into an actually-decodable container — a 16×16 grayscale PNG (even
+    doc_id) or an 8 kHz PCM WAV (odd) — built from the content digest via
+    the stdlib codecs. Deterministic per document, Arrow-batched; gives the
+    fake=False decode path real bytes to chew on at any scale."""
+    from .codecs import png_encode, wav_encode
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.sha256((text or "").encode("utf-8")).digest()
+                buf = np.frombuffer((digest * 8)[:256], dtype=np.uint8)
+                if doc_id % 2 == 0:
+                    payload = png_encode(buf.reshape(16, 16))
+                    rows.append(
+                        (doc_id, payload, "image", "image/png", 16, 16, 0)
+                    )
+                else:
+                    samples = (buf.astype(np.float32) - 127.5) / 128.0
+                    payload = wav_encode(samples, sample_rate=8000)
+                    rows.append(
+                        (doc_id, payload, "audio", "audio/wav", None, None,
+                         int(len(samples) * 1000 / 8000))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "payload", "media_type", "mime",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(encode, MEDIA_SCHEMA)
+
+
 def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in for a real decoder: features seeded by the
     content digest, so results are stable across partitions/runs."""
@@ -78,14 +116,31 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def decode_payload(payload: bytes, fake: bool = False) -> np.ndarray:
-    """STUB: the real image/audio decode (PIL / torchaudio / ffmpeg) is not
-    available in this container."""
-    if not fake:
-        raise NotImplementedError(
-            "media codecs not available in this environment; "
-            "pass fake=True for the deterministic stand-in decoder"
-        )
-    return _fake_decode(payload)
+    """Decode a media payload to the fixed feature vector.
+
+    Real path (``fake=False``): route by magic bytes to the stdlib codecs
+    in ``codecs.py`` — full PNG decode (zlib inflate + scanline unfilter +
+    pixel stats) and PCM WAV decode (energy + spectral bands). Formats
+    needing native libraries (JPEG/MP4/...) raise NotImplementedError —
+    in a real deployment that branch dispatches to PIL/ffmpeg; the
+    surrounding Arrow plumbing is unchanged.
+
+    Fake path (``fake=True``): deterministic content-hash features, kept
+    for tests that need payloads without a decodable container."""
+    if fake:
+        return _fake_decode(payload)
+    from .codecs import png_features, sniff_format, wav_features
+
+    fmt = sniff_format(payload)
+    if fmt == "png":
+        return png_features(payload)
+    if fmt == "wav":
+        return wav_features(payload)
+    raise NotImplementedError(
+        "no stdlib codec for this payload format; PNG and WAV decode "
+        "natively — other containers need PIL/ffmpeg (not in this "
+        "environment)"
+    )
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:

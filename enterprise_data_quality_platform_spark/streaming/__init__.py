@@ -1,5 +1,8 @@
 from .pipeline import (
+    EVENTS_WIRE_SCHEMA,
     events_stream,
+    kafka_events_stream,
+    parse_kafka_events,
     rate_events_stream,
     run_streaming_dq_gate,
     shape_rate_events,
@@ -11,7 +14,10 @@ from .pipeline import (
 )
 
 __all__ = [
+    "EVENTS_WIRE_SCHEMA",
     "events_stream",
+    "kafka_events_stream",
+    "parse_kafka_events",
     "rate_events_stream",
     "shape_rate_events",
     "streaming_tumbling_counts",

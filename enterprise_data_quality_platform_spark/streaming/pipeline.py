@@ -101,6 +101,79 @@ def rate_events_stream(
     return shape_rate_events(raw)
 
 
+def kafka_events_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    drop_corrupt: bool = True,
+) -> DataFrame:
+    """T1 (Kafka source): ``format("kafka")`` wiring for the events topic —
+    the production twin of the reference's event-driven failure fan-out
+    (``repository_dispatch`` webhooks,
+    ``/root/reference/.github/workflows/Dag_Fail_Alert.yml:4-6``). Every
+    downstream operator in this module consumes the result unchanged.
+
+    The sandbox has no broker (and no spark-sql-kafka package), so this
+    function is config wiring; the value decoding lives in
+    ``parse_kafka_events`` which is unit-tested on static broker-shaped
+    frames. Options follow the public spark-sql-kafka surface:
+    ``maxOffsetsPerTrigger`` bounds per-micro-batch intake (the Kafka
+    analogue of maxFilesPerTrigger), ``startingOffsets`` picks
+    earliest/latest/per-partition JSON."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    return parse_kafka_events(reader.load(), drop_corrupt=drop_corrupt)
+
+
+#: JSON value schema for events records on the wire. ``ts`` arrives as a
+#: string: ISO-8601 or epoch milliseconds both decode (producers disagree).
+EVENTS_WIRE_SCHEMA = (
+    "event_id long, ts string, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def parse_kafka_events(raw: DataFrame, drop_corrupt: bool = True) -> DataFrame:
+    """Decode broker-shaped rows (binary ``value`` + broker ``timestamp``)
+    into the events schema — split from the source so it is testable
+    without a broker, exactly like ``shape_rate_events``.
+
+    Decoding rules:
+    - value parses with ``from_json`` against ``EVENTS_WIRE_SCHEMA``
+      (permissive: malformed JSON → null struct);
+    - event time: ISO-8601 ``ts`` or epoch-millis ``ts``, else the broker
+      timestamp (late-arrival-safe default, never null);
+    - ``drop_corrupt=True`` filters undecodable rows (the DQ gate can
+      count them upstream via a parallel query on the raw frame);
+      ``False`` keeps them with null event_id for quarantine sinks."""
+    e = F.from_json(F.col("value").cast("string"), EVENTS_WIRE_SCHEMA)
+    parsed = raw.select(
+        e.alias("e"), F.col("timestamp").alias("_broker_ts")
+    ).select(
+        F.col("e.event_id").alias("event_id"),
+        F.coalesce(
+            F.try_to_timestamp(F.col("e.ts")),
+            F.timestamp_millis(F.col("e.ts").try_cast("long")),
+            F.col("_broker_ts"),
+        ).alias("ts"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.event_type").alias("event_type"),
+        F.col("e.value").alias("value"),
+        F.col("e.props").alias("props"),
+    )
+    if drop_corrupt:
+        parsed = parsed.filter(F.col("event_id").isNotNull())
+    return parsed
+
+
 def shape_rate_events(raw: DataFrame) -> DataFrame:
     """Map a rate-source frame (timestamp, value) to the events schema —
     split out so the transform is testable on a static batch twin."""

@@ -284,6 +284,85 @@ def test_shape_rate_events_deterministic(spark):
     assert rows == again  # deterministic
 
 
+def test_parse_kafka_events_value_decoding(spark):
+    """Kafka value parser on broker-shaped static rows: ISO-8601 ts,
+    epoch-millis ts, broker-timestamp fallback, corrupt-row filtering —
+    no broker needed (same split as shape_rate_events)."""
+    import datetime as dt
+    import json
+
+    from enterprise_data_quality_platform_spark.streaming import (
+        parse_kafka_events,
+    )
+
+    broker_ts = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+    def rec(**kw):
+        return json.dumps(kw).encode()
+
+    rows = [
+        (rec(event_id=1, ts="2024-03-01T06:30:00", user_id=7,
+             event_type="view", value=1.5, props="{}"), broker_ts),
+        (rec(event_id=2, ts="1709275800000", user_id=8,  # epoch millis
+             event_type="click", value=2.5, props="{}"), broker_ts),
+        (rec(event_id=3, user_id=9, event_type="error", value=9.9,
+             props="{}"), broker_ts),              # no ts → broker timestamp
+        (b"not json at all", broker_ts),           # corrupt → dropped
+    ]
+    raw = spark.createDataFrame(rows, "value binary, timestamp timestamp")
+
+    got = {r.event_id: r for r in parse_kafka_events(raw).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].ts == dt.datetime(2024, 3, 1, 6, 30, 0)
+    assert got[2].ts == dt.datetime(2024, 3, 1, 6, 50, 0)  # 1709275800000 ms
+    assert got[3].ts == broker_ts
+    assert (got[1].event_type, got[1].user_id, got[1].value) == ("view", 7, 1.5)
+
+    kept = parse_kafka_events(raw, drop_corrupt=False).collect()
+    assert len(kept) == 4
+    assert sum(1 for r in kept if r.event_id is None) == 1
+
+
+def test_parse_kafka_events_feeds_downstream_operators(spark):
+    """The parsed frame plugs into the same operators as the file source:
+    tumbling counts over parsed broker rows match a hand computation."""
+    import datetime as dt
+    import json
+
+    from enterprise_data_quality_platform_spark.streaming import (
+        parse_kafka_events,
+    )
+
+    base = dt.datetime(2024, 3, 1, 6, 0, 0)
+    rows = [
+        (
+            json.dumps(
+                {
+                    "event_id": i,
+                    "ts": (base + dt.timedelta(minutes=20 * i)).isoformat(),
+                    "user_id": 1,
+                    "event_type": "view",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            ).encode(),
+            base,
+        )
+        for i in range(6)  # 06:00..07:40 → 3 per hour window
+    ]
+    raw = spark.createDataFrame(rows, "value binary, timestamp timestamp")
+    agg = (
+        parse_kafka_events(raw)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+    )
+    got = {
+        (r.window.start.hour, r.event_type): r.event_count
+        for r in agg.collect()
+    }
+    assert got == {(6, "view"): 3, (7, "view"): 3}
+
+
 def test_incident_tracker_matches_batch_twin(spark):
     """The applyInPandasWithState incident lifecycle emits exactly the
     batch twin's transition rows (same keys, order, actions)."""

@@ -81,6 +81,58 @@ def test_validation_results_store_and_docs(spark):
     assert "FAIL" in docs and "bad domain" in docs and "✓ nn" in docs
 
 
+def test_data_docs_html_golden():
+    """HTML docs render matches the committed golden page byte-for-byte
+    (deterministic: fixed results, no wall-clock in the output)."""
+    import datetime
+    from pathlib import Path
+
+    from enterprise_data_quality_platform_spark.checks.definitions import (
+        CheckResult,
+    )
+    from enterprise_data_quality_platform_spark.checks.suite_io import (
+        render_data_docs_html,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    results = [
+        CheckResult("orders non-empty", "orders", None, "pass", None, None,
+                    {"row_count": "15000"}, None, ts),
+        CheckResult("custkey not null", "orders", "o_custkey", "pass", 0,
+                    15000, {}, None, ts),
+        CheckResult("status domain", "orders", "o_orderstatus", "fail", 3750,
+                    15000, {"unexpected_pct": "25.0"}, None, ts),
+        CheckResult("nation whitelist <tag>", "nation", "n_name", "error",
+                    None, None, {}, "AnalysisException: column missing & gone",
+                    ts),
+    ]
+    html = render_data_docs_html(
+        results, suite_name="reference-suite", run_name="r1"
+    )
+    golden = Path(__file__).parent / "golden" / "data_docs.html"
+    assert html == golden.read_text()
+    # structural invariants worth pinning beyond the byte compare
+    assert "&lt;tag&gt;" in html and "&amp; gone" in html  # escaped
+    assert html.count("<table>") == 2  # one section per table
+    assert "FAIL" in html and "50.0%" in html
+
+
+def test_write_data_docs_roundtrip(tmp_path, spark):
+    from enterprise_data_quality_platform_spark.checks.suite_io import (
+        write_data_docs,
+    )
+
+    tables = {"orders": table(spark, SF_SMALL, "orders")}
+    results = run_suite(
+        tables, [Check("nn", "not_null", "orders", column="o_custkey")]
+    )
+    out = write_data_docs(
+        results, str(tmp_path / "docs" / "index.html"), suite_name="s"
+    )
+    text = open(out).read()
+    assert text.startswith("<!doctype html>") and "nn" in text and "PASS" in text
+
+
 # --- properties -----------------------------------------------------------
 
 

@@ -1,0 +1,127 @@
+"""Multi-scale bench: run the HEADLINE queries on Spark AND DuckDB at
+several sf tiers and write the raw per-query medians to one committed JSON
+(PERF_MULTISCALE.json), so scaling claims are reproducible from checked-in
+data instead of prose (VERDICT r2 next-round item 3).
+
+Usage: python tools/multiscale.py [out.json] [tier=dir ...]
+Default tiers: 0.1=/root/testdata/sf0.1, 1=testdata_sf1, 10=testdata_sf10
+(the sf1/sf10 dirs are gitignored replicas built by tools/make_sf1.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from bench import HEADLINE, HEAVY  # noqa: E402
+
+#: timed runs per tier — larger tiers amortize the floor, need fewer medians
+RUNS_BY_TIER = {"0.1": 5, "1": 3, "10": 2}
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def time_queries(run, names, runs: int, gc=None) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in names:
+        run(name)  # warm (codegen / buffer pool)
+        if gc is not None and name in HEAVY:
+            gc()
+        samples = []
+        for _ in range(max(1, runs if name not in HEAVY else min(runs, 2))):
+            t0 = time.perf_counter()
+            run(name)
+            samples.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(samples), 4)
+    return out
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    out_path = args[0] if args else "/root/repo/PERF_MULTISCALE.json"
+    tier_args = args[1:] or [
+        "0.1=/root/testdata/sf0.1",
+        "1=/root/repo/testdata_sf1",
+        "10=/root/repo/testdata_sf10",
+    ]
+
+    import __spark_entry__ as entrymod
+    from enterprise_data_quality_platform_spark.queries import query_fns
+    from enterprise_data_quality_platform_spark.session import get_spark
+
+    spark = get_spark("edqp-multiscale")
+    fns, oracles = query_fns(), entrymod.oracle_sql()
+    names = [n for n in HEADLINE if n in fns and n in oracles]
+
+    doc: dict = {
+        "metric": "headline_query_medians_by_scale",
+        "unit": "sec",
+        "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "queries": names,
+        "tiers": {},
+    }
+    for spec in tier_args:
+        tier, sf_dir = spec.split("=", 1)
+        if not Path(sf_dir).exists():
+            print(f"skip tier {tier}: {sf_dir} missing", file=sys.stderr)
+            continue
+        runs = RUNS_BY_TIER.get(tier, 3)
+
+        def spark_run(name, _dir=sf_dir):
+            fns[name](spark, _dir).collect()
+
+        spark_t = time_queries(
+            spark_run, names, runs,
+            gc=lambda: (spark.sparkContext._jvm.System.gc(), time.sleep(1)),
+        )
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+
+        def duck_run(name, _con=con):
+            _con.execute(oracles[name]).fetchall()
+
+        duck_t = time_queries(duck_run, names, runs)
+        con.close()
+
+        ratio = {
+            n: round(spark_t[n] / duck_t[n], 2) if duck_t[n] > 0 else None
+            for n in names
+        }
+        doc["tiers"][tier] = {
+            "sf_dir": sf_dir,
+            "runs": runs,
+            "spark": spark_t,
+            "duckdb": duck_t,
+            "ratio": ratio,
+            "spark_total": round(sum(spark_t.values()), 4),
+            "duckdb_total": round(sum(duck_t.values()), 4),
+            "aggregate_ratio": round(
+                sum(spark_t.values()) / sum(duck_t.values()), 2
+            ),
+        }
+        print(
+            f"tier sf{tier}: spark {doc['tiers'][tier]['spark_total']} s, "
+            f"duckdb {doc['tiers'][tier]['duckdb_total']} s, "
+            f"ratio {doc['tiers'][tier]['aggregate_ratio']}x"
+        )
+
+    Path(out_path).write_text(json.dumps(doc, indent=1))
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
