@@ -102,12 +102,40 @@ def streaming_sliding_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_session_windows",
-    oracle=None,  # streaming — rows-only; T4 batch twin carries the oracle
+    # full per-session oracle via gaps-and-islands: Spark's session merge
+    # is gap-INCLUSIVE (event exactly at session_end extends it), which is
+    # precisely `ts - prev_ts > 30 min` starting a new island; session_end
+    # is last-event ts + gap. Complete-mode AvailableNow emits every
+    # session, open ones included.
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), islands AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM marked
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           COUNT(*) AS event_count
+    FROM islands
+    GROUP BY user_id, sid
+    """,
     tables=("events",),
 )
 def streaming_session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: native session_window (30-min gap) over the event stream, run to
-    completion with AvailableNow (complete mode so open sessions emit)."""
+    completion with AvailableNow (complete mode so open sessions emit).
+    Oracle-checked per session (bounds + counts), not just per user."""
     from ..streaming import events_stream, streaming_session_windows
 
     stream = streaming_session_windows(events_stream(spark, sf_dir))
@@ -170,14 +198,31 @@ def streaming_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_incident_lifecycle",
-    oracle=None,  # streaming — rows-only; events_incident_transitions twin
+    # same oracle as the batch twin events_incident_transitions: with one
+    # AvailableNow micro-batch the tracker's per-key (ts, event_id) sort
+    # makes the state machine's transition set exactly the lag-based SQL.
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type, ts, event_id, value,
+             LAG(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             ) AS prev_value
+      FROM events
+    )
+    SELECT event_type, ts, event_id, value,
+           CASE WHEN value > 150.0 THEN 'trigger' ELSE 'resolve' END AS action
+    FROM ordered
+    WHERE (value > 150.0 AND (prev_value IS NULL OR prev_value <= 150.0))
+       OR (value <= 150.0 AND prev_value > 150.0)
+    """,
     tables=("events",),
 )
 def streaming_incident_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-event-type
     incident lifecycle — trigger above threshold, suppress while open,
     resolve on recovery (the reference's PagerDuty incident_key semantics
-    as a streaming state machine). Batch twin carries the oracle."""
+    as a streaming state machine). Oracle-checked against the lag-based
+    transition SQL (the batch twin's oracle)."""
     from ..streaming import events_stream, streaming_incident_tracker
 
     stream = streaming_incident_tracker(events_stream(spark, sf_dir))
