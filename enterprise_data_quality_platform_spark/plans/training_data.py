@@ -201,6 +201,110 @@ def pack_sequences(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken '03, the
+    MOSS algorithm): hash each word ``k``-gram, slide a window of ``w``
+    consecutive hashes, keep each window's minimum. Guarantee: any shared
+    token run of length >= ``w + k - 1`` between two documents shares at
+    least one fingerprint, at a fraction (~2/(w+1)) of the full gram-set
+    size — the standard local fingerprinting scheme for plagiarism /
+    boilerplate / near-dup detection.
+
+    100 TB posture: explode gram POSITIONS, hash each gram with plain
+    expressions (md5 over array_join(slice(...)) — whole-stage codegen),
+    then a per-doc window MIN over the next ``w`` rows. The one shuffle
+    partitions by doc (each partition is one document's grams — bounded
+    and tiny), and the window is codegen'd WindowExec. The tempting
+    all-in-row HOF form (``transform`` lambdas for hash + window-min) is
+    CodegenFallback — interpreted per element, measured 44 s vs 1.5 s for
+    500 docs — the same trap PERF.md documents for MinHash shingles.
+    md5 hex (lexicographic order) keeps the min-selection ORACLE-PORTABLE
+    (DuckDB md5 produces identical digests); a Spark-only deployment can
+    swap xxhash64 longs for cheaper hashing with the identical plan.
+
+    Docs with fewer than ``k + w - 1`` tokens have no full window and are
+    omitted (deterministic on both engines). Returns the flat
+    (id_col, fp) set — distinct fingerprints per doc, join-ready."""
+    from pyspark.sql import Window
+
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # repartition by doc FIRST: hashing parallelizes even from one input
+    # file, and hashpartitioning(id) satisfies the window's required
+    # distribution — one shuffle total for the whole operator.
+    base = (
+        docs.repartition(parallelism, F.col(id_col))
+        .select(F.col(id_col), toks.alias("__t"))
+        .where(F.size("__t") >= k + w - 1)
+    )
+    n_grams = F.size("__t") - (k - 1)
+    # gram string via k element_at lookups (codegen) — same bytes as
+    # array_to_string(slice(...)) without allocating the slice array
+    gram_str = F.concat_ws(
+        " ", *[F.element_at(F.col("__t"), F.col("__i") + j) for j in range(k)]
+    )
+    grams = base.select(
+        F.col(id_col),
+        n_grams.alias("__n"),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("__i"),
+        F.col("__t"),
+    ).select(F.col(id_col), F.col("__n"), F.col("__i"), F.md5(gram_str).alias("__h"))
+    win = Window.partitionBy(id_col).orderBy("__i").rowsBetween(0, w - 1)
+    return (
+        grams.select(
+            F.col(id_col),
+            F.col("__n"),
+            F.col("__i"),
+            F.min("__h").over(win).alias("fp"),
+        )
+        .where(F.col("__i") <= F.col("__n") - (w - 1))
+        .select(F.col(id_col), "fp")
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fingerprint-overlap candidate pairs: explode winnowing fingerprints
+    and equi-join on the fingerprint — the same bucket-join shape as
+    MinHash-LSH banding (dedup/minhash.py), never an all-pairs comparison.
+    ``max_bucket`` drops degenerate boilerplate fingerprints shared by
+    more than N docs (the skew guard; a fingerprint in 10k docs would emit
+    ~10^8 pairs and says "template", not "copy"). Returns
+    (id_a, id_b, shared_fps) with id_a < id_b, shared_fps >= min_shared."""
+    flat = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    if max_bucket is not None:
+        ok = (
+            flat.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket)
+            .select("fp")
+        )
+        flat = flat.join(ok, on="fp")
+    a = flat.select(F.col(id_col).alias("id_a"), "fp")
+    b = flat.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+
+
 def repetition_stats(
     docs: DataFrame,
     ngram: int = 5,

@@ -293,3 +293,84 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: shared winnowing CTE (k=5 grams, w=4 windows) — fingerprint selection is
+#: md5-hex min, portable across engines (Spark md5 == DuckDB md5).
+_WINNOW_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), idx AS (
+  SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 4)) AS i
+  FROM toks WHERE len(t) >= 5
+), grams AS (
+  SELECT doc_id, i, md5(array_to_string(t[i : i + 4], ' ')) AS h FROM idx
+), wins AS (
+  SELECT doc_id, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins WHERE i <= n_grams - 3
+)
+"""
+
+
+@register(
+    "text_fingerprint_winnow",
+    oracle=_WINNOW_CTE
+    + """
+    SELECT doc_id,
+           COUNT(*) AS n_fingerprints,
+           MIN(fp) AS min_fp
+    FROM fps
+    GROUP BY doc_id
+    """,
+    tables=("documents",),
+)
+def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint profile (MOSS local fingerprinting): per doc,
+    the distinct window-min fingerprint count and the lexicographic min
+    fingerprint. Explode + codegen'd window-min + per-doc aggregate (one
+    doc-partitioned shuffle). Docs with < k+w-1 tokens carry no full
+    window and are omitted (same convention both engines)."""
+    from ..plans.training_data import winnow_fingerprints
+
+    fps = winnow_fingerprints(table(spark, sf_dir, "documents"), k=5, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+    )
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=_WINNOW_CTE
+    + """
+    , eligible AS (
+      SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 1000
+    ), flat AS (
+      SELECT f.doc_id, f.fp FROM fps f JOIN eligible USING (fp)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+    FROM flat a JOIN flat b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+    tables=("documents",),
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-overlap near-dup pairs: winnowing fingerprints bucket-
+    joined on the fingerprint (the LSH-banding join shape — no all-pairs),
+    hot-fingerprint skew guard, >= 2 shared fingerprints. The third
+    near-dup family next to MinHash-LSH (probabilistic Jaccard) and
+    SimHash (Hamming): winnowing guarantees detection of any shared run
+    of >= w+k-1 tokens."""
+    from ..plans.training_data import winnow_pairs
+
+    return winnow_pairs(
+        table(spark, sf_dir, "documents"), k=5, w=4, min_shared=2,
+        max_bucket=1000,
+    )
