@@ -39,6 +39,7 @@ HEADLINE = [
     "text_token_topk",
     "text_quality_scores",
     "text_repetition_stats",
+    "text_fingerprint_winnow",
     "training_decontaminate",
     "dedup_exact_docs",
     "embed_knn_bruteforce",
