@@ -98,6 +98,29 @@ def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_winnow_keep",
+    oracle=None,  # CC resolution is iterative → rows-only; the PAIR graph
+    # feeding it is oracle-backed (dedup_winnow_pairs)
+    tables=("documents",),
+)
+def dedup_winnow_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 end-to-end: winnowing fingerprint pairs → connected components
+    (min-label propagation, dedup/clusters.py) → keep one doc per cluster.
+    The guaranteed-detection companion to dedup_minhash_keep: winnowing
+    catches every shared run >= w+k-1 tokens, MinHash catches high overall
+    Jaccard — a curation pipeline runs both families."""
+    from ..plans.training_data import winnow_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = winnow_pairs(docs, k=5, w=4, min_shared=2)
+    kept = keep_one_per_cluster(docs, pairs)
+    return kept.agg(
+        F.count(F.lit(1)).alias("surviving_docs"),
+        F.sum(F.length("text")).alias("surviving_chars"),
+    )
+
+
+@register(
     "dedup_simhash_docs",
     oracle=None,  # engine-specific hashing → rows-only
     tables=("documents",),

@@ -64,7 +64,58 @@ def main() -> None:
     curated = curate_documents(tables["documents"], with_near_dup=True)
     corpus_stats(curated).show()
 
-    # 4 — drop-in reference API (analysis.md's DataValidationPipeline)
+    # 4 — near-dup families: MinHash (Jaccard), winnowing (guaranteed
+    # shared-run detection) — pair graphs + keep-one-per-cluster
+    from enterprise_data_quality_platform_spark.dedup import keep_one_per_cluster
+    from enterprise_data_quality_platform_spark.plans.training_data import (
+        winnow_pairs,
+    )
+
+    pairs = winnow_pairs(tables["documents"], min_shared=2)
+    print("winnow near-dup pairs:", pairs.count())
+    print("docs after winnow dedup:",
+          keep_one_per_cluster(tables["documents"], pairs).count(), "\n")
+
+    # 5 — static data-docs page (the GE rendered-docs analogue)
+    from enterprise_data_quality_platform_spark.checks.suite_io import (
+        write_data_docs,
+    )
+
+    docs_path = write_data_docs(
+        results, f"{tempfile.mkdtemp(prefix='edqp-docs-')}/index.html",
+        suite_name="quickstart",
+    )
+    print("data docs:", docs_path, "\n")
+
+    # 6 — incremental mart refresh: rebuild ONE day, re-validate
+    from enterprise_data_quality_platform_spark.plans.reference_pipelines import (
+        incremental_refresh_pipeline,
+    )
+
+    mart_path = tempfile.mkdtemp(prefix="edqp-mart-") + "/events_daily"
+    incremental_refresh_pipeline(spark, sf_dir, mart_path).run()  # bootstrap
+    print("refreshed partitions:",
+          spark.read.parquet(mart_path).select("p_date").distinct().count(), "\n")
+
+    # 7 — streaming: the same tumbling aggregate as a stream (AvailableNow)
+    from enterprise_data_quality_platform_spark.streaming import (
+        events_stream,
+        streaming_tumbling_counts,
+    )
+
+    q = (
+        streaming_tumbling_counts(events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("qs_tumbling")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="edqp-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+    print("streaming tumbling windows:", spark.table("qs_tumbling").count(), "\n")
+
+    # 8 — drop-in reference API (analysis.md's DataValidationPipeline)
     pipeline = DataValidationPipeline(spark)
     summary = pipeline.run_all_validations(
         [

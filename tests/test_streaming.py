@@ -363,6 +363,127 @@ def test_parse_kafka_events_feeds_downstream_operators(spark):
     assert got == {(6, "view"): 3, (7, "view"): 3}
 
 
+def test_incident_tracker_state_carries_across_micro_batches(spark):
+    """The open-incident bit must survive micro-batch boundaries: an
+    incident opened in batch 0 suppresses re-triggers in batch 1 and
+    resolves there — the exact behavior a batch-twin-only test can't
+    pin (one AvailableNow batch never crosses the boundary)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from enterprise_data_quality_platform_spark.streaming import (
+        streaming_incident_tracker,
+    )
+
+    src = tempfile.mkdtemp(prefix="edqp-xbatch-")
+
+    def write(name, rows):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+                "user_id": [1] * len(rows),
+                "event_type": ["error"] * len(rows),
+                "value": [r[2] for r in rows],
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(f"{src}/{name}")
+
+    # batch 0: trigger (200 > 150) and stay open
+    write("a.parquet", [(1, "2024-01-01 00:00:00", 200.0),
+                        (2, "2024-01-01 00:01:00", 180.0)])
+    # batch 1: still high (suppressed), then resolve, then re-trigger
+    write("b.parquet", [(3, "2024-01-01 00:02:00", 190.0),
+                        (4, "2024-01-01 00:03:00", 10.0),
+                        (5, "2024-01-01 00:04:00", 170.0)])
+    now = time.time()
+    os.utime(f"{src}/a.parquet", (now - 60, now - 60))
+    os.utime(f"{src}/b.parquet", (now - 30, now - 30))
+
+    stream_df = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_incident_tracker(stream_df)
+    _run_to_memory(out, "xbatch_test", output_mode="append")
+    got = [
+        (r.event_id, r.action)
+        for r in spark.table("xbatch_test").orderBy("ts").collect()
+    ]
+    # 2 and 3 are suppressed (incident already open — 3 only if state
+    # carried over the batch boundary), 4 resolves, 5 re-triggers
+    assert got == [(1, "trigger"), (4, "resolve"), (5, "trigger")]
+
+
+def test_watermark_append_mode_emits_only_finalized_windows(spark):
+    """Append-mode emission timing: a window is emitted exactly when the
+    watermark passes its end — before that it is withheld; after, its
+    VALUE is final (late-but-in-grace rows included, too-late excluded)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    src = tempfile.mkdtemp(prefix="edqp-append-")
+
+    def write(name, ids, tss):
+        pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": pd.to_datetime(tss).astype("datetime64[us]"),
+                "user_id": [1] * len(ids),
+                "event_type": ["view"] * len(ids),
+                "value": [1.0] * len(ids),
+                "props": ["{}"] * len(ids),
+            }
+        ).to_parquet(f"{src}/{name}")
+
+    # batch 0: two rows in the 10:00 window
+    write("a.parquet", [1, 2], ["2024-06-01 10:05:00", "2024-06-01 10:20:00"])
+    # batch 1: watermark jumps past 11:00 (12:00 - 10min) → 10:00 window
+    # finalizes WITH the in-grace row 3 that arrives in the same batch
+    write("b.parquet", [3, 4], ["2024-06-01 10:40:00", "2024-06-01 12:00:00"])
+    now = time.time()
+    os.utime(f"{src}/a.parquet", (now - 60, now - 60))
+    os.utime(f"{src}/b.parquet", (now - 30, now - 30))
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _run_to_memory(agg, "append_mode_test", output_mode="append")
+    got = {
+        r.window.start.hour: r.n for r in spark.table("append_mode_test").collect()
+    }
+    # 10:00 window finalized with all 3 rows; 12:00 window still open
+    # (watermark never passed 13:00) → withheld in append mode
+    assert got == {10: 3}
+
+
 def test_incident_tracker_matches_batch_twin(spark):
     """The applyInPandasWithState incident lifecycle emits exactly the
     batch twin's transition rows (same keys, order, actions)."""

@@ -92,6 +92,34 @@ def test_winnow_pairs_finds_planted_near_dup(spark):
     assert pairs[0].shared_fps >= 2
 
 
+def test_winnow_keep_one_per_cluster(spark):
+    """End-to-end X12 dedup: pair graph → connected components → keep the
+    min-id member per cluster; unrelated docs untouched; idempotent."""
+    from enterprise_data_quality_platform_spark.dedup import (
+        keep_one_per_cluster,
+    )
+    from enterprise_data_quality_platform_spark.plans.training_data import (
+        winnow_pairs,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    other = " ".join(f"other{i}" for i in range(60))
+    docs = _docs(
+        spark,
+        [
+            (1, base),
+            (2, base + " tail a"),
+            (3, base + " tail b"),  # cluster {1,2,3} → keep 1
+            (7, other),  # untouched
+        ],
+    )
+    pairs = winnow_pairs(docs, k=K, w=W, min_shared=2)
+    kept = keep_one_per_cluster(docs, pairs)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 7]
+    again = keep_one_per_cluster(kept, winnow_pairs(kept, k=K, w=W, min_shared=2))
+    assert sorted(r.doc_id for r in again.collect()) == [1, 7]
+
+
 def test_winnow_pairs_hot_fingerprint_guard(spark):
     """A fingerprint shared by more docs than max_bucket is dropped — the
     boilerplate/template skew guard."""
