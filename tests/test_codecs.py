@@ -172,6 +172,48 @@ def test_sniff_and_decode_payload_routing():
         decode_payload(b"\xff\xd8\xff\xe0JFIF")
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        c=st.integers(1, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_png_roundtrip_property(h, w, c, seed):
+        """Property: every uint8 image round-trips bit-exactly through the
+        pure-stdlib PNG encoder/decoder for any geometry and channel count."""
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        assert np.array_equal(png_decode(png_encode(img)), img)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 400),
+        ch=st.integers(1, 2),
+        rate=st.sampled_from([4000, 8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_wav_roundtrip_property(n, ch, rate, seed):
+        """Property: float samples round-trip through PCM WAV within one
+        quantization step; rate and shape preserved."""
+        rng = np.random.default_rng(seed)
+        sig = rng.uniform(-0.999, 0.999, size=(n, ch))
+        out, got_rate = wav_decode(wav_encode(sig, sample_rate=rate))
+        assert got_rate == rate and out.shape == (n, ch)
+        assert np.allclose(out, sig, atol=2 / 32768)
+
+
 def test_multimodal_decode_real_query_all_ok(spark):
     """The registered fake=False query decodes every generated payload:
     exactly one 'ok' row per media type, counts covering all documents."""

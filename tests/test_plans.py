@@ -176,3 +176,16 @@ def test_knn_batch_topk_has_partial_window_limit(spark):
     plan = plan_of(spark, "embed_knn_batch")
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan, "map-side top-k pass lost"
+
+
+def test_winnow_single_exchange_and_codegen_hashing(spark):
+    """Winnowing fingerprints: the repartition's hashpartitioning(doc_id)
+    must serve the window AND the per-doc aggregate — exactly ONE Exchange
+    in the whole plan — and gram hashing must be plain codegen expressions
+    (no Python, no interpreted HOF lambdas)."""
+    plan = plan_of(spark, "text_fingerprint_winnow")
+    # count physical-plan node lines ("(N) Exchange"), not substrings
+    nodes = [l for l in plan.splitlines() if ") Exchange" in l]
+    assert len(nodes) == 1, nodes
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
