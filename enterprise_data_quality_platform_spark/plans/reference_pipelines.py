@@ -208,13 +208,17 @@ def etl_pipeline(spark: SparkSession, sf_dir: str) -> Pipeline:
         ).select("n_nationkey", "n_name", "r_name")
 
     def enrichment(ctx: Ctx) -> DataFrame:
+        # product/customer masters grow with the data (part- and
+        # customer-derived) — no broadcast hints; AQE auto-broadcasts them
+        # while they fit and shuffles when they don't (the forced hint was
+        # measured 1.5x slower at sf10 on the same join shape, PERF.md r3)
         t = ctx["tables"]
         enriched = (
             t["lineitem"]
-            .join(F.broadcast(ctx["product_master"]),
+            .join(ctx["product_master"],
                   t["lineitem"]["l_partkey"] == F.col("p_partkey"))
             .join(t["orders"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"])
-            .join(F.broadcast(ctx["customer_master"]),
+            .join(ctx["customer_master"],
                   t["orders"]["o_custkey"] == F.col("c_custkey"))
         )
         return enriched

@@ -350,16 +350,21 @@ def events_hourly_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables=("lineitem", "part", "supplier"),
 )
 def mart_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R6/R10: fact ⋈ two dimensions (part, supplier — both broadcast) +
-    agg + deterministic top-25."""
+    """R6/R10: fact ⋈ two dimensions + agg + deterministic top-25.
+
+    No broadcast hints: part/supplier GROW with the data (2M/100k rows at
+    sf10) — the forced broadcast was measured 1.5x SLOWER than letting AQE
+    decide (5.6 vs 3.8 s at sf10; AQE still auto-broadcasts them at small
+    scale where it pays). Hints are reserved for size-constant dims
+    (nation, region)."""
     lineitem = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
     supplier = table(spark, sf_dir, "supplier")
     from ..models.marts import money_sum
 
     return (
-        lineitem.join(F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
+        lineitem.join(part, lineitem["l_partkey"] == part["p_partkey"])
+        .join(supplier, lineitem["l_suppkey"] == supplier["s_suppkey"])
         .groupBy("p_brand", "s_name")
         .agg(
             money_sum(F.col("l_quantity"), "total_qty"),
