@@ -339,3 +339,47 @@ def repetition_stats(
         d.alias("distinct_grams"),
         F.when(n > 0, (n - d) / n).otherwise(F.lit(0.0)).alias("rep_ratio"),
     )
+
+
+#: Modulus applied to ids before the multiplicative hash so the product
+#: stays < 2^51 for ANY 64-bit id (ANSI overflow-safe at 100 TB id ranges,
+#: where raw ``id * hash`` would throw past id ~2^32).
+_SAMPLE_ID_MOD = 1_000_003
+
+
+def sample_balanced(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic stratified downsampling to a uniform per-stratum
+    budget — the "flatten source skew" step of a training-data mix (e.g.
+    cap every crawl/source at the size of the smallest one).
+
+    Each stratum keeps rows where a per-row hash bucket clears a
+    per-stratum threshold sized so the expected kept count equals the
+    smallest stratum's size. The accept test is pure integer
+    cross-multiplication (``bucket * n_stratum < 1000 * n_target``) — no
+    float rates, so the decision is bit-identical on any engine and any
+    cluster layout, and the same row set is kept on re-runs (reproducible
+    mixes, the property that matters for training-data lineage).
+
+    Scale posture: per-stratum counts are one shuffle on ``stratum_col``
+    (map-side combined); the counts frame is stratum-cardinality-sized and
+    explicitly broadcast; the accept filter is a narrow projection. No
+    global sort, no window over raw rows, no second shuffle.
+    """
+    if counts is None:
+        counts = docs.groupBy(stratum_col).agg(
+            F.count(F.lit(1)).alias("n_stratum")
+        )
+    target = counts.agg(F.min("n_stratum").alias("n_target"))
+    bucket = ((F.col(id_col) % F.lit(_SAMPLE_ID_MOD)) * F.lit(_SPLIT_HASH)) % F.lit(
+        1000
+    )
+    return (
+        docs.join(F.broadcast(counts), stratum_col)
+        .crossJoin(F.broadcast(target))
+        .filter(bucket * F.col("n_stratum") < F.lit(1000) * F.col("n_target"))
+    )

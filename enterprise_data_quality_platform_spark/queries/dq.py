@@ -774,3 +774,68 @@ def dq_suite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     results = run_suite(tables, _SUITE)
     rows = [(r.check_name, r.status, r.violations) for r in results]
     return spark.createDataFrame(rows, "check_name string, status string, violations bigint")
+
+
+@register(
+    "dq_key_skew",
+    oracle="""
+    WITH counts AS (
+      SELECT l_orderkey AS key, COUNT(*) AS key_count
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(key_count) AS BIGINT) AS total_rows
+      FROM counts
+    ),
+    topk AS (
+      SELECT key, key_count FROM counts
+      ORDER BY key_count DESC, key LIMIT 5
+    )
+    SELECT t.key,
+           t.key_count,
+           t.key_count / s.total_rows AS share,
+           t.key_count / (s.total_rows / s.n_keys) AS x_avg,
+           s.n_keys,
+           s.total_rows
+    FROM topk t, stats s
+    ORDER BY t.key_count DESC, t.key
+    """,
+    tables=("lineitem",),
+)
+def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the pre-flight check that decides
+    salting / skew-join handling before a 100 TB shuffle: per-key counts,
+    then the top-5 heavy hitters with their share of all rows and their
+    multiple of the mean key size. A `x_avg` in the hundreds on a
+    planned join key is the signal to salt or let AQE skew-split.
+
+    Plan: one map-combined groupBy on the key, a 1-row stats aggregate
+    (broadcast), and TakeOrderedAndProject for the top-5 — the key-count
+    frame never sorts globally and never collects. Arithmetic is two
+    IEEE-exact divisions (share, then count over the precomputed mean), so
+    the DuckDB oracle matches bit-for-bit."""
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("key_count")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("key_count").alias("total_rows"),
+    )
+    topk = counts.orderBy(F.col("key_count").desc(), F.col("key")).limit(5)
+    return (
+        topk.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "key_count",
+            (F.col("key_count") / F.col("total_rows")).alias("share"),
+            (
+                F.col("key_count")
+                / (F.col("total_rows") / F.col("n_keys"))
+            ).alias("x_avg"),
+            "n_keys",
+            "total_rows",
+        )
+        .orderBy(F.col("key_count").desc(), F.col("key"))
+    )

@@ -134,3 +134,63 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_norm"),
         )
     )
+
+
+@register(
+    "embed_quantize_int8",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, u[2] AS dim, CAST(u[1] AS DOUBLE) AS v
+      FROM (SELECT vec_id,
+                   UNNEST(list_zip(embedding, range(1, len(embedding) + 1))) AS u
+            FROM embeddings)
+    ),
+    stats AS (
+      SELECT dim, MIN(v) AS mn, MAX(v) AS mx
+      FROM ex GROUP BY dim HAVING MAX(v) > MIN(v)
+    ),
+    codes AS (
+      SELECT e.dim, s.mn, s.mx,
+             LEAST(255, GREATEST(0, CAST(FLOOR((e.v - s.mn) * (255.0 / (s.mx - s.mn))) AS BIGINT))) AS code
+      FROM ex e JOIN stats s USING (dim)
+    )
+    SELECT dim,
+           MIN(mn) AS dim_min,
+           MIN(mx) AS dim_max,
+           CAST(SUM(code) AS BIGINT) AS code_sum,
+           CAST(SUM(CASE WHEN code = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(SUM(code) AS BIGINT) / COUNT(*) AS avg_code
+    FROM codes
+    GROUP BY dim
+    ORDER BY dim
+    """,
+    tables=("embeddings",),
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization calibration report: per-dimension range,
+    code mass, and saturation counts (``similarity/quantize.py``). Every
+    step is IEEE-exact (widen, subtract, one multiply, one divide, floor),
+    so the DuckDB oracle reproduces the codes bit-for-bit — quantization
+    here is an *auditable* transform, not a lossy black box.
+
+    Plan: posexplode → one map-combined groupBy(dim) for stats → broadcast
+    stats (n_dims rows, constant) back onto the exploded values → second
+    groupBy(dim) for the report. Two narrow shuffles keyed by dim; no
+    window, no Python."""
+    from ..similarity.quantize import quantize_codes
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes = quantize_codes(emb)
+    return (
+        codes.groupBy("dim")
+        .agg(
+            F.min("mn").alias("dim_min"),
+            F.min("mx").alias("dim_max"),
+            F.sum("code").alias("code_sum"),
+            F.sum(F.when(F.col("code") == 0, 1).otherwise(0)).alias("n_low"),
+            F.sum(F.when(F.col("code") == 255, 1).otherwise(0)).alias("n_high"),
+            (F.sum("code") / F.count(F.lit(1))).alias("avg_code"),
+        )
+        .orderBy("dim")
+    )

@@ -214,3 +214,133 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("fingerprint").alias("distinct_docs"),
         (F.count(F.lit(1)) - F.count_distinct("fingerprint")).alias("duplicate_docs"),
     )
+
+
+@register(
+    "text_tfidf_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM toks WHERE token <> ''
+      GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
+    SELECT t.doc_id, t.token, t.tf, d.df, t.tf / d.df AS score
+    FROM tf t JOIN dfreq d USING (token)
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY t.doc_id ORDER BY score DESC, t.token
+    ) <= 3
+    """,
+    tables=("documents",),
+)
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctive terms: top-3 by a tf·idf-family score.
+
+    The score is tf/df (term frequency over document frequency) rather
+    than tf·ln(N/df): for a fixed corpus N is constant, so the per-doc
+    ranking is identical, and a single integer division is IEEE-exact —
+    the oracle matches bit-for-bit where ``ln`` would drift in the last
+    ulp between libm implementations. The ln variant is a trivial
+    post-map (``tf * ln(N / df)``) for consumers who want calibrated
+    magnitudes.
+
+    Plan at scale: explode → two-level agg — (doc, token) tf, then token
+    df from the tf frame (vocab-sized, no second pass over raw tokens) —
+    join back (vocab ≪ corpus; AQE picks broadcast when it fits, per the
+    hint policy in PERF.md), then per-doc top-3 via row_number, which
+    Spark 4 executes with a partial WindowGroupLimit map-side — no doc's
+    full term list crosses the shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(TX.tokens(F.lower(F.col("text")))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    scored = tf.join(dfreq, "token").withColumn(
+        "score", F.col("tf") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("doc_id", "token", "tf", "df", "score")
+    )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=r"""
+    WITH toks AS (
+      SELECT UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token, COUNT(*) AS token_count
+      FROM toks WHERE token <> '' GROUP BY token
+    ),
+    total AS (SELECT CAST(SUM(token_count) AS BIGINT) AS total_tokens FROM counts),
+    top AS (
+      SELECT token, token_count FROM counts
+      ORDER BY token_count DESC, token LIMIT 100
+    )
+    SELECT token,
+           token_count,
+           CAST(ROW_NUMBER() OVER (ORDER BY token_count DESC, token) AS BIGINT) AS token_id,
+           CAST(SUM(token_count) OVER (
+             ORDER BY token_count DESC, token ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_count,
+           CAST(SUM(token_count) OVER (
+             ORDER BY token_count DESC, token ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) / total_tokens AS coverage
+    FROM top, total
+    """,
+    tables=("documents",),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary builder with corpus-coverage curve: top-100 tokens get
+    contiguous ids (frequency order, token tiebreak) plus the cumulative
+    fraction of all token occurrences they cover — the tokenizer-design
+    question ("how big a vocab covers 95% of the corpus?") as one query.
+
+    Plan: token counts (one map-combined shuffle) → TakeOrderedAndProject
+    top-100 (distributed partial top-k, never a global sort of the vocab)
+    → ordered window over just those 100 rows for ids and the running sum.
+    The single-partition window is over the *result*, not the data."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+    )
+    total = counts.agg(F.sum("token_count").alias("total_tokens"))
+    top = counts.orderBy(F.col("token_count").desc(), F.col("token")).limit(100)
+    order = [F.col("token_count").desc(), F.col("token")]
+    w_rank = Window.orderBy(*order)
+    w_cum = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return top.crossJoin(F.broadcast(total)).select(
+        "token",
+        "token_count",
+        F.row_number().over(w_rank).cast("bigint").alias("token_id"),
+        F.sum("token_count").over(w_cum).alias("cum_count"),
+        (F.sum("token_count").over(w_cum) / F.col("total_tokens")).alias(
+            "coverage"
+        ),
+    )

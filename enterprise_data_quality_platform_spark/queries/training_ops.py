@@ -374,3 +374,73 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), k=5, w=4, min_shared=2,
         max_bucket=1000,
     )
+
+
+@register(
+    "training_sample_balanced",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source
+    ),
+    t AS (SELECT MIN(n_total) AS sample_target FROM counts),
+    kept AS (
+      SELECT d.source, COUNT(*) AS n_kept
+      FROM documents d JOIN counts c USING (source) CROSS JOIN t
+      WHERE (((d.doc_id % 1000003) * 2654435761) % 1000) * c.n_total
+            < 1000 * t.sample_target
+      GROUP BY d.source
+    )
+    SELECT c.source,
+           c.n_total,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           t.sample_target,
+           COALESCE(k.n_kept, 0) / c.n_total AS keep_rate
+    FROM counts c
+    CROSS JOIN t
+    LEFT JOIN kept k USING (source)
+    ORDER BY c.source
+    """,
+    tables=("documents",),
+)
+def training_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling audit: flatten per-source skew to the
+    smallest source's size (``plans.training_data.sample_balanced``) and
+    report per-stratum kept counts and realized rates. The accept test is
+    integer cross-multiplication on a multiplicative-hash bucket — no
+    float thresholds — so the kept row set is deterministic,
+    engine-portable, and independent of cluster layout (training-mix
+    lineage you can reproduce bit-for-bit).
+
+    Plan: one groupBy(source) for counts (broadcast, stratum-cardinality
+    rows), narrow filter, one groupBy(source) for the audit — two
+    map-combined shuffles on a low-cardinality key, nothing keyed by row.
+    """
+    from ..plans.training_data import sample_balanced
+
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    target = counts.agg(F.min("n_total").alias("sample_target"))
+    kept = (
+        sample_balanced(
+            docs,
+            stratum_col="source",
+            id_col="doc_id",
+            counts=counts.withColumnRenamed("n_total", "n_stratum"),
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        counts.join(kept, "source", "left")
+        .crossJoin(F.broadcast(target))
+        .select(
+            "source",
+            "n_total",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            "sample_target",
+            (
+                F.coalesce(F.col("n_kept"), F.lit(0)) / F.col("n_total")
+            ).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )

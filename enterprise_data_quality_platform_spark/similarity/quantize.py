@@ -1,0 +1,104 @@
+"""Scalar (per-dimension affine) int8 embedding quantization.
+
+The storage/bandwidth half of an ANN stack: a 64-dim float32 vector is
+256 bytes; its int8 codes are 64 — a 4× shrink that turns a 100 TB
+embedding corpus into 25 TB before any index is built. Codes feed the
+IVF/LSH index build (``similarity/ivf.py``) or ship to serving.
+
+Design for parity and scale:
+
+- **Every arithmetic step is IEEE-exact-rounded** (float→double widening,
+  subtraction, one multiply, one division, ``floor``), so codes are
+  bit-identical across engines — the DuckDB oracle reproduces them from
+  the same parquet bytes (queries/embeddings.py ``embed_quantize_int8``).
+  No transcendental functions, no accumulation-order-dependent floats.
+- **One shuffle** computes per-dimension min/max (groupBy ``dim`` after
+  ``posexplode``, map-side combined); the resulting stats frame is
+  n_dims rows — genuinely constant-sized, so the join back is an explicit
+  ``broadcast`` (the class AQE cannot discover only when stats sit behind
+  a fresh aggregate; the hint is measured policy, see PERF.md).
+- Re-assembly into ``array<smallint>`` codes is a second groupBy on the
+  vector id — unavoidable if the caller wants vectors back; stats-only
+  consumers (calibration reports) stop at ``quantize_codes`` and skip it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dim_stats", "quantize_codes", "quantize_vectors", "dequantize_expr"]
+
+
+def _exploded(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, dim, v) rows; dim is 1-based; values widened float→double
+    (exact) so all downstream arithmetic is double-precision on both
+    engines."""
+    return emb.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("dim0", "val"),
+    ).select(
+        F.col(id_col),
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("val").cast("double").alias("v"),
+    )
+
+
+def dim_stats(emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Per-dimension (dim, mn, mx) calibration frame — one map-combined
+    shuffle keyed by dim. Constant dims with mx == mn are dropped (they
+    carry no information and would divide by zero in the scale)."""
+    return (
+        _exploded(emb, vec_col, id_col)
+        .groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .filter(F.col("mx") > F.col("mn"))
+    )
+
+
+def quantize_codes(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """(id, dim, v, mn, mx, code) rows with code = clamp(floor(
+    (v - mn) * (255.0 / (mx - mn))), 0, 255). Pass a precomputed
+    ``stats`` frame to quantize a stream/new shard against a frozen
+    calibration (the production pattern: calibrate once, apply many)."""
+    if stats is None:
+        stats = dim_stats(emb, vec_col, id_col)
+    ex = _exploded(emb, vec_col, id_col)
+    scale = F.lit(255.0) / (F.col("mx") - F.col("mn"))
+    raw = F.floor((F.col("v") - F.col("mn")) * scale)
+    return ex.join(F.broadcast(stats), "dim").withColumn(
+        "code", F.least(F.lit(255), F.greatest(F.lit(0), raw))
+    )
+
+
+def quantize_vectors(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """(id, codes array<smallint>) — codes re-assembled in dimension order
+    via sort_array over (dim, code) structs (no window, no Python)."""
+    codes = quantize_codes(emb, vec_col, id_col, stats)
+    return (
+        codes.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("dim"), F.col("code")))
+                ),
+                lambda s: s["code"].cast("smallint"),
+            ).alias("codes")
+        )
+    )
+
+
+def dequantize_expr(code, mn, mx):
+    """Reconstruction expression: mn + code * ((mx - mn) / 255.0).
+    Max absolute error is one quantization step, (mx - mn) / 255."""
+    return mn + code * ((mx - mn) / F.lit(255.0))

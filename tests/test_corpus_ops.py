@@ -1,0 +1,169 @@
+"""Tests for the round-3 corpus operators: balanced stratified sampling,
+int8 embedding quantization, tf-idf distinctive terms, vocab coverage.
+
+Oracle parity for the four declared queries is covered by
+tests/test_parity.py (and the driver); these tests pin the *semantic*
+properties the oracles can't express — determinism across layouts,
+reconstruction error bounds, ranking behavior on crafted inputs."""
+
+from __future__ import annotations
+
+import pytest
+from conftest import SF_SMALL
+from pyspark.sql import functions as F
+
+from enterprise_data_quality_platform_spark.catalog import table
+from enterprise_data_quality_platform_spark.plans.training_data import (
+    sample_balanced,
+)
+from enterprise_data_quality_platform_spark.similarity.quantize import (
+    dequantize_expr,
+    dim_stats,
+    quantize_codes,
+    quantize_vectors,
+)
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_sample_balanced_deterministic_across_layouts(spark):
+    docs = table(spark, SF_SMALL, "documents")
+    a = sample_balanced(docs).select("doc_id")
+    b = sample_balanced(docs.repartition(13, "lang")).select("doc_id")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_sample_balanced_keeps_all_of_smallest_stratum(spark):
+    docs = table(spark, SF_SMALL, "documents")
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    smallest = min(counts, key=lambda s: (counts[s], s))
+    kept = {
+        r["source"]: r["n"]
+        for r in sample_balanced(docs)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # the minimum stratum's threshold is bucket < 1000 -> keeps everything
+    assert kept[smallest] == counts[smallest]
+    # every stratum lands within hash noise of the target
+    target = counts[smallest]
+    for s, n in kept.items():
+        assert n <= counts[s]
+        assert abs(n - target) <= max(10, int(0.35 * target)), (s, n, target)
+
+
+def test_sample_balanced_is_subset(spark):
+    docs = table(spark, SF_SMALL, "documents")
+    kept = sample_balanced(docs)
+    assert kept.select("doc_id").subtract(docs.select("doc_id")).count() == 0
+
+
+# ------------------------------------------------------------ quantization
+
+
+def test_quantize_codes_in_range_and_deterministic(spark):
+    emb = table(spark, SF_SMALL, "embeddings")
+    codes = quantize_codes(emb)
+    bad = codes.filter((F.col("code") < 0) | (F.col("code") > 255)).count()
+    assert bad == 0
+    again = quantize_codes(emb.repartition(7))
+    key = ["vec_id", "dim", "code"]
+    assert codes.select(key).subtract(again.select(key)).count() == 0
+
+
+def test_quantize_reconstruction_error_bounded(spark):
+    emb = table(spark, SF_SMALL, "embeddings")
+    codes = quantize_codes(emb)
+    step = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    err = codes.select(
+        (
+            F.abs(dequantize_expr(F.col("code"), F.col("mn"), F.col("mx")) - F.col("v"))
+            / step
+        ).alias("rel_err")
+    )
+    # |reconstruction - original| <= one quantization step (floor + clamp)
+    assert err.agg(F.max("rel_err")).first()[0] <= 1.0 + 1e-9
+
+
+def test_quantize_vectors_roundtrip_shape(spark):
+    emb = table(spark, SF_SMALL, "embeddings")
+    dims = emb.select(F.size("embedding").alias("d")).first()["d"]
+    vecs = quantize_vectors(emb)
+    row = vecs.filter(F.col("vec_id") == 0).first()
+    assert len(row["codes"]) == dims
+    assert vecs.count() == emb.count()
+
+
+def test_quantize_with_frozen_stats_matches_inline(spark):
+    """Calibrate-once-apply-many equals calibrate-inline on the same data."""
+    emb = table(spark, SF_SMALL, "embeddings")
+    frozen = dim_stats(emb)
+    a = quantize_codes(emb, stats=frozen).select("vec_id", "dim", "code")
+    b = quantize_codes(emb).select("vec_id", "dim", "code")
+    assert a.subtract(b).count() == 0
+
+
+# ------------------------------------------------------------------ tf-idf
+
+
+@pytest.fixture()
+def crafted_docs(spark):
+    rows = [
+        (1, "common common common rareword"),
+        (2, "common common other"),
+        (3, "common unique3 unique3"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_distinctive_term_outranks_common(spark, crafted_docs):
+    """A term unique to one doc must outrank a corpus-wide term with a
+    higher in-doc count: score(rareword)=1/1 > score(common)=3/3."""
+    from enterprise_data_quality_platform_spark.functions import text as TX
+
+    toks = crafted_docs.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "token").withColumn("score", F.col("tf") / F.col("df"))
+    doc1 = {r["token"]: r["score"] for r in scored.filter("doc_id = 1").collect()}
+    assert doc1["rareword"] == 1.0  # tf 1 / df 1
+    assert doc1["common"] == 1.0  # tf 3 / df 3 — tie
+    doc3 = {r["token"]: r["score"] for r in scored.filter("doc_id = 3").collect()}
+    assert doc3["unique3"] == 2.0  # tf 2 / df 1 beats common at 1.0
+    assert doc3["unique3"] > doc3["common"]
+
+
+def test_tfidf_query_topk_shape(spark):
+    from enterprise_data_quality_platform_spark.queries import query_fns
+
+    out = query_fns()["text_tfidf_terms"](spark, SF_SMALL)
+    per_doc = out.groupBy("doc_id").agg(F.count("*").alias("n"))
+    assert per_doc.filter(F.col("n") > 3).count() == 0
+
+
+# --------------------------------------------------------- vocab coverage
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    from enterprise_data_quality_platform_spark.queries import query_fns
+
+    rows = (
+        query_fns()["text_vocab_coverage"](spark, SF_SMALL)
+        .orderBy("token_id")
+        .collect()
+    )
+    assert rows, "vocab must be non-empty"
+    ids = [r["token_id"] for r in rows]
+    assert ids == list(range(1, len(rows) + 1))
+    cov = [r["coverage"] for r in rows]
+    assert all(b >= a for a, b in zip(cov, cov[1:]))
+    assert cov[-1] <= 1.0 + 1e-12
+    counts = [r["token_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
