@@ -194,3 +194,30 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@register(
+    "embed_knn_quantized",
+    oracle=None,  # quantized ranking has no exact SQL twin; recall-tested
+    tables=("embeddings",),
+)
+def embed_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14 search path: ADC top-5 per probe over the int8-coded corpus
+    (``similarity/quantize.py::quantized_knn_topk``) — the memory-bandwidth
+    story of quantization made executable: probes stay float, the corpus
+    moves as codes. Recall vs exact cosine is pinned in
+    tests/test_corpus_ops.py."""
+    from ..similarity.quantize import quantized_knn_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"),
+        V.to_double(F.col("embedding")).alias("pvec"),
+    )
+    out = quantized_knn_topk(emb, probes, k=5)
+    return out.filter(F.col("probe_id") != F.col("vec_id")).select(
+        "probe_id",
+        "vec_id",
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+        "sim_rank",
+    )

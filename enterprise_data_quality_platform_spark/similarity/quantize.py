@@ -24,10 +24,18 @@ Design for parity and scale:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dim_stats", "quantize_codes", "quantize_vectors", "dequantize_expr"]
+__all__ = [
+    "dim_stats",
+    "quantize_codes",
+    "quantize_vectors",
+    "dequantize_expr",
+    "quantized_knn_topk",
+]
 
 
 def _exploded(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
@@ -102,3 +110,51 @@ def dequantize_expr(code, mn, mx):
     """Reconstruction expression: mn + code * ((mx - mn) / 255.0).
     Max absolute error is one quantization step, (mx - mn) / 255."""
     return mn + code * ((mx - mn) / F.lit(255.0))
+
+
+def quantized_knn_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "pvec",
+) -> DataFrame:
+    """Asymmetric (ADC) top-k: full-precision probes scored against the
+    int8-coded corpus — the search half of a product/scalar-quantization
+    index. The corpus crosses the wire as codes (4× smaller than float32);
+    each Arrow batch dequantizes in-core with the driver-held calibration
+    (two bounded n_dims arrays closed over by the UDF) and scores with one
+    einsum. Ranking quality vs exact cosine is a recall test
+    (tests/test_corpus_ops.py), the standard trade of quantized search.
+
+    Plan shape mirrors ``knn.brute_force_topk``: broadcast probes, Arrow
+    pandas_udf scoring (plan-asserted ArrowEvalPython class), then the
+    two-level top-k so no probe serializes the corpus through one task.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from .knn import _topk_per_probe
+
+    stats = dim_stats(corpus, vec_col, id_col)
+    srows = stats.orderBy("dim").collect()  # n_dims rows — bounded driver state
+    mn = np.array([r["mn"] for r in srows], dtype=np.float64)
+    step = np.array([(r["mx"] - r["mn"]) / 255.0 for r in srows], dtype=np.float64)
+
+    @pandas_udf("double")
+    def adc_cosine(codes: pd.Series, pvec: pd.Series) -> pd.Series:
+        c = np.stack(codes.to_numpy()).astype(np.float64)
+        x = mn + c * step
+        p = np.stack(pvec.to_numpy()).astype(np.float64)
+        num = np.einsum("bd,bd->b", x, p)
+        den = np.linalg.norm(x, axis=1) * np.linalg.norm(p, axis=1)
+        return pd.Series(np.where(den > 0, num / den, 0.0))
+
+    coded = quantize_vectors(corpus, vec_col, id_col, stats=stats)
+    sims = coded.crossJoin(F.broadcast(probes)).select(
+        F.col(probe_id_col),
+        F.col(id_col),
+        adc_cosine(F.col("codes"), F.col(probe_vec_col)).alias("cosine_sim"),
+    )
+    return _topk_per_probe(sims, k, probe_id_col, id_col)

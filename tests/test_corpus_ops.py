@@ -167,3 +167,49 @@ def test_vocab_coverage_monotone_and_bounded(spark):
     assert cov[-1] <= 1.0 + 1e-12
     counts = [r["token_count"] for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+# ------------------------------------------------------- quantized search
+
+
+def test_quantized_knn_recall_vs_brute_force(spark):
+    """ADC over int8 codes must agree with exact float cosine on ≥ 8 of
+    top-10 neighbors per probe (int8 scalar quantization typically costs
+    only tail-rank churn)."""
+    from enterprise_data_quality_platform_spark.functions import vectors as V
+    from enterprise_data_quality_platform_spark.similarity.knn import (
+        brute_force_topk,
+    )
+    from enterprise_data_quality_platform_spark.similarity.quantize import (
+        quantized_knn_topk,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("probe_id"),
+        V.to_double(F.col("embedding")).alias("pvec"),
+    )
+    exact = brute_force_topk(emb, probes, k=10)
+    approx = quantized_knn_topk(emb, probes, k=10)
+    e = {(r["probe_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["probe_id"], r["vec_id"]) for r in approx.collect()}
+    for pid in (0, 1, 2):
+        ep = {v for p, v in e if p == pid}
+        ap = {v for p, v in a if p == pid}
+        assert len(ep & ap) >= 8, (pid, sorted(ep), sorted(ap))
+
+
+def test_quantized_knn_is_arrow_vectorized(spark):
+    from enterprise_data_quality_platform_spark.functions import vectors as V
+    from enterprise_data_quality_platform_spark.similarity.quantize import (
+        quantized_knn_topk,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    probes = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        V.to_double(F.col("embedding")).alias("pvec"),
+    )
+    plan = quantized_knn_topk(emb, probes, k=3)._sc._jvm  # noqa: F841
+    explained = quantized_knn_topk(emb, probes, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in explained
