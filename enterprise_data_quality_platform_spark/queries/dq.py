@@ -109,13 +109,22 @@ def dq_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables=("orders",),
 )
 def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G4: uniqueness as count - count_distinct (excess rows). Single
-    aggregate pass; at 100TB swap count_distinct for approx_count_distinct."""
-    return table(spark, sf_dir, "orders").agg(
-        (F.count("o_orderkey") - F.count_distinct("o_orderkey")).alias(
-            "duplicate_rows"
-        ),
-        F.count_distinct("o_orderkey").alias("distinct_keys"),
+    """G4: uniqueness as count - count_distinct (excess rows), computed as
+    a two-level aggregate: per-key counts, then sum/count over the key
+    frame. Exactly equal to the count_distinct form, but the mixed
+    distinct+plain aggregate would plan an Expand (every row duplicated
+    per aggregate group) — the two-level plan is a plain partial-combined
+    groupBy and measured 2.05x faster at sf10 (2.46 s -> 1.20 s). At
+    100 TB swap in approx_count_distinct via the checks' approx switch."""
+    per_key = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isNotNull())
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return per_key.agg(
+        (F.sum("__c") - F.count(F.lit(1))).alias("duplicate_rows"),
+        F.count(F.lit(1)).alias("distinct_keys"),
     )
 
 
@@ -129,11 +138,18 @@ def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables=("lineitem",),
 )
 def dq_compound_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G5: compound-key uniqueness over (l_orderkey, l_linenumber)."""
-    tup = F.struct("l_orderkey", "l_linenumber")
-    return table(spark, sf_dir, "lineitem").agg(
-        (F.count(F.lit(1)) - F.count_distinct(tup)).alias("duplicate_rows"),
-        F.count_distinct(tup).alias("distinct_keys"),
+    """G5: compound-key uniqueness over (l_orderkey, l_linenumber) — same
+    Expand-free two-level aggregate as ``dq_uniqueness`` (groupBy the key
+    pair, then sum/count the key frame); key groups with NULL parts form
+    their own groups exactly like DISTINCT over a row value."""
+    per_key = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return per_key.agg(
+        (F.sum("__c") - F.count(F.lit(1))).alias("duplicate_rows"),
+        F.count(F.lit(1)).alias("distinct_keys"),
     )
 
 
