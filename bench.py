@@ -41,8 +41,13 @@ HEADLINE = [
     "text_repetition_stats",
     "text_fingerprint_winnow",
     "training_decontaminate",
+    "training_sample_balanced",
     "dedup_exact_docs",
     "embed_knn_bruteforce",
+    "embed_quantize_int8",
+    "text_tfidf_terms",
+    "text_vocab_coverage",
+    "dq_key_skew",
     "dedup_minhash_docs",
     "embed_ann_lsh",
 ]

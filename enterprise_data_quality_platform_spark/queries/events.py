@@ -285,3 +285,115 @@ def events_incident_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("action"),
         )
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS view_ts,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS click_ts,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(view_ts) AS BIGINT) AS n_view,
+           CAST(COUNT(CASE WHEN click_ts > view_ts THEN 1 END) AS BIGINT) AS n_click_after_view,
+           CAST(COUNT(CASE WHEN purchase_ts > click_ts AND click_ts > view_ts THEN 1 END) AS BIGINT) AS n_full_funnel,
+           COUNT(CASE WHEN purchase_ts > click_ts AND click_ts > view_ts THEN 1 END)
+             / COUNT(view_ts) AS view_to_purchase_rate
+    FROM per_user
+    """,
+    tables=("events",),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): per-user first
+    touch per stage via conditional MIN, then one row of staged conversion
+    counts. NULL comparison semantics do the stage gating (a missing or
+    out-of-order stage yields NULL > NULL → filtered by COUNT(CASE)) —
+    identical in both engines, no explicit null-handling branches.
+
+    Plan: single groupBy(user_id) with conditional aggregates (one
+    map-combined shuffle over the filtered event subset — the filter is
+    pushed to the scan), then a 1-row final aggregate. No window over raw
+    events, no self-joins per stage (the naive N-stage form is N-1
+    self-joins)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    stage = lambda s: F.min(  # noqa: E731
+        F.when(F.col("event_type") == s, F.col("ts"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        stage("view").alias("view_ts"),
+        stage("click").alias("click_ts"),
+        stage("purchase").alias("purchase_ts"),
+    )
+    ordered = (F.col("purchase_ts") > F.col("click_ts")) & (
+        F.col("click_ts") > F.col("view_ts")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("view_ts").alias("n_view"),
+        F.count(F.when(F.col("click_ts") > F.col("view_ts"), 1)).alias(
+            "n_click_after_view"
+        ),
+        F.count(F.when(ordered, 1)).alias("n_full_funnel"),
+        (F.count(F.when(ordered, 1)) / F.count("view_ts")).alias(
+            "view_to_purchase_rate"
+        ),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    firstday AS (
+      SELECT user_id, MIN(d) AS cohort_day FROM days GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           date_diff('day', f.cohort_day, a.d) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM days a JOIN firstday f USING (user_id)
+    WHERE date_diff('day', f.cohort_day, a.d) <= 7
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tables=("events",),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, counted
+    on each of their next 7 active days — the day-N retention table every
+    product warehouse materializes.
+
+    Plan: distinct (user, day) FIRST (shrinks the fact before anything
+    else — the distinct and the min-day groupBy then share the user-keyed
+    shuffle), self-join the per-user cohort day back on user_id (AQE
+    decides the strategy; the cohort frame is user-cardinality, i.e.
+    scale-growing, so no broadcast hint per the PERF.md policy), one final
+    groupBy on (cohort_day, day_offset) — a low-cardinality result grid.
+    (user, day) rows are already distinct, so active_users needs no
+    count_distinct/Expand."""
+    days = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    first = days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
