@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.numeric import fx_avg, fx_sum, sql_avg, sql_sum
+from ..functions.numeric import fx_avg, fx_round, fx_sum, sql_avg, sql_round, sql_sum
 from .registry import register
 
 
@@ -396,4 +396,122 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("active_users"))
         .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "events_latency_percentiles",
+    oracle=f"""
+    SELECT event_type,
+           {sql_round("quantile_cont(value, 0.50)", 2)} AS p50,
+           {sql_round("quantile_cont(value, 0.95)", 2)} AS p95,
+           {sql_round("quantile_cont(value, 0.99)", 2)} AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tables=("events",),
+)
+def events_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact percentiles (p50/p95/p99 of ``value`` per event
+    type) — the SLO/latency profile shape. Spark's ``percentile`` is a
+    sort-based exact aggregate equal to DuckDB ``quantile_cont``
+    (interpolated), proven portable by ``dq_quantiles``; this adds the
+    grouped form. At 100 TB swap to ``percentile_approx`` — mergeable
+    sketches, no per-group value buffering (same trade the checks
+    compiler exposes via ``approx=True``)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            fx_round(F.expr("percentile(value, 0.50)"), 2).alias("p50"),
+            fx_round(F.expr("percentile(value, 0.95)"), 2).alias("p95"),
+            fx_round(F.expr("percentile(value, 0.99)"), 2).alias("p99"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_gapfill_hourly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             COUNT(*) AS event_count,
+             {sql_avg("value")} AS avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+      FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b
+    )
+    SELECT g.event_type,
+           g.hour,
+           COALESCE(h.event_count, 0) AS event_count,
+           last_value(h.avg_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS avg_value_filled
+    FROM grid g
+    LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hour = h.hour
+    ORDER BY g.event_type, g.hour
+    """,
+    tables=("events",),
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly grid per event type (empty
+    hours appear with count 0) with last-observation-carried-forward
+    interpolation of the hourly mean — the densify-then-fill primitive
+    dashboards and feature pipelines need before any rolling computation.
+
+    Plan at scale: the raw scan collapses to (type, hour) aggregates
+    first; the grid is types x hours — generated from a broadcast 1-row
+    bounds aggregate and exploded `sequence()`, its size INDEPENDENT of
+    the fact row count — and the carry-forward window runs over the grid,
+    never over raw events. The left join keys on (type, hour), both
+    frames already aggregate-sized."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        fx_avg(F.col("value"), "avg_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("event_count"), F.lit(0)).alias("event_count"),
+            F.last("avg_value", ignorenulls=True)
+            .over(w)
+            .alias("avg_value_filled"),
+        )
+        .orderBy("event_type", "hour")
     )
