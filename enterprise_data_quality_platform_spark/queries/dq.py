@@ -855,3 +855,62 @@ def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("key_count").desc(), F.col("key"))
     )
+
+
+@register(
+    "dq_anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT quantile_cont(o_totalprice, 0.5) AS m FROM orders
+    ),
+    dev AS (
+      SELECT quantile_cont(ABS(o_totalprice - med.m), 0.5) AS mad
+      FROM orders, med
+    )
+    SELECT {sql_round("med.m", 2)} AS median_value,
+           {sql_round("dev.mad", 2)} AS mad,
+           CAST(COUNT(CASE WHEN ABS(o_totalprice - med.m) > dev.mad * 4.4478 THEN 1 END) AS BIGINT)
+             AS n_outliers,
+           COUNT(CASE WHEN ABS(o_totalprice - med.m) > dev.mad * 4.4478 THEN 1 END)
+             / COUNT(*) AS outlier_rate
+    FROM orders, med, dev
+    GROUP BY med.m, dev.mad
+    """,
+    tables=("orders",),
+)
+def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier check via median absolute deviation: flag rows
+    beyond 3 robust standard deviations (3 x 1.4826 = 4.4478, written as
+    ONE literal so neither engine's constant folding can reorder the
+    product). Unlike the z-score check (``dq_anomaly_zscore``), MAD is
+    insensitive to the outliers it hunts — the estimator every skewed
+    money column needs.
+
+    Plan: two chained exact-percentile passes (median, then median of
+    absolute deviations — the chain is inherent to MAD) plus a filtered
+    count, each 1-row result broadcast into the next pass. At 100 TB use
+    ``approx_percentile`` for both medians — one pass each, mergeable
+    sketches, same shape the checks compiler exposes with approx=True."""
+    orders = table(spark, sf_dir, "orders")
+    med = orders.agg(F.expr("percentile(o_totalprice, 0.5)").alias("m"))
+    dev = (
+        orders.crossJoin(F.broadcast(med))
+        .agg(
+            F.expr("percentile(ABS(o_totalprice - m), 0.5)").alias("mad"),
+            F.min("m").alias("m"),
+        )
+    )
+    is_out = F.abs(F.col("o_totalprice") - F.col("m")) > F.col("mad") * F.lit(
+        4.4478
+    )
+    return (
+        orders.crossJoin(F.broadcast(dev))
+        .agg(
+            fx_round(F.min("m"), 2).alias("median_value"),
+            fx_round(F.min("mad"), 2).alias("mad"),
+            F.count(F.when(is_out, 1)).alias("n_outliers"),
+            (F.count(F.when(is_out, 1)) / F.count(F.lit(1))).alias(
+                "outlier_rate"
+            ),
+        )
+    )
