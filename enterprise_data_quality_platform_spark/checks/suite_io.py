@@ -284,3 +284,101 @@ def render_data_docs(results: Sequence[CheckResult]) -> str:
         err = f" error={r.error_message}" if r.error_message else ""
         lines.append(f"{mark} {r.check_name} [{r.table}]{detail}{obs}{err}")
     return "\n".join(lines)
+
+
+def render_history_docs_html(
+    spark: SparkSession,
+    store_path: str,
+    suite_name: str = "default",
+    max_runs: int = 50,
+) -> str:
+    """Per-check history page from the validations store: one row per
+    check with an inline-SVG sparkline of its last ``max_runs`` runs —
+    bar height tracks the violation count (normalized per check), color
+    tracks pass/fail/error. The "is this check flaky or degrading?"
+    question GE's data-docs answer with per-run pages becomes one glance.
+
+    Runs order by (run_ts, run_name); use sortable run names (ISO
+    timestamps, zero-padded sequence numbers) when run_ts granularity
+    can tie. The store read aggregates down to checks x runs rows before
+    anything collects — the driver never holds more than the rendered
+    history. Self-contained static HTML like ``render_data_docs_html``
+    (no scripts, no external assets), deterministic for a given store."""
+    import html as _html
+
+    from pyspark.sql import functions as F
+
+    report = spark.read.parquet(store_path)
+    rows = (
+        report.select(
+            "check_name",
+            "table_name",
+            "status",
+            "violations",
+            "run_ts",
+            "run_name",
+        )
+        .orderBy("run_ts", "run_name")
+        .collect()
+    )
+
+    history: dict[tuple[str, str], list] = {}
+    for r in rows:
+        history.setdefault((r["table_name"], r["check_name"]), []).append(r)
+
+    def esc(v) -> str:
+        return _html.escape(str(v))
+
+    BAR_W, BAR_GAP, H = 7, 2, 24
+    COLORS = {"pass": "#2e7d32", "fail": "#c62828"}
+
+    def spark_svg(runs) -> str:
+        runs = runs[-max_runs:]
+        mx = max((r["violations"] or 0) for r in runs) or 1
+        bars = []
+        for i, r in enumerate(runs):
+            v = r["violations"] or 0
+            # minimum 2px so zero-violation passes stay visible
+            h = max(2, round(H * v / mx))
+            color = COLORS.get(r["status"], "#f9a825")
+            bars.append(
+                f'<rect x="{i * (BAR_W + BAR_GAP)}" y="{H - h}" '
+                f'width="{BAR_W}" height="{h}" fill="{color}">'
+                f"<title>{esc(r['run_name'])}: {esc(r['status'])}"
+                f" ({v} violations)</title></rect>"
+            )
+        w = len(runs) * (BAR_W + BAR_GAP)
+        return (
+            f'<svg width="{w}" height="{H}" viewBox="0 0 {w} {H}" '
+            f'xmlns="http://www.w3.org/2000/svg">{"".join(bars)}</svg>'
+        )
+
+    trs = []
+    for (tbl, name) in sorted(history):
+        runs = history[(tbl, name)]
+        last = runs[-1]
+        n_fail = sum(1 for r in runs if r["status"] != "pass")
+        cls = "ok" if last["status"] == "pass" else "bad"
+        trs.append(
+            f'<tr class="{cls}"><td><code>{esc(tbl)}</code></td>'
+            f"<td>{esc(name)}</td><td>{esc(last['status'])}</td>"
+            f"<td>{len(runs)}</td><td>{n_fail}</td>"
+            f"<td>{spark_svg(runs)}</td></tr>"
+        )
+
+    return f"""<!doctype html>
+<html lang="en"><head><meta charset="utf-8">
+<title>Validation history — {esc(suite_name)}</title>
+<style>
+body {{ font: 14px/1.5 system-ui, sans-serif; margin: 2rem auto; max-width: 64rem; color: #222; }}
+table {{ border-collapse: collapse; width: 100%; }}
+th, td {{ text-align: left; padding: 4px 10px; border-bottom: 1px solid #e5e5e5; }}
+tr.bad td {{ background: #fdecea; }}
+svg {{ display: block; }}
+</style></head><body>
+<h1>Check history — suite <code>{esc(suite_name)}</code></h1>
+<table><thead><tr><th>table</th><th>check</th><th>latest</th>
+<th>runs</th><th>failures</th><th>history</th></tr></thead>
+<tbody>{''.join(trs)}</tbody></table>
+</body></html>
+"""

@@ -178,3 +178,42 @@ def test_queries_invariant_under_repartition(spark):
         orders.repartition(17), customer.repartition(3), nation, region
     ).collect()
     assert a == b
+
+
+def test_history_docs_sparklines(tmp_path, spark):
+    """Three runs of a two-check suite -> one history row per check, bar
+    colors tracking status, counts and failure tallies correct, byte-stable
+    across re-renders of the same store."""
+    import datetime
+
+    from enterprise_data_quality_platform_spark.checks.definitions import (
+        CheckResult,
+    )
+    from enterprise_data_quality_platform_spark.checks.suite_io import (
+        render_history_docs_html,
+        write_validation_results,
+    )
+
+    store = str(tmp_path / "validations.parquet")
+    for i, (nn_v, dom_status, dom_v) in enumerate(
+        [(0, "pass", 0), (0, "fail", 120), (0, "fail", 60)]
+    ):
+        ts = datetime.datetime(2024, 1, 1 + i)
+        results = [
+            CheckResult("custkey not null", "orders", "o_custkey", "pass",
+                        nn_v, 1000, {}, None, ts),
+            CheckResult("status domain", "orders", "o_orderstatus",
+                        dom_status, dom_v, 1000, {}, None, ts),
+        ]
+        write_validation_results(spark, results, store, run_name=f"run-{i:03d}")
+
+    html = render_history_docs_html(spark, store, suite_name="hist")
+    assert html.count("<tr class=") == 2  # one history row per check
+    assert html.count("<rect") == 6  # 3 bars per check
+    assert html.count('fill="#c62828"') == 2  # the two failing runs
+    assert html.count('fill="#2e7d32"') == 4
+    # latest-status + failure tally: domain check failed 2 of 3 runs
+    assert "<td>fail</td>" in html and "<td>2</td>" in html
+    # normalized heights: 120 violations -> full height, 60 -> half
+    assert 'height="24"' in html and 'height="12"' in html
+    assert render_history_docs_html(spark, store, suite_name="hist") == html
