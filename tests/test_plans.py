@@ -189,3 +189,50 @@ def test_winnow_single_exchange_and_codegen_hashing(spark):
     assert len(nodes) == 1, nodes
     assert "Window" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_topk_has_partial_window_limit(spark):
+    """Per-doc top-3 must run the Spark 4 map-side partial WindowGroupLimit
+    so no document's full term list crosses the shuffle unpruned."""
+    plan = plan_of(spark, "text_tfidf_terms")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_sample_balanced_broadcasts_stratum_counts(spark):
+    """The accept filter joins stratum counts + the 1-row target — both
+    must broadcast; a shuffle join on the stratum key would re-shuffle the
+    whole corpus for a stratum-cardinality dimension."""
+    plan = plan_of(spark, "training_sample_balanced")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row target crossJoin
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantize_broadcasts_calibration(spark):
+    """Per-dim stats (n_dims rows) must broadcast onto the exploded values;
+    vocab-sized frames never justify shuffling the corpus side."""
+    plan = plan_of(spark, "embed_quantize_int8")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gapfill_window_runs_over_grid_not_raw_rows(spark):
+    """The LOCF window must consume the (type, hour) grid join output —
+    i.e. the plan aggregates events to hourly BEFORE any Window node, and
+    the grid side is generated from a broadcast 1-row bounds aggregate."""
+    plan = plan_of(spark, "events_gapfill_hourly")
+    assert "Window" in plan
+    # the window's input is the (grid ⟕ hourly-aggregate) join — hourly
+    # rollup rows broadcast onto the generated grid, never raw events
+    assert "BroadcastHashJoin LeftOuter" in plan
+    assert "BroadcastNestedLoopJoin Cross" in plan  # 1-row bounds crossJoin
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_single_aggregation_no_self_joins(spark):
+    """The staged funnel must be ONE groupBy pass over events — the naive
+    per-stage self-join form would show N-1 joins here."""
+    plan = plan_of(spark, "events_funnel_conversion")
+    assert "Join" not in plan
+    assert "PushedFilters" in plan and "In(event_type" in plan
