@@ -914,3 +914,62 @@ def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dq_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+    ),
+    bucketed AS (
+      SELECT LEAST(19, CAST(FLOOR((o_totalprice - b.mn) * (20.0 / (b.mx - b.mn))) AS BIGINT)) AS bucket
+      FROM orders, b
+      WHERE o_totalprice IS NOT NULL AND b.mx > b.mn
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           COUNT(*) / SUM(COUNT(*)) OVER () AS fraction
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tables=("orders",),
+)
+def dq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 buckets) of a numeric column — the
+    profiling primitive under drift detection and the KL/chi-square
+    checks. Bucketing reuses the quantizer's IEEE-exact affine form
+    (subtract, one multiply with the single literal 20.0/(mx-mn) division,
+    floor, clamp), so bucket assignment is bit-identical cross-engine.
+
+    Plan: 1-row min/max aggregate broadcast onto the scan (same pass
+    shape as ``dq_anomaly_zscore``), one map-combined groupBy on the
+    bucket id, and the fraction normalization as a window over the ≤ 20
+    result rows."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    bucket = F.least(
+        F.lit(19),
+        F.floor(
+            (F.col("o_totalprice") - F.col("mn"))
+            * (F.lit(20.0) / (F.col("mx") - F.col("mn")))
+        ),
+    )
+    counts = (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("mx") > F.col("mn"))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    w = Window.partitionBy()
+    return counts.select(
+        "bucket",
+        "n_rows",
+        (F.col("n_rows") / F.sum("n_rows").over(w)).alias("fraction"),
+    ).orderBy("bucket")
