@@ -48,13 +48,20 @@ HEADLINE = [
     "text_tfidf_terms",
     "text_vocab_coverage",
     "dq_key_skew",
+    "dq_histogram",
+    "dq_anomaly_mad",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_latency_percentiles",
+    "events_gapfill_hourly",
+    "dedup_fuzzy_names",
     "dedup_minhash_docs",
     "embed_ann_lsh",
 ]
 
 #: Multi-second LLM-pipeline operators: median of fewer runs so the bench
 #: stays inside the per-round budget (they dominate total wall anyway).
-HEAVY = {"dedup_minhash_docs"}
+HEAVY = {"dedup_minhash_docs", "dedup_fuzzy_names"}
 HEAVY_RUNS = min(RUNS, int(os.environ.get("BENCH_HEAVY_RUNS", "2")))
 
 

