@@ -54,6 +54,12 @@ HEADLINE = [
     "events_retention_cohorts",
     "events_latency_percentiles",
     "events_gapfill_hourly",
+    "dq_correlation",
+    "dq_benford",
+    "dq_snapshot_diff",
+    "mart_daily_revenue_ma7",
+    "mart_part_affinity",
+    "events_user_transitions",
     "dedup_fuzzy_names",
     "dedup_minhash_docs",
     "embed_ann_lsh",

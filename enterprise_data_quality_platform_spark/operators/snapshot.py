@@ -1,0 +1,75 @@
+"""Snapshot diff (CDC classification) operator.
+
+The reference's refresh loop re-runs dbt and re-validates the refreshed
+tables (``/root/reference/airflow/dags/pager-workflow.py:292-306`` then
+``:316-322``) but never answers "what actually changed?". This operator is
+that answer: given two snapshots of a keyed table, classify every key as
+``added`` / ``removed`` / ``changed`` / ``unchanged`` — the primitive under
+incremental-load auditing, mart regression diffing, and change-data-capture
+style downstream triggering.
+
+Scale posture: one full outer join on the key (single shuffle, both sides
+hash-partitioned on the key; AQE handles skew). Comparison is a single
+hash-equality over the compared columns computed BEFORE the join, so wide
+rows cross the shuffle as (key, fingerprint) only when ``project=True`` —
+at 100 TB you diff fingerprints, not row payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: classification labels, in output order
+CHANGE_TYPES = ("added", "changed", "removed", "unchanged")
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    project: bool = True,
+) -> DataFrame:
+    """Classify rows of ``new`` vs ``old`` by key.
+
+    Returns one row per key present in either snapshot with a
+    ``change_type`` column. ``compare_cols`` defaults to all shared
+    non-key columns. With ``project=True`` the shuffle carries only
+    (keys, xxhash64 fingerprint of the compared columns); set it False to
+    keep the full ``new`` payload on the output (costlier shuffle).
+    """
+    if compare_cols is None:
+        shared = [c for c in new.columns if c in set(old.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        fp = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in compare_cols])
+        cols = [F.col(k) for k in keys] + [fp.alias(f"__fp_{tag}")]
+        if not project and tag == "new":
+            cols += [F.col(c) for c in compare_cols]
+        return df.select(*cols)
+
+    joined = prep(old, "old").join(prep(new, "new"), on=keys, how="full_outer")
+    change = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.withColumn("change_type", change).drop("__fp_old", "__fp_new")
+
+
+def diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Counts per change class — the audit row a refresh pipeline logs."""
+    return (
+        diff_snapshots(old, new, keys, compare_cols)
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change_type")
+    )

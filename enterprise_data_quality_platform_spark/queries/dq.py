@@ -973,3 +973,207 @@ def dq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         (F.col("n_rows") / F.sum("n_rows").over(w)).alias("fraction"),
     ).orderBy("bucket")
+
+
+# Benford expected first-digit shares, log10(1 + 1/d), inlined as exact
+# Python-float reprs so BOTH engines consume the identical IEEE double
+# (neither side computes a log at query time — libm drift can't appear).
+_BENFORD = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN '{d}' THEN CAST('{v!r}' AS DOUBLE)" for d, v in _BENFORD.items()
+) + " END"
+
+
+@register(
+    "dq_benford",
+    oracle=f"""
+    WITH digits AS (
+      SELECT SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    agg AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    )
+    SELECT digit, n,
+           n / SUM(n) OVER () AS share,
+           {_BENFORD_CASE} AS benford_expected,
+           n / SUM(n) OVER () - {_BENFORD_CASE} AS deviation
+    FROM agg ORDER BY digit
+    """,
+    tables=("orders",),
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of a money column — the
+    fraud/fabrication screen auditors run on transaction amounts. Reports
+    per-digit observed share vs the Benford expectation so the caller can
+    gate on max |deviation|.
+
+    Digit extraction stays integer/string-exact (first character of the
+    BIGINT integer part — no log10, whose floor at decade boundaries is
+    libm-dependent). Plan: one map-combined groupBy onto ≤ 9 rows, then
+    the share normalization as a window over those result rows only."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    )
+    counts = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    expected = F.coalesce(
+        *[
+            F.when(F.col("digit") == str(d), F.lit(v))
+            for d, v in _BENFORD.items()
+        ]
+    )
+    share = F.col("n") / F.sum("n").over(w)
+    return counts.select(
+        "digit",
+        "n",
+        share.alias("share"),
+        expected.alias("benford_expected"),
+        (share - expected).alias("deviation"),
+    ).orderBy("digit")
+
+
+@register(
+    "dq_correlation",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(CAST(FLOOR(l_quantity * 10000 + 0.5) AS BIGINT) AS DECIMAL(19,0)) AS x,
+             CAST(CAST(FLOOR(l_extendedprice * 10000 + 0.5) AS BIGINT) AS DECIMAL(19,0)) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM q
+    )
+    SELECT n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS pearson_r,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             AS slope
+    FROM s
+    """,
+    tables=("lineitem",),
+)
+def dq_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-column correlation profile (Pearson r + OLS slope) between
+    quantity and extended price — the relationship check under "are these
+    two columns still moving together?" drift monitoring.
+
+    Determinism: the five moment sums are computed over fixed-point
+    quantized values as DECIMAL(19,0) (hugeint-backed in DuckDB — int64-backed
+    DECIMAL(18) multiplies overflow there; products widen to DECIMAL(38,0);
+    sums stay exact in both engines' 128-bit decimal accumulators — a
+    plain SUM of double products would be summation-order-dependent).
+    The closed-form combination then runs in doubles with an identical
+    expression tree on both sides: each engine performs the same IEEE
+    ops in the same order. One scan, partial+final aggregation, 1-row
+    result — scales as a pure map-combine."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    x = F.floor(F.col("l_quantity") * 10000 + F.lit(0.5)).cast("long").cast(
+        "decimal(19,0)"
+    )
+    y = F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5)).cast(
+        "long"
+    ).cast("decimal(19,0)")
+    s = li.select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n = nd * sxy - sx * sy
+    var_x = nd * sxx - sx * sx
+    var_y = nd * syy - sy * sy
+    return s.select(
+        "n",
+        (cov_n / (F.sqrt(var_x) * F.sqrt(var_y))).alias("pearson_r"),
+        (cov_n / var_x).alias("slope"),
+    )
+
+
+@register(
+    "dq_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS key,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey AS key,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+               + CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END AS cents,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 89 <> 0
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN o.key IS NULL THEN 'added'
+                  WHEN n.key IS NULL THEN 'removed'
+                  WHEN o.cents <> n.cents OR o.status <> n.status THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM old o FULL OUTER JOIN new n ON o.key = n.key
+    ) GROUP BY change_type ORDER BY change_type
+    """,
+    tables=("orders",),
+)
+def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff (operators/snapshot.py): classify every key
+    across two table versions as added / changed / removed / unchanged —
+    the "what did the refresh actually change?" audit the reference's
+    re-run-then-revalidate loop (pager-workflow.py:292-322) never answers.
+
+    The two snapshots are carved deterministically from ``orders`` (old
+    drops keys % 97, new drops keys % 89 and bumps price cents on keys
+    % 13). The oracle classifies by direct column comparison; the engine
+    classifies by a 64-bit xxhash fingerprint computed BEFORE the full
+    outer join, so at 100 TB only (key, fingerprint) pairs cross the
+    shuffle — value-identical classes, scale-different plan."""
+    from ..operators.snapshot import diff_summary
+
+    orders = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = orders.select(
+        F.col("o_orderkey").alias("key"),
+        cents.alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    old = base.filter(F.col("key") % 97 != 0)
+    new = base.filter(F.col("key") % 89 != 0).withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("key") % 13 == 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return diff_summary(old, new, keys=["key"], compare_cols=["cents", "status"])

@@ -515,3 +515,53 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "events_user_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS transition_count,
+           COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS transition_prob
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY from_type, to_type
+    """,
+    tables=("events",),
+)
+def events_user_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining: the per-user event-type transition matrix (Markov
+    first-order) — counts and conditional probabilities of "after X, the
+    user does Y". The journey-analysis primitive behind funnel discovery
+    and next-action prediction.
+
+    Plan: ONE window partitioned by ``user_id`` (distributed — state per
+    user, never a global order) computes each row's successor via ``lead``
+    with a deterministic (ts, event_id) tiebreak; the transition matrix is
+    a map-combined groupBy onto ≤ |types|² rows, and the row-conditional
+    normalization is a window over those result rows only. One shuffle on
+    user_id, one on the 25-row matrix."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("transition_count")
+    )
+    norm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "transition_count",
+        (
+            F.col("transition_count")
+            / F.sum("transition_count").over(norm)
+        ).alias("transition_prob"),
+    ).orderBy("from_type", "to_type")

@@ -10,7 +10,7 @@ from ..catalog import table
 from ..models import marts, staging
 from .registry import register
 
-from ..functions.numeric import fx_round, sql_avg, sql_round, sql_sum
+from ..functions.numeric import fx_round, fx_sum, sql_avg, sql_round, sql_sum
 
 
 @register(
@@ -460,4 +460,199 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nationkey")
         .agg(F.count(F.lit(1)).alias("near_dup_pairs"))
         .orderBy("nationkey")
+    )
+
+
+@register(
+    "mart_daily_revenue_ma7",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT)) AS units,
+             CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders GROUP BY 1
+    )
+    SELECT day,
+           FLOOR(units / 10000.0 * 100 + 0.5) / 100.0 AS revenue,
+           order_count,
+           (SUM(units) OVER w / 10000.0) / COUNT(units) OVER w AS ma7_revenue
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+    tables=("orders",),
+)
+def mart_daily_revenue_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 window frames: trailing 7-day moving average of daily revenue —
+    the smoothing every ops dashboard puts over a noisy daily series.
+
+    Plan: aggregate to exact integer revenue units per day FIRST (one
+    map-combined groupBy), then run the frame window over the ~2.4k daily
+    rows only — the unpartitioned window never sees raw orders, so the
+    shape survives 100× fact growth (day count grows with calendar time,
+    not data volume). The frame SUM runs over exact longs; the average is
+    two IEEE divisions written identically in the oracle."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import fx_from_units, fx_units
+
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date(F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(fx_units(F.col("o_totalprice"))).alias("units"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        fx_from_units(F.col("units")).alias("revenue"),
+        "order_count",
+        (
+            (F.sum("units").over(w) / F.lit(10000.0))
+            / F.count("units").over(w)
+        ).alias("ma7_revenue"),
+    ).orderBy("day")
+
+
+@register(
+    "mart_nation_revenue_quartiles",
+    oracle="""
+    WITH nat AS (
+      SELECT n.n_name AS nation_name,
+             SUM(CAST(FLOOR(o.o_totalprice * 10000 + 0.5) AS BIGINT)) AS units
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT nation_name,
+           FLOOR(units / 10000.0 * 100 + 0.5) / 100.0 AS revenue,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM nat
+    WINDOW w AS (ORDER BY units DESC, nation_name)
+    ORDER BY units DESC, nation_name
+    """,
+    tables=("orders", "customer", "nation"),
+)
+def mart_nation_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 distribution windows (ntile / percent_rank / cume_dist): nations
+    bucketed into revenue quartiles — the league-table form of the
+    reference's sales-performance dashboard mart.
+
+    The distribution functions need a single total order, so they run over
+    the 25 PRE-AGGREGATED nation rows (exact unit sums, name tiebreak),
+    never over raw orders — same pre-agg-then-window discipline as
+    ``events_hourly_delta``. All three window values are exact rationals
+    of rank and row count; the one division each matches IEEE-wise."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import fx_from_units, fx_units
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    nat = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum(fx_units(F.col("o_totalprice"))).alias("units"))
+    )
+    w = Window.orderBy(F.col("units").desc(), F.col("nation_name"))
+    return nat.select(
+        "nation_name",
+        fx_from_units(F.col("units")).alias("revenue"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    ).orderBy(F.col("units").desc(), F.col("nation_name"))
+
+
+@register(
+    "mart_part_affinity",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS together_count
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY together_count DESC, part_a, part_b
+    LIMIT 20
+    """,
+    tables=("lineitem",),
+)
+def mart_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs ordered together —
+    the affinity mining shape (self-join on the basket key) behind
+    "frequently bought together".
+
+    Scale posture: the self-join shuffles ONCE on ``l_orderkey`` (both
+    sides identically partitioned, so AQE plans a co-partitioned join) and
+    the pair blow-up is bounded by lines-per-order (≤ 7 in TPC-H shapes →
+    ≤ 21 pairs/order), not by table size. For carts with unbounded or
+    skewed sizes, cap lines per basket first (the standard guard); the
+    top-20 is TakeOrderedAndProject — no global sort of the pair counts."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "okey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("together_count"))
+        .orderBy(
+            F.col("together_count").desc(), F.col("part_a"), F.col("part_b")
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "stg_unpivot_metrics",
+    oracle=f"""
+    SELECT metric, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_sum("value")} AS total
+    FROM (
+      SELECT 'discount' AS metric, l_discount AS value FROM lineitem
+      UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'quantity', l_quantity FROM lineitem
+      UNION ALL SELECT 'tax', l_tax FROM lineitem
+    )
+    GROUP BY metric ORDER BY metric
+    """,
+    tables=("lineitem",),
+)
+def stg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide measures → long (metric, value) form) via
+    ``stack`` — the reshaping step that feeds generic per-metric profiling
+    (one DQ check definition over N columns instead of N definitions).
+
+    ``stack`` is a narrow row-local generator (no shuffle, no Python); the
+    4× row blow-up collapses immediately into the map-side partial
+    aggregate, so the shuffle carries 4 rows per task regardless of input
+    size. The DuckDB twin spells the same reshape as UNION ALL — dialect-
+    portable and semantically identical."""
+    li = table(spark, sf_dir, "lineitem")
+    long_form = li.select(
+        F.expr(
+            "stack(4, 'discount', l_discount, 'extendedprice', l_extendedprice,"
+            " 'quantity', l_quantity, 'tax', l_tax) AS (metric, value)"
+        )
+    )
+    return (
+        long_form.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            fx_sum(F.col("value"), "total"),
+        )
+        .orderBy("metric")
     )

@@ -200,3 +200,26 @@ def write_clustered(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed materialization — the shuffle-avoidance lever for tables
+    that are JOINED or AGGREGATED on the same key repeatedly (SURVEY.md
+    §4.2). Both sides of an equi-join bucketed on the key with the same
+    bucket count plan with NO Exchange (asserted in
+    tests/test_plans.py::test_bucketed_join_colocates): the 100 TB fact ⋈
+    fact join pays its shuffle once at write time, then never again.
+    Bucketing requires a catalog table (``saveAsTable``), not a bare path —
+    the bucket spec lives in table metadata. ``sort_cols`` additionally
+    sorts within buckets so merge joins skip their sort."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)

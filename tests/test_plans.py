@@ -130,13 +130,15 @@ def test_bucketed_join_colocates(spark):
         spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{wh}/db'")
         orders = table(spark, SF_SMALL, "orders")
         lineitem = table(spark, SF_SMALL, "lineitem")
+        from enterprise_data_quality_platform_spark.sources.writers import (
+            write_bucketed,
+        )
+
         try:
-            orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
-                "bucketdb.b_orders", mode="overwrite"
-            )
-            lineitem.write.bucketBy(8, "l_orderkey").sortBy(
-                "l_orderkey"
-            ).saveAsTable("bucketdb.b_lineitem", mode="overwrite")
+            write_bucketed(orders, "bucketdb.b_orders", ["o_orderkey"], 8,
+                           sort_cols=["o_orderkey"])
+            write_bucketed(lineitem, "bucketdb.b_lineitem", ["l_orderkey"], 8,
+                           sort_cols=["l_orderkey"])
             old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             try:
@@ -236,3 +238,41 @@ def test_funnel_single_aggregation_no_self_joins(spark):
     plan = plan_of(spark, "events_funnel_conversion")
     assert "Join" not in plan
     assert "PushedFilters" in plan and "In(event_type" in plan
+
+
+def test_ma7_window_runs_over_daily_aggregate(spark):
+    """The frame window must consume the per-day aggregate, never raw
+    orders: exactly one unpartitioned Window, fed by a HashAggregate."""
+    plan = plan_of(spark, "mart_daily_revenue_ma7")
+    assert "Window" in plan
+    # formatted plans print parent-first: Window must appear ABOVE the
+    # aggregate in the tree, i.e. the aggregate is the window's input
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_part_affinity_no_nested_loop(spark):
+    """The basket self-join must be a hash/merge equi-join on the order
+    key — a nested-loop/cartesian plan here is the O(n^2) failure mode."""
+    plan = plan_of(spark, "mart_part_affinity")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 without global sort
+
+
+def test_snapshot_diff_fingerprints_below_the_join(spark):
+    """The CDC diff must hash compared columns BEFORE the full outer join
+    so only (key, fingerprint) crosses the shuffle."""
+    plan = plan_of(spark, "dq_snapshot_diff")
+    assert "FullOuter" in plan
+    # fingerprint hashing exists and is computed in the detail section of
+    # the pre-join projections (details print child-after-parent, so the
+    # hash expression appearing after the join header means below it)
+    assert plan.index("xxhash64") > plan.index("FullOuter")
+
+
+def test_transitions_window_is_partitioned_by_user(spark):
+    """The lead() window must be partitioned by user_id (distributed) —
+    a global window here would serialize the whole event stream."""
+    df = SPECS["events_user_transitions"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(user_id" in plan
