@@ -60,6 +60,9 @@ HEADLINE = [
     "mart_daily_revenue_ma7",
     "mart_part_affinity",
     "events_user_transitions",
+    "events_rate_anomaly",
+    "events_scd2_episodes",
+    "mart_customer_rfm",
     "dedup_fuzzy_names",
     "dedup_minhash_docs",
     "embed_ann_lsh",

@@ -565,3 +565,133 @@ def events_user_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("transition_count").over(norm)
         ).alias("transition_prob"),
     ).orderBy("from_type", "to_type")
+
+
+@register(
+    "events_rate_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour_start, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(n) AS BIGINT) AS s1,
+             CAST(SUM(n * n) AS BIGINT) AS s2
+      FROM hourly
+    )
+    SELECT h.hour_start, h.n,
+           (CAST(h.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.n_hours AS DOUBLE))
+           / SQRT(CAST(s.s2 AS DOUBLE) / CAST(s.n_hours AS DOUBLE)
+                  - (CAST(s.s1 AS DOUBLE) / CAST(s.n_hours AS DOUBLE))
+                    * (CAST(s.s1 AS DOUBLE) / CAST(s.n_hours AS DOUBLE))) AS zscore
+    FROM hourly h, stats s
+    WHERE ABS(
+          (CAST(h.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.n_hours AS DOUBLE))
+          / SQRT(CAST(s.s2 AS DOUBLE) / CAST(s.n_hours AS DOUBLE)
+                 - (CAST(s.s1 AS DOUBLE) / CAST(s.n_hours AS DOUBLE))
+                   * (CAST(s.s1 AS DOUBLE) / CAST(s.n_hours AS DOUBLE)))) > 2.0
+    ORDER BY hour_start
+    """,
+    tables=("events",),
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPC control chart on the event rate: hours whose event count sits
+    more than 2 population-sigmas from the mean hourly rate — the
+    volume-anomaly monitor ("traffic fell off a cliff / spiked") that the
+    platform's freshness check can't see.
+
+    Determinism: the moment sums (n, Σn, Σn²) are exact BIGINTs over
+    hourly counts; mean/variance/z are the identical IEEE expression tree
+    on both sides. Plan: one map-combined groupBy to hourly rows, a 1-row
+    stats aggregate broadcast back onto them — never a global window, and
+    the raw event scan is touched once."""
+    events = table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / F.col("n_hours").cast("double")
+    var = (
+        F.col("s2").cast("double") / F.col("n_hours").cast("double")
+        - mean * mean
+    )
+    z = (nd - mean) / F.sqrt(var)
+    return (
+        hourly.crossJoin(F.broadcast(stats))
+        .filter(F.abs(z) > 2.0)
+        .select("hour_start", "n", z.alias("zscore"))
+        .orderBy("hour_start")
+    )
+
+
+@register(
+    "events_scd2_episodes",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type IS DISTINCT FROM
+                       LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, event_type, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS episode_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(episode_seq AS BIGINT) AS episode_seq, event_type,
+           MIN(ts) AS started_at, MAX(ts) AS ended_at,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, episode_seq, event_type
+    ORDER BY user_id, episode_seq
+    """,
+    tables=("events",),
+)
+def events_scd2_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal episode compression (SCD-Type-2 building): collapse each
+    user's CONSECUTIVE same-type events into one validity row
+    (started_at, ended_at, n_events) — the gaps-and-islands rewrite that
+    turns an event log into a slowly-changing state table.
+
+    Plan: one user-partitioned window computes the change flag (lag) and
+    the running episode number (cumulative sum) in the SAME sort order —
+    Catalyst fuses both into a single Window node over one shuffle — then
+    a map-combined groupBy per (user, episode). Distributed by user;
+    nothing global."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+        F.col("event_id"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("episode_seq"),
+    )
+    # no final orderBy: the episode table is large and the driver compares
+    # order-insensitively — a presentation sort here would be a global
+    # shuffle purely for cosmetics
+    return numbered.groupBy("user_id", "episode_seq", "event_type").agg(
+        F.min("ts").alias("started_at"),
+        F.max("ts").alias("ended_at"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -656,3 +656,110 @@ def stg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("metric")
     )
+
+
+@register(
+    "mart_customer_rfm",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(MAX(CAST(o_orderdate AS DATE)) - DATE '1970-01-01' AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT)) AS monetary_units
+      FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT
+        FLOOR(quantile_cont(recency_days, 0.25) * 1000000 + 0.5) / 1000000.0 AS r1,
+        FLOOR(quantile_cont(recency_days, 0.50) * 1000000 + 0.5) / 1000000.0 AS r2,
+        FLOOR(quantile_cont(recency_days, 0.75) * 1000000 + 0.5) / 1000000.0 AS r3,
+        FLOOR(quantile_cont(frequency, 0.25) * 1000000 + 0.5) / 1000000.0 AS f1,
+        FLOOR(quantile_cont(frequency, 0.50) * 1000000 + 0.5) / 1000000.0 AS f2,
+        FLOOR(quantile_cont(frequency, 0.75) * 1000000 + 0.5) / 1000000.0 AS f3,
+        FLOOR(quantile_cont(monetary_units, 0.25) * 1000000 + 0.5) / 1000000.0 AS m1,
+        FLOOR(quantile_cont(monetary_units, 0.50) * 1000000 + 0.5) / 1000000.0 AS m2,
+        FLOOR(quantile_cont(monetary_units, 0.75) * 1000000 + 0.5) / 1000000.0 AS m3
+      FROM per_cust
+    ),
+    scored AS (
+      SELECT CONCAT(
+               CAST(1 + CAST(recency_days > r1 AS INTEGER)
+                      + CAST(recency_days > r2 AS INTEGER)
+                      + CAST(recency_days > r3 AS INTEGER) AS VARCHAR),
+               CAST(1 + CAST(frequency > f1 AS INTEGER)
+                      + CAST(frequency > f2 AS INTEGER)
+                      + CAST(frequency > f3 AS INTEGER) AS VARCHAR),
+               CAST(1 + CAST(monetary_units > m1 AS INTEGER)
+                      + CAST(monetary_units > m2 AS INTEGER)
+                      + CAST(monetary_units > m3 AS INTEGER) AS VARCHAR)
+             ) AS rfm_segment,
+             monetary_units
+      FROM per_cust, b
+    )
+    SELECT rfm_segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           FLOOR(SUM(monetary_units) / 10000.0 * 100 + 0.5) / 100.0 AS total_revenue
+    FROM scored GROUP BY rfm_segment ORDER BY rfm_segment
+    """,
+    tables=("orders",),
+)
+def mart_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary quartile
+    scores) — the classic marketing mart. The quartile ASSIGNMENT uses
+    broadcast percentile boundaries + three comparisons per metric, NOT a
+    global ``ntile`` window: ntile needs a single total order over all
+    customers (the per-entity frame GROWS with the data — exactly the
+    unpartitioned-window scale-killer), while boundary scoring is a 1-row
+    aggregate broadcast onto a map-only pass. The trade: ntile splits
+    boundary TIES by row order, boundary scoring puts equal values in the
+    same bucket — the semantics a segmentation actually wants.
+
+    Determinism: metrics are exact integers (days / counts / fixed-point
+    units); interpolated boundaries are rounded to 6 dp on both sides so
+    a last-ulp lerp difference can't flip an integer-vs-boundary
+    comparison. Plan: per-customer groupBy (one shuffle), 1-row
+    percentile aggregate, broadcast crossJoin, map-side segment scoring,
+    final ≤64-row groupBy."""
+    from ..functions.numeric import fx_from_units, fx_units
+
+    orders = table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.max(F.to_date("o_orderdate")), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(fx_units(F.col("o_totalprice"))).alias("monetary_units"),
+    )
+    bounds = per_cust.agg(
+        *[
+            fx_round(F.expr(f"percentile({m}, {q})"), 6).alias(f"{a}{i}")
+            for m, a in (
+                ("recency_days", "r"),
+                ("frequency", "f"),
+                ("monetary_units", "m"),
+            )
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+
+    def score(metric: str, a: str):
+        s = F.lit(1)
+        for i in (1, 2, 3):
+            s = s + (F.col(metric) > F.col(f"{a}{i}")).cast("int")
+        return s.cast("string")
+
+    scored = per_cust.crossJoin(F.broadcast(bounds)).select(
+        F.concat(
+            score("recency_days", "r"),
+            score("frequency", "f"),
+            score("monetary_units", "m"),
+        ).alias("rfm_segment"),
+        "monetary_units",
+    )
+    return (
+        scored.groupBy("rfm_segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            fx_from_units(F.sum("monetary_units")).alias("total_revenue"),
+        )
+        .orderBy("rfm_segment")
+    )

@@ -276,3 +276,38 @@ def test_transitions_window_is_partitioned_by_user(spark):
     df = SPECS["events_user_transitions"].fn(spark, SF_SMALL)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "windowspecdefinition(user_id" in plan
+
+
+def test_rate_anomaly_broadcasts_stats_no_window(spark):
+    """The SPC z computation must be a 1-row broadcast onto the hourly
+    frame — not a global window over hourly rows (and certainly not raw
+    events)."""
+    plan = plan_of(spark, "events_rate_anomaly")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats crossJoin
+    assert "Window" not in plan
+
+
+def test_scd2_single_window_single_shuffle(spark):
+    """lag-flag and running episode number share one partitioning and sort
+    order: the two Window nodes (frames differ, so they can't merge) must
+    sit on ONE user_id Exchange and ONE Sort — a second sort/shuffle here
+    would double the cost of the islands pass."""
+    plan = plan_of(spark, "events_scd2_episodes")
+    assert "windowspecdefinition(user_id" in plan
+    # exactly one hash-exchange on user_id and one user-ordered Sort node
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
+    sort_args = [
+        line
+        for line in plan.splitlines()
+        if line.startswith("Arguments: [user_id") and "ASC" in line
+    ]
+    assert len(sort_args) == 1, sort_args
+
+
+def test_rfm_uses_broadcast_boundaries_not_global_window(spark):
+    """Quartile assignment must come from broadcast percentile boundaries;
+    a global ntile window over per-customer rows is the scale-killer this
+    query exists to avoid."""
+    plan = plan_of(spark, "mart_customer_rfm")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row boundary crossJoin
