@@ -60,6 +60,7 @@ HEADLINE = [
     "mart_daily_revenue_ma7",
     "mart_part_affinity",
     "events_user_transitions",
+    "events_attribution",
     "events_rate_anomaly",
     "events_scd2_episodes",
     "mart_customer_rfm",

@@ -695,3 +695,80 @@ def events_scd2_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("ended_at"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    WITH touched AS (
+      SELECT event_type, ts, user_id,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+               OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    purchases AS (
+      SELECT COALESCE(touch_type, 'none') AS attributed_type,
+             CASE WHEN touch_ts IS NOT NULL
+                  THEN date_diff('second', touch_ts, ts) END AS secs
+      FROM touched WHERE event_type = 'purchase'
+    )
+    SELECT attributed_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(secs) AS BIGINT) AS total_secs_to_convert,
+           CAST(SUM(secs) AS DOUBLE) / COUNT(secs) AS avg_secs_to_convert
+    FROM purchases
+    GROUP BY attributed_type ORDER BY attributed_type
+    """,
+    tables=("events",),
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's most
+    recent PRECEDING non-purchase event — the marketing-analytics join of
+    conversions back to touchpoints, plus time-to-convert stats.
+
+    Plan: one user-partitioned window (frame UNBOUNDED PRECEDING .. 1
+    PRECEDING, so a purchase can't attribute to itself) carries the last
+    qualifying touch forward via ``last(ignorenulls)``; purchases filter
+    AFTER the window (the window must see every event), then a
+    map-combined groupBy onto ≤ |types| rows. Time-to-convert sums are
+    exact integer seconds (floor-epoch difference on both engines);
+    the average is one division."""
+    events = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    touched = events.select(
+        "event_type",
+        "ts",
+        F.last(F.when(not_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(not_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    purchases = touched.filter(F.col("event_type") == "purchase").select(
+        F.coalesce(F.col("touch_type"), F.lit("none")).alias("attributed_type"),
+        F.when(
+            F.col("touch_ts").isNotNull(),
+            F.unix_timestamp("ts") - F.unix_timestamp("touch_ts"),
+        ).alias("secs"),
+    )
+    return (
+        purchases.groupBy("attributed_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("secs").alias("total_secs_to_convert"),
+            (F.sum("secs").cast("double") / F.count("secs")).alias(
+                "avg_secs_to_convert"
+            ),
+        )
+        .orderBy("attributed_type")
+    )

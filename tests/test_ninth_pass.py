@@ -161,3 +161,37 @@ def test_rfm_segments_partition_customers(spark, sf_dir):
         t(spark, sf_dir, "orders").select("o_custkey").distinct().count()
     )
     assert sum(r.n_customers for r in rows) == n_cust
+
+
+# -------------------------------------------------------------- attribution
+
+
+def test_attribution_credits_last_preceding_touch(spark, monkeypatch):
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [
+        # user 1: view@0, click@10, purchase@30 -> credited to click, 20min
+        (1, 1, "view", ts(0)), (2, 1, "click", ts(10)), (3, 1, "purchase", ts(30)),
+        # user 2: purchase with no prior touch -> 'none'
+        (4, 2, "purchase", ts(5)),
+        # user 3: purchase then view then purchase -> second credited to view
+        (5, 3, "purchase", ts(0)), (6, 3, "view", ts(1)), (7, 3, "purchase", ts(2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    import enterprise_data_quality_platform_spark.queries.events as ev
+
+    monkeypatch.setattr(ev, "table", lambda s, d, n: df)
+    got = {
+        r.attributed_type: (r.n_purchases, r.total_secs_to_convert)
+        for r in ev.events_attribution(spark, "unused").collect()
+    }
+    assert got == {
+        "click": (1, 20 * 60),
+        "none": (2, None),  # user 2 and user 3's first purchase
+        "view": (1, 60),
+    }

@@ -254,8 +254,8 @@ def test_part_affinity_no_nested_loop(spark):
     """The basket self-join must be a hash/merge equi-join on the order
     key — a nested-loop/cartesian plan here is the O(n^2) failure mode."""
     plan = plan_of(spark, "mart_part_affinity")
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # row-local pairing: no self-join at all
+    assert "Generate" in plan  # explode of the row-local pair array
     assert "TakeOrderedAndProject" in plan  # top-20 without global sort
 
 
@@ -311,3 +311,17 @@ def test_rfm_uses_broadcast_boundaries_not_global_window(spark):
     plan = plan_of(spark, "mart_customer_rfm")
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row boundary crossJoin
+
+
+def test_attribution_window_partitioned_and_filter_after(spark):
+    """The carry-forward window must be user-partitioned and the purchase
+    filter must NOT be pushed below the window (the window needs every
+    event to find the last touch)."""
+    df = SPECS["events_attribution"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(user_id" in plan
+    # no event_type pushdown into the scan: either no PushedFilters line
+    # at all, or one that doesn't mention purchase
+    phys = plan_of(spark, "events_attribution")
+    pushed = [l for l in phys.splitlines() if "PushedFilters" in l]
+    assert all("purchase" not in l for l in pushed)
