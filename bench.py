@@ -57,6 +57,8 @@ HEADLINE = [
     "dq_correlation",
     "dq_benford",
     "dq_snapshot_diff",
+    "dq_reconciliation",
+    "text_pii_scan",
     "mart_daily_revenue_ma7",
     "mart_part_affinity",
     "events_user_transitions",

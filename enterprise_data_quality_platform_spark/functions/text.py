@@ -119,3 +119,34 @@ def rolling_hashes(text: Column, n: int = 3) -> Column:
     """Per-shingle 64-bit hashes (xxhash64) — the rolling-hash document
     signature used by SimHash/MinHash."""
     return F.transform(shingles(text, n), lambda s: F.xxhash64(s))
+
+
+# --- PII detection / redaction (training-data compliance pass) ----------
+# Patterns restricted to the Java-regex ∩ RE2 common subset so the same
+# string works in Spark (rlike/regexp_replace) and DuckDB (regexp_matches)
+# — no lookarounds, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d\-\s().]{5,}\d",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+#: redaction order matters: specific shapes (ssn, ipv4) before the greedy
+#: phone pattern so a phone sweep can't mangle them first.
+PII_REDACTION_ORDER = ("email", "ssn", "ipv4", "phone")
+
+
+def pii_flag(text: Column, kind: str) -> Column:
+    """1 if ``text`` contains PII of ``kind`` (see PII_PATTERNS) else 0."""
+    return text.rlike(PII_PATTERNS[kind]).cast("int")
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII occurrence with a typed placeholder ([EMAIL],
+    [SSN], [IPV4], [PHONE]) — the pre-training scrub pass. Pure JVM
+    regexp_replace chain; no UDFs."""
+    out = text
+    for kind in PII_REDACTION_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return out

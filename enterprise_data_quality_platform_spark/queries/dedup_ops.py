@@ -188,3 +188,45 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine_sim", 4).alias("cosine_sim"),
         F.col("sim_rank").cast("bigint").alias("sim_rank"),
     ).orderBy("probe_id", "sim_rank")
+
+
+@register(
+    "dedup_containment",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+      FROM docs
+      WHERE len(toks) >= 3
+    ),
+    ex AS (SELECT doc_id, len(grams) AS sz, UNNEST(grams) AS gram FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS common,
+             ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(common * 1.0 / LEAST(sz_a, sz_b), 4) AS containment
+    FROM pairs
+    WHERE ROUND(common * 1.0 / LEAST(sz_a, sz_b), 4) >= 0.2
+    """,
+    tables=("documents",),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 asymmetric form: shingle CONTAINMENT pairs — |A∩B| over the
+    smaller shingle set, the subset/superset detector that catches a
+    fragment quoted whole inside a longer doc where Jaccard stays low
+    (union dominated by the superset). Training-data dedup drops the
+    contained side, keeps the superset (dedup/jaccard.py
+    containment_pairs)."""
+    from ..dedup.jaccard import containment_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.2, n=3)

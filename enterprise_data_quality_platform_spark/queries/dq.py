@@ -1177,3 +1177,65 @@ def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("key") % 13 == 0, F.lit(1)).otherwise(F.lit(0)),
     )
     return diff_summary(old, new, keys=["key"], compare_cols=["cents", "status"])
+
+
+@register(
+    "dq_reconciliation",
+    oracle="""
+    WITH line_sums AS (
+      SELECT l_orderkey,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS line_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+      SELECT o.o_orderkey,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS header_cents,
+             l.line_cents
+      FROM orders o LEFT JOIN line_sums l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(line_cents) AS BIGINT) AS n_with_lines,
+           CAST(COUNT(*) FILTER (WHERE line_cents IS NULL) AS BIGINT) AS n_childless,
+           CAST(COUNT(*) FILTER (WHERE line_cents IS NOT NULL
+                                   AND line_cents <> header_cents) AS BIGINT) AS n_mismatched,
+           COUNT(*) FILTER (WHERE line_cents IS NOT NULL
+                              AND line_cents <> header_cents)
+             / COUNT(line_cents) AS mismatch_rate
+    FROM joined
+    """,
+    tables=("orders", "lineitem"),
+)
+def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation ("does the fact foot to the header"):
+    per-order lineitem price sums compared against the order header
+    total — the financial-close check a warehouse runs between every
+    fact and its rollup, one level up from row-level referential
+    integrity (G19/G24 check row counts; this checks VALUES).
+
+    Determinism: both sides quantize to exact integer cents before
+    summing/comparing. Plan: lineitem pre-aggregates to per-order cents
+    (map-combined) BEFORE the join, so the join carries one row per
+    order, not one per line; the final count is a 1-row conditional
+    aggregate. Two shuffles total (agg + join), both on the order key —
+    on bucketed tables (write_bucketed) the join shuffle disappears."""
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    line_sums = lineitem.groupBy("l_orderkey").agg(
+        F.sum(cents("l_extendedprice")).alias("line_cents")
+    )
+    joined = orders.select(
+        "o_orderkey", cents("o_totalprice").alias("header_cents")
+    ).join(line_sums, orders["o_orderkey"] == line_sums["l_orderkey"], "left")
+    mismatch = F.col("line_cents").isNotNull() & (
+        F.col("line_cents") != F.col("header_cents")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("line_cents").alias("n_with_lines"),
+        F.count(F.when(F.col("line_cents").isNull(), 1)).alias("n_childless"),
+        F.count(F.when(mismatch, 1)).alias("n_mismatched"),
+        (F.count(F.when(mismatch, 1)) / F.count("line_cents")).alias(
+            "mismatch_rate"
+        ),
+    )

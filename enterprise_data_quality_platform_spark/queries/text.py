@@ -344,3 +344,46 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+@register(
+    "text_pii_scan",
+    oracle=r"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS docs_with_email,
+           CAST(COUNT(*) FILTER (WHERE regexp_matches(text, '\+?\d[\d\-\s().]{5,}\d')) AS BIGINT) AS docs_with_phone,
+           CAST(COUNT(*) FILTER (WHERE regexp_matches(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS docs_with_ipv4,
+           CAST(COUNT(*) FILTER (WHERE regexp_matches(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS docs_with_ssn
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+    tables=("documents",),
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII surface scan — per-source counts of documents containing
+    email / phone / IPv4 / SSN-shaped strings, the compliance pre-flight
+    every training corpus runs before release (paired with
+    ``functions.text.redact_pii`` for the scrub itself; redaction
+    semantics are pinned by crafted tests since this corpus is
+    deliberately PII-free and the scan reports exact zeros).
+
+    Plan: one scan, four rlike flags fused into a single map-combined
+    conditional aggregate — adding a fifth pattern costs zero extra
+    passes. Patterns live in the Java-regex ∩ RE2 common subset so the
+    DuckDB twin runs the byte-identical pattern."""
+    from ..functions.text import pii_flag
+
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(pii_flag(t, "email")).alias("docs_with_email"),
+            F.sum(pii_flag(t, "phone")).alias("docs_with_phone"),
+            F.sum(pii_flag(t, "ipv4")).alias("docs_with_ipv4"),
+            F.sum(pii_flag(t, "ssn")).alias("docs_with_ssn"),
+        )
+        .orderBy("source")
+    )

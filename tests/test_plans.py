@@ -325,3 +325,25 @@ def test_attribution_window_partitioned_and_filter_after(spark):
     phys = plan_of(spark, "events_attribution")
     pushed = [l for l in phys.splitlines() if "PushedFilters" in l]
     assert all("purchase" not in l for l in pushed)
+
+
+def test_reconciliation_aggregates_below_the_join(spark):
+    """lineitem must pre-aggregate to per-order cents BEFORE joining the
+    header — a join of raw lines against orders would shuffle every line
+    row twice."""
+    plan = plan_of(spark, "dq_reconciliation")
+    # tree prints parent-first: the join sits above one side's aggregate
+    join_pos = min(
+        (plan.index(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin") if j in plan),
+    )
+    assert "HashAggregate" in plan[join_pos:], "line pre-agg not below join"
+
+
+def test_pii_scan_is_one_fused_jvm_pass(spark):
+    """Four regex flags must fuse into one scan + one aggregate — no
+    Python nodes, no repeated scans."""
+    plan = plan_of(spark, "text_pii_scan")
+    # one scan: formatted output names each scan once in the tree and once
+    # in the detail section, so a single scan yields exactly one Location
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
