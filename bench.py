@@ -58,7 +58,10 @@ HEADLINE = [
     "dq_benford",
     "dq_snapshot_diff",
     "dq_reconciliation",
+    "dq_k_anonymity",
+    "dq_distribution_drift",
     "text_pii_scan",
+    "text_pretoken_stats",
     "mart_daily_revenue_ma7",
     "mart_part_affinity",
     "events_user_transitions",

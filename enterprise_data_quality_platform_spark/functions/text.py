@@ -150,3 +150,17 @@ def redact_pii(text: Column) -> Column:
     for kind in PII_REDACTION_ORDER:
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
     return out
+
+
+#: BPE-style pre-tokenizer classes (RE2 ∩ Java-regex safe — the GPT-2
+#: pattern's lookaheads don't exist in RE2, so the oracle-portable form
+#: splits on character-class runs: letter runs, digit runs, punctuation
+#: runs). Whitespace is a separator, never a token.
+PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def pretokens(text: Column) -> Column:
+    """Character-class pre-tokens — the BPE-ish unit count that tracks
+    subword-tokenizer budgets far better than whitespace words (digits
+    and punctuation tokenize separately, as real BPE vocabularies do)."""
+    return F.regexp_extract_all(text, F.lit(PRETOKEN_PATTERN), 0)

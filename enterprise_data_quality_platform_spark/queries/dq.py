@@ -1239,3 +1239,102 @@ def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mismatch_rate"
         ),
     )
+
+
+@register(
+    "dq_k_anonymity",
+    oracle="""
+    WITH combos AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_combos,
+           CAST(MIN(n) AS BIGINT) AS k_anonymity,
+           CAST(COUNT(*) FILTER (WHERE n < 5) AS BIGINT) AS combos_below_5,
+           CAST(COALESCE(SUM(n) FILTER (WHERE n < 5), 0) AS BIGINT) AS rows_at_risk
+    FROM combos
+    """,
+    tables=("customer",),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns (nation × market
+    segment): the table's k (size of the smallest identifying combo), how
+    many combos fall below k=5, and how many ROWS those combos expose —
+    the privacy-release counterpart of the PII scan (PII finds direct
+    identifiers; k-anonymity measures re-identification risk from
+    indirect ones).
+
+    Plan: one map-combined groupBy onto the combo frame, then a 1-row
+    aggregate over combo counts — scales like any two-level aggregate;
+    at 100 TB the combo frame is bounded by quasi-identifier cardinality,
+    not row count."""
+    combos = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    below = F.when(F.col("n") < 5, F.col("n"))
+    return combos.agg(
+        F.count(F.lit(1)).alias("n_combos"),
+        F.min("n").alias("k_anonymity"),
+        F.count(below).alias("combos_below_5"),
+        F.coalesce(F.sum(below), F.lit(0)).alias("rows_at_risk"),
+    )
+
+
+@register(
+    "dq_distribution_drift",
+    oracle=f"""
+    WITH halves AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'ref' ELSE 'cur' END AS period
+      FROM events
+    ),
+    hist AS (
+      SELECT event_type,
+             COUNT(*) FILTER (WHERE period = 'ref') AS n_ref,
+             COUNT(*) FILTER (WHERE period = 'cur') AS n_cur
+      FROM halves GROUP BY event_type
+    ),
+    shares AS (
+      SELECT event_type,
+             n_ref / SUM(n_ref) OVER () AS p,
+             n_cur / SUM(n_cur) OVER () AS q
+      FROM hist
+    )
+    SELECT {sql_round("SUM((q - p) * ln(q / p))", 6)} AS psi,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM shares
+    """,
+    tables=("events",),
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference period (first half
+    of the month) and the current period — the standard drift gate
+    (PSI < 0.1 stable, > 0.25 action) run on every scoring pipeline,
+    complementing the one-sided KL check (G18) with the symmetric
+    production metric.
+
+    Plan: both periods' histograms come from ONE scan (conditional
+    aggregation on the period flag — not two passes), the share
+    normalization and PSI sum run over the ≤ |types| result rows.
+    ``ln`` is rounded to 6 dp on both sides (the KL precedent: last-ulp
+    libm drift is rounded away)."""
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    hist = events.groupBy("event_type").agg(
+        F.count(F.when(F.col("ts") < cutoff, 1)).alias("n_ref"),
+        F.count(F.when(F.col("ts") >= cutoff, 1)).alias("n_cur"),
+    )
+    w = Window.partitionBy()
+    shares = hist.select(
+        (F.col("n_ref") / F.sum("n_ref").over(w)).alias("p"),
+        (F.col("n_cur") / F.sum("n_cur").over(w)).alias("q"),
+    )
+    psi = F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p")))
+    return shares.agg(
+        fx_round(psi, 6).alias("psi"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )

@@ -387,3 +387,42 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_pretoken_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_pretokens,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_words,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_runs,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')) AS BIGINT) AS n_punct_runs
+    FROM documents
+    """,
+    tables=("documents",),
+)
+def text_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-token counts per document alongside whitespace word
+    counts — the token-budget estimator a training pipeline bills by
+    (digit and punctuation runs tokenize separately, like real subword
+    vocabularies; the [pretokens]/[words] ratio flags code/TSV-ish docs
+    whose subword cost far exceeds their word count). The pattern is
+    RE2 ∩ Java-regex portable — GPT-2's lookaheads can't be expressed in
+    DuckDB's RE2, so the class-run form is the shared dialect. Pure
+    row-local JVM regex — no shuffle, no Python."""
+    from ..functions.text import PRETOKEN_PATTERN, pretokens
+
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(pretokens(t)).cast("bigint").alias("n_pretokens"),
+        TX.token_count(t).cast("bigint").alias("n_words"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[0-9]+"), 0))
+        .cast("bigint")
+        .alias("n_number_runs"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]+"), 0))
+        .cast("bigint")
+        .alias("n_punct_runs"),
+    )

@@ -223,3 +223,70 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table_name)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Small-file compaction — the OPTIMIZE/maintenance pass plain-parquet
+    tables need after streaming appends or fine-grained upserts. A 100 TB
+    table that accretes KB-sized files stops being scannable long before
+    it stops fitting on disk (every file is a task + an open + a footer
+    read). Rewrites each leaf directory (= one partition, or the table
+    root when unpartitioned) whose file count exceeds
+    ``min_files_to_compact`` into ``ceil(bytes / target_file_bytes)``
+    files via the same staging-dir + rename swap as ``merge_upsert``;
+    well-sized partitions are left untouched (no read, no write).
+
+    Returns a summary dict {partitions_compacted, files_before,
+    files_after} for the maintenance log."""
+    import math
+
+    fs, jvm = _hadoop_fs(spark, path)
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+
+    def leaf_dirs(p):
+        subs = [s for s in fs.listStatus(p) if s.isDirectory()]
+        if not subs:
+            return [p]
+        out = []
+        for s in subs:
+            out.extend(leaf_dirs(s.getPath()))
+        return out
+
+    stats = {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+    for leaf in leaf_dirs(jpath):
+        files = [
+            f
+            for f in fs.listStatus(leaf)
+            if f.isFile() and f.getPath().getName().endswith(".parquet")
+        ]
+        stats["files_before"] += len(files)
+        total = sum(f.getLen() for f in files)
+        n_target = max(1, math.ceil(total / target_file_bytes))
+        if len(files) < max(min_files_to_compact, n_target + 1):
+            stats["files_after"] += len(files)
+            continue
+        leaf_str = leaf.toString()
+        stage = leaf_str.rstrip("/") + "__compact"
+        jstage = jvm.org.apache.hadoop.fs.Path(stage)
+        spark.read.parquet(leaf_str).repartition(n_target).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        for f in files:
+            fs.delete(f.getPath(), False)
+        for f in fs.listStatus(jstage):
+            if f.isFile() and f.getPath().getName().endswith(".parquet"):
+                fs.rename(
+                    f.getPath(),
+                    jvm.org.apache.hadoop.fs.Path(
+                        leaf_str + "/" + f.getPath().getName()
+                    ),
+                )
+                stats["files_after"] += 1
+        fs.delete(jstage, True)
+        stats["partitions_compacted"] += 1
+    return stats

@@ -96,3 +96,103 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert len(cont) == 1 and cont[0].containment == 1.0  # fragment fully inside
     jac = ngram_jaccard_pairs(df, threshold=0.5, n=3).collect()
     assert jac == []  # Jaccard blind to the same pair at any meaningful bar
+
+
+# --------------------------------------------------------------- compaction
+
+
+def test_compact_partitions_reduces_files_preserves_rows(spark, tmp_path):
+    from enterprise_data_quality_platform_spark.sources.writers import (
+        compact_partitions,
+    )
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10000).selectExpr(
+        "id", "id % 3 AS p", "CAST(id AS STRING) AS s"
+    )
+    # fragment: 20 files per partition
+    df.repartition(20).write.partitionBy("p").parquet(path)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+    stats = compact_partitions(spark, path, target_file_bytes=1 << 30)
+    assert stats["partitions_compacted"] == 3
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 3  # one file per partition at this size
+    after_df = spark.read.parquet(path)
+    assert sorted(r.id for r in after_df.collect()) == before
+
+
+def test_compact_skips_already_compacted(spark, tmp_path):
+    from enterprise_data_quality_platform_spark.sources.writers import (
+        compact_partitions,
+    )
+
+    path = str(tmp_path / "ok")
+    spark.range(0, 100).coalesce(1).write.parquet(path)
+    stats = compact_partitions(spark, path, target_file_bytes=1 << 30)
+    assert stats["partitions_compacted"] == 0
+    assert stats["files_before"] == stats["files_after"] == 1
+
+
+# --------------------------------------------------------------- k-anonymity
+
+
+def test_k_anonymity_counts_risky_combos(spark, monkeypatch):
+    import enterprise_data_quality_platform_spark.queries.dq as dq
+
+    rows = (
+        [(1, "A")] * 10      # safe combo
+        + [(1, "B")] * 2     # risky (n=2)
+        + [(2, "A")] * 1     # risky (n=1)
+    )
+    df = spark.createDataFrame(rows, "c_nationkey long, c_mktsegment string")
+    monkeypatch.setattr(dq, "table", lambda s, d, n: df)
+    r = dq.dq_k_anonymity(spark, "unused").first()
+    assert (r.n_combos, r.k_anonymity, r.combos_below_5, r.rows_at_risk) == (
+        3, 1, 2, 3,
+    )
+
+
+# --------------------------------------------------------------------- drift
+
+
+def test_psi_zero_for_identical_halves(spark, monkeypatch):
+    import datetime
+
+    import enterprise_data_quality_platform_spark.queries.dq as dq
+
+    rows = []
+    for half_start in (datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 20)):
+        for i, t in enumerate(["a"] * 30 + ["b"] * 70):
+            rows.append((t, half_start + datetime.timedelta(minutes=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    monkeypatch.setattr(dq, "table", lambda s, d, n: df)
+    r = dq.dq_distribution_drift(spark, "unused").first()
+    assert r.psi == 0.0 and r.n_buckets == 2
+
+
+def test_psi_positive_under_shift(spark, monkeypatch):
+    import datetime
+
+    import enterprise_data_quality_platform_spark.queries.dq as dq
+
+    rows = [("a", datetime.datetime(2024, 1, 2))] * 90 + [
+        ("b", datetime.datetime(2024, 1, 2))
+    ] * 10
+    rows += [("a", datetime.datetime(2024, 1, 20))] * 10 + [
+        ("b", datetime.datetime(2024, 1, 20))
+    ] * 90
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    monkeypatch.setattr(dq, "table", lambda s, d, n: df)
+    r = dq.dq_distribution_drift(spark, "unused").first()
+    assert r.psi > 0.25  # textbook "action" territory for a hard flip
+
+
+# ----------------------------------------------------------------- pretokens
+
+
+def test_pretokens_split_on_character_classes(spark):
+    from enterprise_data_quality_platform_spark.functions.text import pretokens
+
+    df = spark.createDataFrame([("abc 123 a-b 4.5x",)], "text string")
+    got = df.select(pretokens(F.col("text")).alias("p")).first().p
+    assert got == ["abc", "123", "a", "-", "b", "4", ".", "5", "x"]
