@@ -1338,3 +1338,57 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         fx_round(psi, 6).alias("psi"),
         F.count(F.lit(1)).alias("n_buckets"),
     )
+
+
+@register(
+    "dq_fd_check",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT o_custkey AS k, o_orderpriority AS v, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    per_key AS (
+      SELECT k, COUNT(*) AS n_vals, SUM(n) AS n_rows, MAX(n) AS max_n
+      FROM pairs GROUP BY k
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_keys,
+           CAST(SUM(n_rows - max_n) AS BIGINT) AS violating_rows,
+           {sql_round("CAST(SUM(max_n) AS DOUBLE) / SUM(n_rows)", 6)} AS fd_strength
+    FROM per_key
+    """,
+    tables=("orders",),
+)
+def dq_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit for the candidate FD
+    ``o_custkey -> o_orderpriority``: how close is the determinant to
+    actually determining the dependent? Reports violating keys (keys with
+    >1 distinct dependent value), violating rows (rows outside each key's
+    majority value — the minimum deletions to make the FD hold, the g3
+    measure from FD-discovery literature), and the row-level strength.
+
+    This is the profiling step before declaring a uniqueness/consistency
+    contract (G4/G5 check a *declared* key; this *discovers* whether a
+    dependency is real) — the same two-level-aggregate shape as the
+    Expand-free ``dq_uniqueness``: groupBy(key, value) first (map-side
+    combine collapses the fact), then groupBy(key), then one 1-row
+    summary. Pure BIGINT counts + one final division, so the oracle
+    matches bit-for-bit."""
+    pairs = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), F.col("o_orderpriority").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_key = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("n_vals") > 1, 1).otherwise(0)).alias("violating_keys"),
+        F.sum(F.col("n_rows") - F.col("max_n")).alias("violating_rows"),
+        fx_round(
+            F.sum("max_n").cast("double") / F.sum("n_rows"), 6
+        ).alias("fd_strength"),
+    )

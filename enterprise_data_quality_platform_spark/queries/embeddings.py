@@ -221,3 +221,119 @@ def embed_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine_sim", 4).alias("cosine_sim"),
         "sim_rank",
     )
+
+
+@register(
+    "embed_label_centroid",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, u[2] AS dim, CAST(u[1] AS DOUBLE) AS v
+      FROM (SELECT vec_id, label,
+                   UNNEST(list_zip(embedding, range(1, len(embedding) + 1))) AS u
+            FROM embeddings)
+    ),
+    q AS (
+      SELECT vec_id, label, dim, v,
+             CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT) AS vu
+      FROM ex
+    ),
+    cent AS (
+      SELECT label, dim, SUM(vu) AS cu, COUNT(*) AS cn
+      FROM q GROUP BY label, dim
+    ),
+    parts AS (
+      SELECT q.vec_id, q.label,
+             SUM(CAST(FLOOR(q.v * (CAST(c.cu AS DOUBLE) / (CAST(c.cn AS DOUBLE) * 1000000.0))
+                            * 1000000000 + 0.5) AS BIGINT)) AS du,
+             SUM(CAST(FLOOR(q.v * q.v * 1000000000 + 0.5) AS BIGINT)) AS v2u,
+             SUM(CAST(FLOOR((CAST(c.cu AS DOUBLE) / (CAST(c.cn AS DOUBLE) * 1000000.0))
+                            * (CAST(c.cu AS DOUBLE) / (CAST(c.cn AS DOUBLE) * 1000000.0))
+                            * 1000000000 + 0.5) AS BIGINT)) AS c2u
+      FROM q JOIN cent c USING (label, dim)
+      GROUP BY q.vec_id, q.label
+    ),
+    coh AS (
+      SELECT label,
+             ROUND(CAST(du AS DOUBLE) / sqrt(CAST(v2u AS DOUBLE) * CAST(c2u AS DOUBLE)), 6) AS cos
+      FROM parts
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_cohesion,
+           MIN(cos) AS min_cohesion
+    FROM coh
+    GROUP BY label
+    ORDER BY label
+    """,
+    tables=("embeddings",),
+)
+def embed_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cohesion: mean and worst cosine of members to
+    their label centroid — the cluster-quality audit for an embedding
+    column (how tight is each labeled group?), and the distributed
+    vector-mean primitive IVF training needs at full-corpus scale
+    (``similarity/ivf.py`` trains on a bounded sample; this is the
+    all-data path).
+
+    Float discipline: a naive ``avg(component)`` is partition-order
+    dependent (double addition isn't associative), so every sum that
+    crosses a shuffle is an exact BIGINT — components quantize to 1e-6
+    units for the centroid, per-element products to 1e-9 units for the
+    dot/norm partials — and the only float ops are per-element quantized
+    multiplies plus one division + sqrt in an identical IEEE tree on both
+    engines. Per-vector cosines round to 6dp before the decimal mean
+    (embed_norm_stats precedent).
+
+    Plan: ONE posexplode feeds both the centroid aggregate and the
+    per-vector partials; centroids (|labels| x 64 rows, size-constant)
+    broadcast back onto the exploded view; everything else is mergeable
+    map-side-combined groupBys — no window, no driver state, no Python."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode(V.to_double(F.col("embedding"))).alias("pos", "val")
+    )
+    q = ex.withColumn(
+        "vu", F.floor(F.col("val") * F.lit(1000000) + F.lit(0.5)).cast("long")
+    )
+    cent = q.groupBy("label", "pos").agg(
+        F.sum("vu").alias("cu"), F.count(F.lit(1)).alias("cn")
+    )
+    cval = F.col("cu").cast("double") / (F.col("cn").cast("double") * F.lit(1000000.0))
+    parts = (
+        q.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.floor(F.col("val") * cval * F.lit(1000000000) + F.lit(0.5)).cast("long")
+            ).alias("du"),
+            F.sum(
+                F.floor(F.col("val") * F.col("val") * F.lit(1000000000) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("v2u"),
+            F.sum(
+                F.floor(cval * cval * F.lit(1000000000) + F.lit(0.5)).cast("long")
+            ).alias("c2u"),
+        )
+    )
+    from pyspark.sql import types as T
+
+    cos = F.round(
+        F.col("du").cast("double")
+        / F.sqrt(F.col("v2u").cast("double") * F.col("c2u").cast("double")),
+        6,
+    )
+    return (
+        parts.select("label", cos.alias("cos"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.col("cos").cast(T.DecimalType(18, 6))).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_cohesion"),
+            F.min("cos").alias("min_cohesion"),
+        )
+        .orderBy("label")
+    )

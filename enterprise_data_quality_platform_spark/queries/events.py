@@ -772,3 +772,193 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("attributed_type")
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_journeys
+    FROM seq
+    WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_journeys DESC, path
+    LIMIT 10
+    """,
+    tables=("events",),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 length-3 user journeys (event-type trigrams) — the path-mining
+    big sibling of ``events_user_transitions``'s first-order matrix.
+
+    Plan: ONE user-partitioned sort serves both ``lead`` offsets (same
+    window spec → one Exchange + one Sort), trigram rows collapse in the
+    map-side partial agg (path cardinality ≤ |types|³ = 125), and the
+    top-10 is TakeOrderedAndProject — no global sort of path counts. The
+    (ts, event_id) tiebreak makes journeys deterministic under duplicate
+    timestamps, so counts are reproducible on any partitioning."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(" > ", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_journeys"))
+        .orderBy(F.col("n_journeys").desc(), "path")
+        .limit(10)
+    )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM pairs GROUP BY day
+    ),
+    wau AS (
+      SELECT g.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau
+      FROM dau g JOIN pairs p ON p.day BETWEEN g.day - 6 AND g.day
+      GROUP BY g.day
+    )
+    SELECT d.day, d.dau, w.wau
+    FROM dau d JOIN wau w USING (day)
+    ORDER BY d.day
+    """,
+    tables=("events",),
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day WAU per observed day — the engagement headline
+    pair. Rolling DISTINCT over a sliding window is the classically
+    painful distributed aggregate (naive forms are a range self-join or a
+    per-day state scan); here it is rewritten as *explode-to-target-days*:
+    each distinct (user, day) activity row votes for the 7 calendar days
+    it keeps the user "weekly active" on, then WAU is a plain distinct
+    count per target day.
+
+    Plan: distinct (user, day) FIRST (the same shrink-the-fact move as
+    retention cohorts), DAU and the exploded WAU votes both reuse that
+    input; the explode factor is a constant 7 (bounded blow-up, unlike a
+    range join whose multiplicity is data-dependent), and the final
+    distinct is a two-level groupBy keyed by (day, user) — mergeable,
+    no window state. The inner join back to observed days drops the
+    lead-out tail the oracle's grid also excludes."""
+    pairs = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    votes = pairs.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("day"),
+    ).distinct()
+    wau = votes.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    return dau.join(wau, "day").select("day", "dau", "wau").orderBy("day")
+
+
+@register(
+    "events_ab_experiment",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN (user_id * 2654435761) % 1000 < 500 THEN 'A' ELSE 'B' END AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      FROM users
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           {sql_round("CAST(conv_a AS DOUBLE) / n_a", 6)} AS rate_a,
+           {sql_round("CAST(conv_b AS DOUBLE) / n_b", 6)} AS rate_b,
+           {sql_round(
+               "(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)"
+               " / NULLIF(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+               " * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+               " * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), CAST(0 AS DOUBLE))", 6)} AS z_score
+    FROM arms
+    """,
+    tables=("events",),
+)
+def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment readout: hash-assigned variants,
+    per-arm user conversion (any purchase), and the two-proportion pooled
+    z-score — the experimentation primitive a warehouse team runs daily.
+
+    Assignment reuses the training-split Knuth multiplicative hash
+    (``plans/training_data.py``): plain BIGINT arithmetic, so the same
+    user lands in the same arm on ANY engine/cluster layout — assignment
+    is a shuffle-free narrow projection, never a stored mapping table.
+
+    Plan: per-user groupBy (conversion flag collapses map-side), then a
+    single 1-row conditional aggregate for both arms — no join between
+    arms, no second scan. The z statistic is formed from the four exact
+    integers in one identical IEEE expression tree on both engines
+    (+,-,*,/ and sqrt are all correctly-rounded per IEEE 754), rounded
+    6dp per the ln/KL precedent."""
+    users = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+            ).alias("converted")
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                (F.col("user_id") * F.lit(2654435761)) % F.lit(1000) < 500, F.lit("A")
+            ).otherwise(F.lit("B")),
+        )
+    )
+    is_a = F.col("variant") == "A"
+    arms = users.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(is_a, F.col("converted")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(~is_a, F.col("converted")).otherwise(0)).alias("conv_b"),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    # NULLIF guard: a degenerate experiment (all or no users converted)
+    # has zero pooled variance — z is undefined, not an ANSI throw
+    z = (rate_a - rate_b) / F.nullif(
+        F.sqrt(
+            pooled
+            * (F.lit(1).cast("double") - pooled)
+            * (
+                F.lit(1).cast("double") / F.col("n_a")
+                + F.lit(1).cast("double") / F.col("n_b")
+            )
+        ),
+        F.lit(0).cast("double"),
+    )
+    return arms.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        fx_round(rate_a, 6).alias("rate_a"),
+        fx_round(rate_b, 6).alias("rate_b"),
+        fx_round(z, 6).alias("z_score"),
+    )

@@ -774,3 +774,66 @@ def mart_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rfm_segment")
     )
+
+
+@register(
+    "mart_small_qty_revenue",
+    oracle=f"""
+    WITH stats AS (
+      SELECT l_partkey, COUNT(*) AS cnt,
+             SUM(CAST(FLOOR(l_quantity * 10000 + 0.5) AS BIGINT)) AS qsum
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS small_qty_lines,
+           {sql_sum("l.l_extendedprice")} AS small_qty_revenue
+    FROM lineitem l
+    JOIN stats s ON s.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE CAST(FLOOR(l.l_quantity * 10000 + 0.5) AS BIGINT) * 5 * s.cnt < s.qsum
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    tables=("lineitem", "part"),
+)
+def mart_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated-subquery query: revenue from lineitems
+    whose quantity is below 20% of their part's average quantity.
+
+    The Spark side is written AS the correlated scalar subqueries
+    (``l_quantity*5 < avg over the same part``) and relies on Catalyst's
+    subquery decorrelation: the optimizer rewrites each correlated
+    aggregate into a groupBy(l_partkey) + join — there is NO per-row
+    subquery execution in the physical plan (asserted in
+    tests/test_plans.py), and Spark's MergeScalarSubqueries folds the
+    COUNT and SUM subqueries over the same correlation into one
+    aggregate. The oracle spells the decorrelated form explicitly —
+    same result, hand-planned.
+
+    Portability: the 20%-of-average predicate is pure BIGINT cross-
+    multiplication (qty_units * 5 * cnt < sum_units) — no float division,
+    no DECIMAL literals in the Spark SQL text (Spark parses ``0.2`` as
+    DECIMAL; gotcha #3 in ROUND_NOTES) — and the revenue sum goes through
+    the fixed-point DataFrame helpers AFTER the SQL stage."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("sqr_lineitem")
+    table(spark, sf_dir, "part").createOrReplaceTempView("sqr_part")
+    grouped = spark.sql(
+        """
+        SELECT p.p_brand,
+               COUNT(*) AS small_qty_lines,
+               SUM(CAST(FLOOR(l.l_extendedprice * 10000 + 0.5) AS BIGINT)) AS rev_units
+        FROM sqr_lineitem l
+        JOIN sqr_part p ON p.p_partkey = l.l_partkey
+        WHERE CAST(FLOOR(l.l_quantity * 10000 + 0.5) AS BIGINT) * 5
+              * (SELECT COUNT(*) FROM sqr_lineitem l2
+                 WHERE l2.l_partkey = l.l_partkey)
+            < (SELECT SUM(CAST(FLOOR(l2.l_quantity * 10000 + 0.5) AS BIGINT))
+               FROM sqr_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p.p_brand
+        """
+    )
+    return grouped.select(
+        "p_brand",
+        "small_qty_lines",
+        fx_round(F.col("rev_units") / F.lit(10000.0), 2).alias("small_qty_revenue"),
+    ).orderBy("p_brand")
