@@ -69,6 +69,12 @@ HEADLINE = [
     "events_rate_anomaly",
     "events_scd2_episodes",
     "mart_customer_rfm",
+    "events_top_paths",
+    "events_dau_wau",
+    "events_ab_experiment",
+    "dq_fd_check",
+    "mart_small_qty_revenue",
+    "embed_label_centroid",
     "dedup_fuzzy_names",
     "dedup_minhash_docs",
     "embed_ann_lsh",

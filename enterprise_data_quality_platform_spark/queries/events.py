@@ -962,3 +962,118 @@ def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         fx_round(rate_b, 6).alias("rate_b"),
         fx_round(z, 6).alias("z_score"),
     )
+
+
+@register(
+    "events_hourly_seasonality",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    hod AS (
+      SELECT CAST(EXTRACT(hour FROM h) AS BIGINT) AS hour_of_day,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             SUM(n) AS total_events
+      FROM hourly GROUP BY 1
+    ),
+    tot AS (SELECT SUM(total_events) AS all_events FROM hod)
+    SELECT h.hour_of_day, h.n_hours, h.total_events,
+           {sql_round("CAST(h.total_events AS DOUBLE) / h.n_hours", 4)} AS avg_per_hour,
+           {sql_round("CAST(h.total_events AS DOUBLE) / t.all_events", 6)} AS share
+    FROM hod h CROSS JOIN tot t
+    ORDER BY h.hour_of_day
+    """,
+    tables=("events",),
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile: mean event rate and traffic share
+    per clock hour — the baseline a seasonal anomaly detector (and a
+    capacity plan) is built on; pairs with ``events_rate_anomaly``'s
+    global SPC bands, which flag every peak hour a seasonal baseline
+    would absorb.
+
+    Plan: raw events collapse to ≤ 24×31 hourly buckets first (one
+    map-combined groupBy), the hour-of-day rollup and grand total then
+    work on those bucket rows only — integer counts all the way, two
+    rounded divisions at the end, so the oracle is exact."""
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hod = hourly.groupBy(F.hour("h").cast("long").alias("hour_of_day")).agg(
+        F.count(F.lit(1)).alias("n_hours"), F.sum("n").alias("total_events")
+    )
+    tot = hod.agg(F.sum("total_events").alias("all_events"))
+    return (
+        hod.crossJoin(F.broadcast(tot))
+        .select(
+            "hour_of_day",
+            "n_hours",
+            "total_events",
+            fx_round(
+                F.col("total_events").cast("double") / F.col("n_hours"), 4
+            ).alias("avg_per_hour"),
+            fx_round(
+                F.col("total_events").cast("double") / F.col("all_events"), 6
+            ).alias("share"),
+        )
+        .orderBy("hour_of_day")
+    )
+
+
+@register(
+    "events_churn_inactivity",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MAX(ts) AS corpus_max FROM events
+    ),
+    last_seen AS (
+      SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id
+    ),
+    flags AS (
+      SELECT CASE WHEN CAST(epoch(b.corpus_max) AS BIGINT)
+                       - CAST(epoch(l.last_ts) AS BIGINT) > 7 * 86400
+                  THEN 1 ELSE 0 END AS churned
+      FROM last_seen l CROSS JOIN bounds b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(churned) AS BIGINT) AS churned_users,
+           CAST(COUNT(*) - SUM(churned) AS BIGINT) AS active_users,
+           {sql_round("CAST(SUM(churned) AS DOUBLE) / COUNT(*)", 6)} AS churn_rate
+    FROM flags
+    """,
+    tables=("events",),
+)
+def events_churn_inactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity churn: users whose last event is more than 7 days before
+    the corpus frontier — the retention counterpart of DAU/WAU (who has
+    silently left?), and the freshness gate (G20) applied per entity
+    instead of per table.
+
+    Plan: per-user MAX(ts) is one map-combined groupBy; the corpus
+    frontier is a 1-row broadcast factor; the 7-day rule is exact integer
+    epoch-seconds (floor-epoch on both engines, the attribution
+    precedent) so no timestamp-interval arithmetic differences can leak
+    in; one final 1-row summary."""
+    events = table(spark, sf_dir, "events")
+    bounds = events.agg(F.max("ts").alias("corpus_max"))
+    last_seen = events.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    flags = last_seen.crossJoin(F.broadcast(bounds)).select(
+        F.when(
+            F.unix_timestamp("corpus_max") - F.unix_timestamp("last_ts")
+            > 7 * 86400,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("churned")
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("churned").alias("churned_users"),
+        (F.count(F.lit(1)) - F.sum("churned")).alias("active_users"),
+        fx_round(
+            F.sum("churned").cast("double") / F.count(F.lit(1)), 6
+        ).alias("churn_rate"),
+    )

@@ -837,3 +837,146 @@ def mart_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "small_qty_lines",
         fx_round(F.col("rev_units") / F.lit(10000.0), 2).alias("small_qty_revenue"),
     ).orderBy("p_brand")
+
+
+@register(
+    "mart_nation_pareto",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name AS nation_name,
+             SUM(CAST(FLOOR(o.o_totalprice * 10000 + 0.5) AS BIGINT)) AS rev_units
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ),
+    cum AS (
+      SELECT nation_name, rev_units,
+             SUM(rev_units) OVER (ORDER BY rev_units DESC, nation_name
+                                  ROWS UNBOUNDED PRECEDING) AS cum_units,
+             SUM(rev_units) OVER () AS total_units
+      FROM rev
+    )
+    SELECT nation_name,
+           {sql_round("rev_units / 10000.0", 2)} AS revenue,
+           {sql_round("CAST(cum_units AS DOUBLE) / total_units", 6)} AS cum_share,
+           CASE WHEN cum_units * 100 <= total_units * 80 THEN 'A'
+                WHEN cum_units * 100 <= total_units * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum
+    ORDER BY rev_units DESC, nation_name
+    """,
+    tables=("orders", "customer", "nation"),
+)
+def mart_nation_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: nations ranked by revenue with cumulative
+    share and A/B/C class cuts at 80% / 95% — the concentration view every
+    ops dashboard carries.
+
+    Plan: the fact collapses to 25 nation rows FIRST (broadcast star join
+    + map-combined groupBy on integer revenue units); the running sum AND
+    the grand total come from ONE Window node over those 25 rows (same
+    partitioning/ordering, two frames) — no second star-join subtree, no
+    crossJoin factor, and the unpartitioned window never sees raw orders
+    (the round-1 z-score scale-killer lesson). Classification is integer
+    cross-multiplication (``cum*100 <= total*80``) — an exact rational
+    comparison no float boundary can flip; only the reported share is a
+    (rounded) division."""
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+                    orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(10000) + F.lit(0.5)).cast("long")
+            ).alias("rev_units")
+        )
+    )
+    order_spec = [F.col("rev_units").desc(), F.col("nation_name")]
+    w_cum = W.orderBy(*order_spec).rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.orderBy(*order_spec).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = rev.withColumn("cum_units", F.sum("rev_units").over(w_cum)).withColumn(
+        "total_units", F.sum("rev_units").over(w_all)
+    )
+    return cum.select(
+        "nation_name",
+        fx_round(F.col("rev_units") / F.lit(10000.0), 2).alias("revenue"),
+        fx_round(F.col("cum_units").cast("double") / F.col("total_units"), 6).alias(
+            "cum_share"
+        ),
+        F.when(F.col("cum_units") * 100 <= F.col("total_units") * 80, "A")
+        .when(F.col("cum_units") * 100 <= F.col("total_units") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    ).orderBy(F.col("rev_units").desc(), "nation_name")
+
+
+@register(
+    "mart_part_value_share",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(FLOOR(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS val_units,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT SUM(CAST(FLOOR(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS total_units
+      FROM lineitem
+    )
+    SELECT p.l_partkey,
+           p.n_lines,
+           {sql_round("p.val_units / 10000.0", 2)} AS part_value,
+           {sql_round("CAST(p.val_units AS DOUBLE) / t.total_units", 6)} AS value_share
+    FROM pv p CROSS JOIN tot t
+    WHERE p.val_units * 10000 > t.total_units
+    ORDER BY p.val_units DESC, p.l_partkey
+    LIMIT 20
+    """,
+    tables=("lineitem",),
+)
+def mart_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped significant-value filter: parts whose lineitem
+    value exceeds 0.01% of the global total, top-20 by value — a grouped
+    aggregate filtered against a SCALAR aggregate of itself.
+
+    Plan: the grand total is a map-side-combined 1-row aggregate straight
+    off the lineitem scan — NOT a re-aggregation of the per-part frame,
+    which would pay the per-part shuffle twice (and Catalyst's column
+    pruning makes those two exchanges non-identical, so AQE cannot reuse
+    them — measured). Exact integer units make the two roads provably
+    equal (sum of per-part unit sums == global unit sum). The total then
+    joins as a broadcast 1-row factor (the checks compiler's fused-factor
+    pattern); the threshold is integer cross-multiplication
+    (``part_units * 10000 > total_units``), the top-20 is
+    TakeOrderedAndProject on exact units — no float enters until the two
+    reported (rounded) divisions."""
+    li = table(spark, sf_dir, "lineitem")
+    units = F.floor(F.col("l_extendedprice") * F.lit(10000) + F.lit(0.5)).cast("long")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(units).alias("val_units"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    tot = li.agg(F.sum(units).alias("total_units"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("val_units") * 10000 > F.col("total_units"))
+        .orderBy(F.col("val_units").desc(), "l_partkey")
+        .limit(20)
+        .select(
+            "l_partkey",
+            "n_lines",
+            fx_round(F.col("val_units") / F.lit(10000.0), 2).alias("part_value"),
+            fx_round(
+                F.col("val_units").cast("double") / F.col("total_units"), 6
+            ).alias("value_share"),
+        )
+    )

@@ -257,3 +257,109 @@ def test_label_centroid_broadcasts_centroids(spark):
     plan = plan_of(spark, "embed_label_centroid")
     assert "BroadcastHashJoin" in plan  # centroid frame is size-constant
     assert "NestedLoop" not in plan
+
+
+# ------------------------------------------------- pareto / value share
+
+
+def test_pareto_classes_and_cumshare(spark, monkeypatch):
+    import enterprise_data_quality_platform_spark.queries.relational as rel
+
+    # nation revenues 80 / 15 / 5 -> classes A, B, C at the 80/95 cuts
+    orders = spark.createDataFrame(
+        [(i, c, v) for i, (c, v) in enumerate([(1, 80.0), (2, 15.0), (3, 5.0)])],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "c_custkey long, c_nationkey int"
+    )
+    nation = spark.createDataFrame(
+        [(10, "N_A"), (20, "N_B"), (30, "N_C")], "n_nationkey int, n_name string"
+    )
+    tables = {"orders": orders, "customer": customer, "nation": nation}
+    monkeypatch.setattr(rel, "table", lambda s, d, n: tables[n])
+    got = rel.mart_nation_pareto(spark, "unused").collect()
+    assert [(r.nation_name, r.abc_class) for r in got] == [
+        ("N_A", "A"),
+        ("N_B", "B"),
+        ("N_C", "C"),
+    ]
+    assert got[-1].cum_share == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pareto_single_window_no_total_factor(spark):
+    """Running sum and grand total share ONE window pass over the 25
+    aggregated nation rows: no crossJoin total factor, no second
+    star-join subtree (window-over-aggregate, the round-1 z-score
+    lesson)."""
+    plan = plan_of(spark, "mart_nation_pareto")
+    assert "Window" in plan
+    assert "NestedLoop" not in plan  # the 1-row crossJoin factor is gone
+    # one star-join subtree: orders scanned once
+    assert plan.count("orders.parquet") == 1
+
+
+def test_part_value_share_total_avoids_second_per_part_shuffle(spark):
+    """The grand total is a map-combined 1-row aggregate off the scan —
+    exactly one per-part hash exchange in the whole plan (re-aggregating
+    the grouped frame would shuffle by l_partkey twice)."""
+    plan = plan_of(spark, "mart_part_value_share")
+    assert plan.count("hashpartitioning(l_partkey") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_part_value_share_threshold_is_exact(spark, monkeypatch):
+    import enterprise_data_quality_platform_spark.queries.relational as rel
+
+    # part 1 carries 99.99% of value; part 2 exactly 0.01% -> excluded (>)
+    li = spark.createDataFrame(
+        [(1, 9999.0), (2, 1.0)],
+        "l_partkey long, l_extendedprice double",
+    )
+    monkeypatch.setattr(rel, "table", lambda s, d, n: li)
+    got = rel.mart_part_value_share(spark, "unused").collect()
+    assert [r.l_partkey for r in got] == [1]
+    assert got[0].value_share == pytest.approx(0.9999, abs=1e-6)
+
+
+# ------------------------------------------------- seasonality / churn
+
+
+def test_hourly_seasonality_profile(spark, monkeypatch):
+    import enterprise_data_quality_platform_spark.queries.events as ev
+
+    rows, eid = [], 0
+    # hour 9 on two days (3 + 1 events), hour 17 on one day (2 events)
+    for d, h, n in [(1, 9, 3), (2, 9, 1), (1, 17, 2)]:
+        for i in range(n):
+            rows.append((eid, datetime.datetime(2024, 1, d, h, i)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    monkeypatch.setattr(ev, "table", lambda s, d, n: df)
+    got = {r.hour_of_day: r for r in ev.events_hourly_seasonality(spark, "unused").collect()}
+    assert got[9].n_hours == 2 and got[9].total_events == 4
+    assert got[9].avg_per_hour == pytest.approx(2.0, abs=1e-4)
+    assert got[17].share == pytest.approx(2 / 6, abs=1e-6)
+
+
+def test_churn_inactivity_seven_day_rule(spark, monkeypatch):
+    import enterprise_data_quality_platform_spark.queries.events as ev
+
+    t_end = datetime.datetime(2024, 1, 31)
+    rows = [
+        (1, 1, t_end),                                     # frontier user: active
+        (2, 2, t_end - datetime.timedelta(days=7)),        # exactly 7d: NOT churned (>)
+        (3, 3, t_end - datetime.timedelta(days=7, seconds=1)),  # just over: churned
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    monkeypatch.setattr(ev, "table", lambda s, d, n: df)
+    row = ev.events_churn_inactivity(spark, "unused").collect()[0]
+    assert (row.n_users, row.churned_users, row.active_users) == (3, 1, 2)
+    assert row.churn_rate == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_seasonality_and_churn_broadcast_single_row_factors(spark):
+    for name in ("events_hourly_seasonality", "events_churn_inactivity"):
+        plan = plan_of(spark, name)
+        assert "NestedLoop" in plan or "BroadcastHashJoin" in plan or "Join" in plan
+        assert "SortMergeJoin" not in plan  # 1-row factor is always broadcast
