@@ -74,6 +74,10 @@ HEADLINE = [
     "events_ab_experiment",
     "dq_fd_check",
     "mart_small_qty_revenue",
+    "mart_custdist",
+    "mart_returned_revenue",
+    "mart_top_supplier",
+    "mart_discount_effect",
     "embed_label_centroid",
     "dedup_fuzzy_names",
     "dedup_minhash_docs",

@@ -980,3 +980,295 @@ def mart_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_share"),
         )
     )
+
+
+@register(
+    "mart_custdist",
+    oracle="""
+    WITH oc AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders
+      WHERE o_orderpriority <> '1-URGENT'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(oc.order_count, 0) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+    GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tables=("customer", "orders"),
+)
+def mart_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: how many
+    customers placed 0, 1, 2, ... (non-urgent) orders — the filtered
+    outer-join histogram (the reference's BigQuery layer expresses the
+    same shape over adventureworks orders).
+
+    Plan: orders collapse to one row per customer FIRST (map-combined
+    count before any join), so the join input is |customers| vs
+    |customers-with-orders| — never the raw fact. The left join then
+    runs custkey-to-custkey (co-partitioned sort-merge at scale; neither
+    side broadcastable at 100 TB, and none needed). Zero-order customers
+    surface via COALESCE on the outer join, and the final histogram is a
+    tiny two-column aggregate. Counts are exact integers end to end —
+    nothing for distributed summation order to perturb."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    oc = (
+        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+    return (
+        customer.select("c_custkey")
+        .join(oc, customer.c_custkey == oc.o_custkey, "left")
+        .select(F.coalesce(F.col("order_count"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "mart_idle_rich_customers",
+    oracle=f"""
+    WITH pos AS (
+      SELECT SUM(CAST(FLOOR(c_acctbal * 10000 + 0.5) AS BIGINT)) AS sum_units,
+             CAST(COUNT(*) AS BIGINT) AS n_pos
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {sql_sum("c.c_acctbal")} AS total_acctbal
+    FROM customer c CROSS JOIN pos
+    WHERE CAST(FLOOR(c.c_acctbal * 10000 + 0.5) AS BIGINT) * pos.n_pos
+            > pos.sum_units
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+    tables=("customer", "orders"),
+)
+def mart_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped dormant-high-balance audit: customers whose balance
+    exceeds the average positive balance but who have gone dormant (no
+    order since 1999), grouped by nation (Q22's phone country-code becomes
+    c_nationkey — the synthetic schema has no phone column; "never
+    ordered" becomes "no recent order" because the generator gives nearly
+    every customer some order, which left the literal Q22 predicate
+    degenerate at test SF).
+
+    Plan: the global average is a map-combined 1-row aggregate off the
+    customer scan, attached as a broadcast crossJoin factor (the checks
+    compiler's fused-factor pattern); the above-average predicate is
+    integer cross-multiplication (bal_units * n_pos > sum_units) — exact,
+    no float-boundary drift between engines. The never-ordered test is a
+    LEFT ANTI join against orders projected to o_custkey only (column
+    pruning keeps the anti-join build narrow; at 100 TB this is a
+    co-partitioned sort-merge anti, not a broadcast)."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    bal_units = F.floor(F.col("c_acctbal") * F.lit(10000) + F.lit(0.5)).cast("long")
+    pos = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal_units).alias("sum_units"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(pos))
+        .filter(bal_units * F.col("n_pos") > F.col("sum_units"))
+    )
+    idle = rich.join(
+        orders.filter(
+            F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+        ).select("o_custkey"),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            fx_sum(F.col("c_acctbal"), "total_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "mart_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                      AS BIGINT)) AS rev_units
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           {sql_round("r.rev_units / 10000.0", 2)} AS total_revenue
+    FROM supplier s
+    JOIN rev r ON r.l_suppkey = s.s_suppkey
+    WHERE r.rev_units = (SELECT MAX(rev_units) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    tables=("lineitem", "supplier"),
+)
+def mart_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: the supplier(s) with maximum
+    quarterly discounted revenue — a grouped aggregate filtered against
+    its own scalar MAX, ties kept (Q15 keeps every supplier at the max).
+
+    Plan: per-supplier revenue is ONE map-combined groupBy off the pruned,
+    date-filtered lineitem scan (predicate reaches the parquet reader —
+    pushed-down range on l_shipdate). The scalar MAX is an aggregate of
+    that per-supplier frame attached back as a broadcast 1-row crossJoin
+    factor — the per-supplier frame is |suppliers| rows, so re-deriving
+    the max from it costs one narrow exchange, NOT a second fact scan
+    (contrast mart_part_value_share, where the total is provably cheaper
+    straight off the scan). No unpartitioned window ever sees the fact
+    table. Revenue units are exact BIGINT across every shuffle; the one
+    float division is the final reported rounding. The supplier join is
+    broadcast (dim side)."""
+    li = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000)
+        + F.lit(0.5)
+    ).cast("long")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(units).alias("rev_units"))
+    )
+    top = rev.agg(F.max("rev_units").alias("max_units"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("rev_units") == F.col("max_units"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            fx_round(F.col("rev_units") / F.lit(10000.0), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "mart_returned_revenue",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+           {sql_sum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                 AS BIGINT)) DESC,
+             c.c_custkey
+    LIMIT 20
+    """,
+    tables=("customer", "orders", "lineitem", "nation"),
+)
+def mart_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: top-20 customers by revenue
+    lost to returns in one year.
+
+    Plan: the two pushed-down filters (returnflag on lineitem, date range
+    on orders) cut both fact inputs BEFORE the orderkey join — at 100 TB
+    that join is the co-partitioned sort-merge; customer and nation attach
+    afterwards (customer via shuffle join on custkey against the
+    already-aggregated? no — against the order rows, but only AFTER the
+    date filter shrank them; nation broadcast). The top-20 is
+    TakeOrderedAndProject over exact revenue units with c_custkey as the
+    deterministic tiebreak — no global sort materializes."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    nation = table(spark, sf_dir, "nation")
+    units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000)
+        + F.lit(0.5)
+    ).cast("long")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    l = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    per_cust = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(units).alias("rev_units"), F.count(F.lit(1)).alias("n_lines"))
+    )
+    return (
+        per_cust.join(
+            customer.select("c_custkey", "c_name", "c_nationkey"),
+            per_cust.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .orderBy(F.col("rev_units").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            fx_round(F.col("rev_units") / F.lit(10000.0), 2).alias("revenue"),
+            "n_lines",
+        )
+    )
+
+
+@register(
+    "mart_discount_effect",
+    oracle=f"""
+    SELECT {sql_sum("l_extendedprice * l_discount")} AS promo_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24.0
+    """,
+    tables=("lineitem",),
+)
+def mart_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped what-if: revenue that would be kept by dropping
+    mid-range discounts on small orders for a year — the pure
+    filter-and-reduce forecasting query.
+
+    Plan: every predicate (ship-date range, discount band, quantity cap)
+    is a pushed-down parquet filter; the scan reads four columns and the
+    aggregate map-combines to a single row — zero shuffled data beyond
+    the 1-row partials. The discount band compares against the same
+    double literals on both engines over the same parquet doubles, so no
+    representable-value drift exists. This is the query class where the
+    engine floor dominates at test SF and the scan wins at 100 TB."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            fx_sum(F.col("l_extendedprice") * F.col("l_discount"), "promo_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
