@@ -228,3 +228,86 @@ def streaming_incident_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFram
     stream = streaming_incident_tracker(events_stream(spark, sf_dir))
     _run_stream(stream, "edqp_incidents_q", output_mode="append")
     return spark.table("edqp_incidents_q").orderBy("event_type", "ts", "event_id")
+
+
+@register(
+    "streaming_enrich_first_seen",
+    # stream-static inner join is stateless: for a finite AvailableNow run
+    # the appended rows ARE the batch join. is_first_day is an exact
+    # boolean (day-truncated comparison), counts are exact integers.
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    )
+    SELECT CAST(date_trunc('day', e.ts) = date_trunc('day', fs.first_ts)
+                AS BOOLEAN) AS is_first_day,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS event_count
+    FROM events e JOIN fs ON fs.user_id = e.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tables=("events",),
+)
+def streaming_enrich_first_seen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: stream-static join — each streamed event enriched with the
+    batch-computed per-user first-seen profile, summarized as new-vs-
+    returning traffic by event type. The static side is the batch
+    ``first_seen_dim`` over the same table, so the finite streaming run
+    must equal the batch SQL exactly (value-checked)."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import table
+    from ..streaming import events_stream, first_seen_dim, streaming_static_enrich
+
+    dim = first_seen_dim(table(spark, sf_dir, "events"))
+    enriched = streaming_static_enrich(events_stream(spark, sf_dir), dim)
+    _run_stream(enriched, "edqp_enrich_q")
+    return (
+        spark.table("edqp_enrich_q")
+        .select(
+            (
+                F.date_trunc("day", F.col("ts"))
+                == F.date_trunc("day", F.col("first_ts"))
+            ).alias("is_first_day"),
+            "event_type",
+        )
+        .groupBy("is_first_day", "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .orderBy("is_first_day", "event_type")
+    )
+
+
+@register(
+    "streaming_click_purchase",
+    # stream-stream inner interval join: append-mode output for a finite
+    # AvailableNow run equals the batch interval join (watermarks only
+    # bound state; nothing is late relative to a single-batch load). Gap
+    # reported in exact integer seconds.
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_seconds
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY c.user_id, click_id, purchase_id
+    """,
+    tables=("events",),
+)
+def streaming_click_purchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: stream-stream self-join — purchases matched to prior clicks by
+    the same user within 30 minutes, both sides watermarked so the join
+    state is bounded by event time. Value-checked against the batch
+    interval join."""
+    from ..streaming import events_stream, streaming_click_purchase_pairs
+
+    pairs = streaming_click_purchase_pairs(events_stream(spark, sf_dir))
+    _run_stream(pairs, "edqp_pairs_q")
+    return spark.table("edqp_pairs_q").orderBy(
+        "user_id", "click_id", "purchase_id"
+    )

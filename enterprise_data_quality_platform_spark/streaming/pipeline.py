@@ -381,3 +381,76 @@ def run_streaming_dq_gate(
     )
     query.awaitTermination()
     return summaries
+
+
+def streaming_static_enrich(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """T8 (stream-static join): enrich each event with a batch-computed
+    per-user dimension row — the streaming form of the reference's pattern
+    of validating fresh rows against an already-materialized reference
+    table (``pager-workflow.py`` re-validates the refreshed mart against
+    static expectations).
+
+    The static side is re-planned per micro-batch by Spark (so a refreshed
+    dim parquet is picked up), the join is stateless (no watermark needed
+    for inner stream-static), and at scale the dim side is whatever join
+    strategy Catalyst picks for its size — broadcast for a small profile
+    table, shuffle otherwise. Inner join: events from users missing in the
+    dim are dropped (the DQ gate counts them upstream)."""
+    return stream.join(dim, "user_id")
+
+
+def first_seen_dim(events: DataFrame) -> DataFrame:
+    """Batch per-user first-seen profile — the static side for
+    ``streaming_static_enrich``. One map-combined groupBy."""
+    return events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+
+
+def streaming_click_purchase_pairs(
+    stream: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """T9 (stream-stream join): purchases matched to every prior click by
+    the same user within ``max_gap`` — the interval self-join that powers
+    conversion attribution on a live stream.
+
+    Both sides carry watermarks and the join condition carries the
+    event-time range, so Spark bounds the join state: a buffered click can
+    be evicted once the purchase-side watermark passes click_ts + max_gap
+    (state is O(events within the gap window), not O(stream)). Inner join
+    in append mode — for a finite AvailableNow run the emitted pairs equal
+    the batch interval join exactly (oracle-checked). The gap is reported
+    in exact integer seconds so no float crosses the compare."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "c_user_id = p_user_id AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + interval {max_gap}"
+        ),
+    )
+    return pairs.select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).alias("gap_seconds"),
+    )

@@ -553,3 +553,115 @@ def test_incident_tracker_hysteresis(spark):
         for r in spark.table("incidents_hyst_test").orderBy("ts").collect()
     ]
     assert got == [(1, "trigger"), (3, "resolve"), (4, "trigger")]
+
+
+def test_stream_static_enrich_matches_batch_join(spark):
+    """T8: stream-static inner join over a finite source equals the batch
+    join row-for-row (value parity, not counts)."""
+    from enterprise_data_quality_platform_spark.catalog import table
+    from enterprise_data_quality_platform_spark.streaming import (
+        events_stream,
+        first_seen_dim,
+        streaming_static_enrich,
+    )
+
+    dim = first_seen_dim(table(spark, SF_SMALL, "events"))
+    _run_to_memory(
+        streaming_static_enrich(events_stream(spark, SF_SMALL), dim),
+        "enrich_parity_test",
+    )
+    got = {
+        (r.event_id, r.first_ts)
+        for r in spark.table("enrich_parity_test").collect()
+    }
+    want = {
+        (r.event_id, r.first_ts)
+        for r in streaming_static_enrich(
+            table(spark, SF_SMALL, "events").withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            ),
+            dim,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_click_purchase_pairs_interval_semantics(spark):
+    """T9: crafted input pins the interval-join bounds — a purchase at
+    exactly click+30min matches (inclusive), one second past does not,
+    and a purchase BEFORE the click never matches."""
+    import os
+    import pandas as pd
+
+    def write(path, rows):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]),
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).astype({"ts": "datetime64[us]"}).to_parquet(path)
+
+    from enterprise_data_quality_platform_spark.streaming import (
+        streaming_click_purchase_pairs,
+    )
+    from pyspark.sql import types as T
+
+    with tempfile.TemporaryDirectory(prefix="edqp-ssj-") as src:
+        write(
+            f"{src}/events.parquet",
+            [
+                (1, "2024-06-01 10:00:00", 1, "click"),
+                (2, "2024-06-01 10:30:00", 1, "purchase"),  # exactly +30min
+                (3, "2024-06-01 10:30:01", 2, "purchase"),  # +30min 1s (u2)
+                (4, "2024-06-01 10:00:00", 2, "click"),
+                (5, "2024-06-01 09:59:59", 3, "purchase"),  # before the click
+                (6, "2024-06-01 10:00:00", 3, "click"),
+            ],
+        )
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+        stream = spark.readStream.schema(schema).parquet(src)
+        _run_to_memory(
+            streaming_click_purchase_pairs(stream), "ssj_semantics_test"
+        )
+        rows = spark.table("ssj_semantics_test").collect()
+        assert [(r.user_id, r.click_id, r.purchase_id, r.gap_seconds) for r in rows] == [
+            (1, 1, 2, 1800)
+        ]
+
+
+def test_click_purchase_join_state_is_bounded(spark):
+    """T9 scale check: the physical streaming plan is a symmetric-hash
+    stream-stream join with watermarked state on BOTH sides — state
+    eviction requires the event-time range condition to have registered
+    (no unbounded buffering of the click side)."""
+    from enterprise_data_quality_platform_spark.streaming import (
+        events_stream,
+        streaming_click_purchase_pairs,
+    )
+
+    pairs = streaming_click_purchase_pairs(events_stream(spark, SF_SMALL))
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("ssj_state_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="edqp-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+    # the join state operator reports watermark-driven row removal support
+    ops = [so for p in q.recentProgress for so in p["stateOperators"]]
+    assert any(so.get("operatorName") == "symmetricHashJoin" for so in ops)
