@@ -75,6 +75,11 @@ HEADLINE = [
     "dq_fd_check",
     "mart_small_qty_revenue",
     "mart_custdist",
+    "mart_customer_first_last_order",
+    "events_heavy_hitters",
+    "events_user_value_trend",
+    "dq_sequence_gaps",
+    "dedup_cluster_sizes",
     "mart_returned_revenue",
     "mart_top_supplier",
     "mart_discount_effect",

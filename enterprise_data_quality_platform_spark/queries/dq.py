@@ -1392,3 +1392,50 @@ def dq_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("max_n").cast("double") / F.sum("n_rows"), 6
         ).alias("fd_strength"),
     )
+
+
+@register(
+    "dq_sequence_gaps",
+    # completeness-by-range audit on a supposedly-contiguous id column:
+    # per 1000-id bucket, how many ids in [min,max] are absent. All-integer.
+    oracle="""
+    SELECT event_id // 1000 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id,
+           MAX(event_id) - MIN(event_id) + 1 - CAST(COUNT(*) AS BIGINT)
+             AS missing_in_range
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tables=("events",),
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit: lost-row detection on a monotonically assigned
+    id. The naive form (LAG over the whole id order) is an unpartitioned
+    window over raw rows — the round-1 scale-killer class. This form gets
+    the same signal (which id ranges lost rows, and how many) from a plain
+    groupBy on ``id div 1000``: min/max/count per bucket imply the number
+    of absent ids with zero sorting and full map-side combine. Duplicate
+    ids would show as negative missing_in_range — also a finding."""
+    events = table(spark, sf_dir, "events")
+    b = F.expr("event_id div 1000")
+    return (
+        events.groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .select(
+            "bucket",
+            "n_rows",
+            "min_id",
+            "max_id",
+            (F.col("max_id") - F.col("min_id") + 1 - F.col("n_rows")).alias(
+                "missing_in_range"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -1077,3 +1077,128 @@ def events_churn_inactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("churned").cast("double") / F.count(F.lit(1)), 6
         ).alias("churn_rate"),
     )
+
+
+@register(
+    "events_heavy_hitters",
+    # exact frequent-items: users owning > 0.5% of all events. Threshold is
+    # integer cross-multiplication (n*1000 > total*5); share is the one
+    # final rounded division.
+    oracle="""
+    WITH pu AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events)
+    SELECT pu.user_id, pu.n_events,
+           FLOOR(CAST(pu.n_events AS DOUBLE) / tot.total * 1000000 + 0.5)
+             / 1000000.0 AS share
+    FROM pu CROSS JOIN tot
+    WHERE pu.n_events * 1000 > tot.total * 5
+    ORDER BY pu.n_events DESC, pu.user_id
+    """,
+    tables=("events",),
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: users generating more than 0.5% of total
+    traffic — the skew/abuse detector that pairs with dq_key_skew (that one
+    profiles the distribution; this one names the offenders).
+
+    Plan: one map-combined per-user groupBy + a 1-row broadcast total
+    factor; the threshold comparison is exact integer cross-multiplication.
+    At 100 TB this is the recommended EXACT form — per-user partial counts
+    combine map-side so the shuffle carries |users| rows, and no Expand or
+    distinct pass exists. (A count-min sketch saves nothing here because
+    the per-user aggregate is already the cheapest pass over the data.)"""
+    events = table(spark, sf_dir, "events")
+    pu = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    tot = events.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        pu.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_events") * 1000 > F.col("total") * 5)
+        .select(
+            "user_id",
+            "n_events",
+            fx_round(F.col("n_events").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id")
+    )
+
+
+@register(
+    "events_user_value_trend",
+    # per-user OLS slope of value over time, computed ENTIRELY from exact
+    # integer sufficient statistics: x = whole epoch-seconds offset from
+    # 2024-01-01 (integer), y = value in 1e-2 units (integer). num/den are
+    # DECIMAL(38,0) products of BIGINT sums -> exact and order-independent
+    # on both engines; the single double division happens once at the end.
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000 - 1704067200 AS x,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts GROUP BY user_id
+    )
+    SELECT user_id, n,
+           FLOOR(CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                      - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                 / CAST(NULLIF(CAST(n AS DECIMAL(38,0)) * sxx
+                               - CAST(sx AS DECIMAL(38,0)) * sx,
+                               CAST(0 AS DECIMAL(38,0))) AS DOUBLE)
+                 * 36.0 * 1000000 + 0.5) / 1000000.0 AS slope_per_hour
+    FROM s
+    WHERE n >= 10
+    ORDER BY user_id
+    """,
+    tables=("events",),
+)
+def events_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend (OLS slope) of event value over time — the
+    'is this account's spend rising?' primitive, computed with NO UDF and
+    NO per-user iteration: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) from one
+    groupBy of integer sufficient statistics.
+
+    Scale notes: x is whole seconds offset from a fixed epoch (keeps row
+    products inside BIGINT at any fleet size); the n·Σ products are the
+    only place 64 bits could overflow at large n, so the combine is
+    DECIMAL(38,0) — exact, deterministic, still whole-stage codegen. The
+    slope is reported per hour (×3600) in original value units (÷100),
+    folded into one ×36 factor; NULLIF guards the zero-variance degenerate
+    (all events at the same second) under ANSI mode."""
+    events = table(spark, sf_dir, "events")
+    # integer div (never float-divide micros: a double quotient can land a
+    # hair below the integer and truncate differently than DuckDB's //)
+    x = F.expr("unix_micros(cast(ts as timestamp)) div 1000000") - F.lit(1704067200)
+    y = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    pts = events.select("user_id", x.alias("x"), y.alias("y"))
+    s = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (dec("n") * F.col("sxy") - dec("sx") * F.col("sy")).cast("double")
+    den = F.nullif(
+        (dec("n") * F.col("sxx") - dec("sx") * F.col("sx")),
+        F.lit(0).cast("decimal(38,0)"),
+    ).cast("double")
+    return (
+        s.filter(F.col("n") >= 10)
+        .select(
+            "user_id",
+            "n",
+            fx_round(num / den * F.lit(36.0), 6).alias("slope_per_hour"),
+        )
+        .orderBy("user_id")
+    )

@@ -1272,3 +1272,56 @@ def mart_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "mart_customer_first_last_order",
+    # first/last order per customer WITHOUT a window: min_by/max_by over a
+    # packed (epoch_day, orderkey) integer key — deterministic under date
+    # ties because the key is unique. Prices pass through untouched
+    # (same parquet doubles both engines).
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_orderdate) AS first_order_date,
+           arg_min(o_totalprice,
+                   (epoch_us(o_orderdate) // 86400000000) * 10000000000
+                     + o_orderkey) AS first_order_price,
+           MAX(o_orderdate) AS last_order_date,
+           arg_max(o_totalprice,
+                   (epoch_us(o_orderdate) // 86400000000) * 10000000000
+                     + o_orderkey) AS last_order_price
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    tables=("orders",),
+)
+def mart_customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last order per customer — acquisition value vs current value,
+    the input to LTV curves.
+
+    Plan: the classic form is two ROW_NUMBER windows (or one window with
+    first_value/last_value) partitioned by customer over raw orders; this
+    form is ONE map-combinable groupBy using min_by/max_by over a packed
+    sortable integer (epoch_day·10¹⁰ + orderkey — unique, so date ties
+    break deterministically on orderkey, matching DuckDB's arg_min on the
+    identical key). No sort, no window state, shuffle carries one row per
+    customer."""
+    orders = table(spark, sf_dir, "orders")
+    packed = (
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        * F.lit(10000000000)
+        + F.col("o_orderkey")
+    )
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderdate").alias("first_order_date"),
+            F.min_by("o_totalprice", packed).alias("first_order_price"),
+            F.max("o_orderdate").alias("last_order_date"),
+            F.max_by("o_totalprice", packed).alias("last_order_price"),
+        )
+        .orderBy("o_custkey")
+    )

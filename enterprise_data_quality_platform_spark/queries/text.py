@@ -426,3 +426,71 @@ def text_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_punct_runs"),
     )
+
+
+@register(
+    "dedup_cluster_sizes",
+    # duplicate-cluster size histograms over TWO keys in one scan: the
+    # exact-dedup fingerprint and a 64-char normalized-prefix fingerprint
+    # (shared boilerplate openings — the cheap near-dup tier). md5 is
+    # engine-portable so both carry a full value oracle.
+    oracle=r"""
+    WITH norm AS (
+      SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      FROM documents
+    ),
+    keys AS (
+      SELECT 'exact' AS scope, md5(t) AS f FROM norm
+      UNION ALL
+      SELECT 'prefix64' AS scope, md5(substr(t, 1, 64)) AS f FROM norm
+    ),
+    cl AS (
+      SELECT scope, f, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM keys GROUP BY scope, f
+    )
+    SELECT scope, cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM cl
+    GROUP BY scope, cluster_size
+    ORDER BY scope, cluster_size
+    """,
+    tables=("documents",),
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 companion: duplicate-cluster size histograms — how much of the
+    corpus sits in 1-doc, 2-doc, N-doc clusters, under two keys: the exact
+    content fingerprint (the dedup_exact_docs key) and a 64-char
+    normalized-prefix fingerprint that catches shared boilerplate openings
+    the full hash misses. The curation decision (keep one per cluster)
+    removes sum(size-1) docs per scope; this shows where that mass lives.
+
+    Plan: one documents scan; the normalized text feeds both keys via an
+    inline 2-row explode (constant fan-out, no second scan); then the
+    two-level aggregate — groupBy(scope, fingerprint) collapses map-side
+    to (hash, count) pairs, and the histogram groupBy runs over |clusters|
+    rows. Unlike the xxhash64 MinHash family, md5 is engine-portable, so
+    this carries a full value oracle."""
+    docs = table(spark, sf_dir, "documents").select(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("t")
+    )
+    keyed = docs.select(
+        F.explode(
+            F.create_map(
+                F.lit("exact"), F.md5(F.col("t")),
+                F.lit("prefix64"), F.md5(F.substring(F.col("t"), 1, 64)),
+            )
+        ).alias("scope", "f")
+    )
+    cl = keyed.groupBy("scope", "f").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cl.groupBy("scope", "cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "scope",
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("scope", "cluster_size")
+    )
