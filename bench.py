@@ -80,6 +80,7 @@ HEADLINE = [
     "events_user_value_trend",
     "dq_sequence_gaps",
     "dedup_cluster_sizes",
+    "events_zorder_locality",
     "mart_returned_revenue",
     "mart_top_supplier",
     "mart_discount_effect",

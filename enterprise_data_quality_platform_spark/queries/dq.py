@@ -1439,3 +1439,49 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "dq_distinct_sketch",
+    # rows-only: HLL sketch estimates are Apache DataSketches-specific, so
+    # no DuckDB twin can match values. Merge identity + error band are
+    # pinned by tests/test_seventeenth_pass.py instead.
+    oracle=None,
+    tables=("events",),
+)
+def dq_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    Spark's hll_sketch_agg): the incremental pattern behind G13's approx
+    switch. At 100 TB you never re-scan history to refresh a distinct
+    count — each new partition contributes a ~1 KB sketch, and
+    hll_union folds sketches into the running total. This query proves
+    the algebra on one table: the union of per-half sketches vs the
+    whole-table sketch, against the exact count.
+
+    Output: exact distinct, whole-sketch estimate, merged-halves
+    estimate, and the relative error (pct, 4 dp). The two estimates use
+    the same lgConfigK=12, so merge costs no accuracy."""
+    events = table(spark, sf_dir, "events")
+    whole = events.agg(
+        F.count_distinct("user_id").alias("exact_distinct"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))
+        ).alias("sketch_estimate"),
+    )
+    halves = events.groupBy(F.pmod(F.col("event_id"), F.lit(2)).alias("h")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    merged = halves.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate")
+    )
+    return whole.crossJoin(F.broadcast(merged)).select(
+        "exact_distinct",
+        "sketch_estimate",
+        "merged_estimate",
+        fx_round(
+            F.abs(F.col("sketch_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            * 100,
+            4,
+        ).alias("rel_error_pct"),
+    )

@@ -86,3 +86,73 @@ def events_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("event_id").alias("n_events"),
         F.count_distinct("start_ts").alias("n_incidents"),
     )
+
+
+@register(
+    "events_zorder_locality",
+    # the z-value is pure integer bit math -> engine-portable, so the
+    # layout decision is fully oracle-checked: per z-range bucket, how many
+    # distinct values of EACH dimension land there (small on both = the
+    # multi-dim pruning guarantee).
+    oracle="""
+    WITH z AS (
+      SELECT
+        -- parenthesize each shift: DuckDB's << binds LOOSER than +, so an
+        -- unparenthesized a << x + b << y chains the shifts
+        (SELECT SUM( (((user_id % 256) >> i & 1) << (2*i))
+                   + ((((epoch_us(ts) // 3600000000) % 256) >> i & 1) << (2*i+1)))
+         FROM generate_series(0, 7) AS g(i)) AS zval,
+        user_id % 256 AS ub,
+        (epoch_us(ts) // 3600000000) % 256 AS hb
+      FROM events
+    )
+    SELECT zval // 1024 AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT ub) AS BIGINT) AS distinct_user_buckets,
+           CAST(COUNT(DISTINCT hb) AS BIGINT) AS distinct_hour_buckets,
+           MIN(ub) AS min_ub, MAX(ub) AS max_ub,
+           MIN(hb) AS min_hb, MAX(hb) AS max_hb
+    FROM z
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tables=("events",),
+)
+def events_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: Morton-interleave (user bucket, hour bucket)
+    and report, per 1024-wide z range (a stand-in for one output file),
+    how many distinct values of each dimension it covers. Small counts on
+    BOTH dimensions are the multi-dimensional pruning guarantee that a
+    plain (user, hour) sort cannot give — a linear sort makes the second
+    key unbounded within each file.
+
+    The actual re-layout operator is ``operators.layout.zorder_by``
+    (repartitionByRange on the z-value + sortWithinPartitions); this
+    query is its oracle-checkable planning/audit step, all in exact
+    integer bit arithmetic (codegen, no UDF)."""
+    from ..operators.layout import interleave_bits
+
+    events = table(spark, sf_dir, "events")
+    ub = F.pmod(F.col("user_id"), F.lit(256))
+    hb = F.pmod(
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000"), F.lit(256)
+    )
+    z = interleave_bits(ub, hb, bits=8)
+    return (
+        events.select(
+            (z / F.lit(1024)).cast("long").alias("z_bucket"),
+            ub.alias("ub"),
+            hb.alias("hb"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("ub").alias("distinct_user_buckets"),
+            F.count_distinct("hb").alias("distinct_hour_buckets"),
+            F.min("ub").alias("min_ub"),
+            F.max("ub").alias("max_ub"),
+            F.min("hb").alias("min_hb"),
+            F.max("hb").alias("max_hb"),
+        )
+        .orderBy("z_bucket")
+    )
