@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.numeric import sql_sum
 from ..operators import asof_join, interval_join
 from .registry import register
 
@@ -155,4 +156,46 @@ def events_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("hb").alias("max_hb"),
         )
         .orderBy("z_bucket")
+    )
+
+
+@register(
+    "source_duckdb_scan",
+    # the connector feeds the same rows the oracle reads natively, so the
+    # aggregate must match exactly (counts are integers; money goes
+    # through the fixed-point sum so partition order can't perturb it).
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_sum("o_totalprice")} AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tables=("orders",),
+)
+def source_duckdb_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 via the Spark 4 Python Data Source API: orders read through the
+    custom ``duckdb_table`` connector (sources/duckdb_source.py) with
+    JDBC-style range partitioning on o_orderkey, then aggregated. Proves
+    the connector inside the correctness gate — Arrow-batched transfer,
+    4-way parallel range reads, no driver-side rows."""
+    from ..functions.numeric import fx_sum
+    from ..sources.duckdb_source import register_duckdb_source
+
+    register_duckdb_source(spark)
+    df = (
+        spark.read.format("duckdb_table")
+        .option("path", f"{sf_dir.rstrip('/')}/orders.parquet")
+        .option("partitionColumn", "o_orderkey")
+        .option("numPartitions", "4")
+        .load()
+    )
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            fx_sum(F.col("o_totalprice"), "total_price"),
+        )
+        .orderBy("o_orderstatus")
     )
