@@ -81,6 +81,8 @@ HEADLINE = [
     "dq_sequence_gaps",
     "dedup_cluster_sizes",
     "events_zorder_locality",
+    "text_perplexity_proxy",
+    "source_duckdb_scan",
     "mart_returned_revenue",
     "mart_top_supplier",
     "mart_discount_effect",

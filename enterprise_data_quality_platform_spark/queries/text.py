@@ -494,3 +494,93 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scope", "cluster_size")
     )
+
+
+@register(
+    "text_perplexity_proxy",
+    # per-token surprisal is rounded to integer micro-nats AT THE VOCAB
+    # LEVEL (one ln per token type — the dq_kl_divergence 6-dp precedent),
+    # so every per-doc sum is exact BIGINT arithmetic and distributed
+    # order can't perturb the compare; the one float division per doc is
+    # the final reported mean.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    vocab AS (
+      SELECT token, SUM(tf) AS n_tok FROM tf GROUP BY token
+    ),
+    scored AS (
+      SELECT token,
+             CAST(FLOOR(
+               -LN(CAST(n_tok AS DOUBLE)
+                   / (SELECT SUM(n_tok) FROM vocab)) * 1000000 + 0.5
+             ) AS BIGINT) AS nll_micro
+      FROM vocab
+    )
+    SELECT t.doc_id,
+           SUM(t.tf) AS n_toks,
+           FLOOR(CAST(SUM(t.tf * s.nll_micro) AS DOUBLE)
+                 / SUM(t.tf) / 1000000 * 10000 + 0.5) / 10000.0 AS avg_nll
+    FROM tf t JOIN scored s USING (token)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tables=("documents",),
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy: each document scored by the mean
+    negative log-probability of its tokens under the corpus unigram model
+    — the classic cheap quality/outlier signal in LLM data curation
+    (gibberish and boilerplate both surface as tails; CCNet/Gopher use
+    the same shape with a KenLM instead of the corpus itself).
+
+    Plan at scale: explode → (doc, token) tf (map-combined) → vocab from
+    the tf frame (never a second raw-token pass) → surprisal computed
+    ONCE per token type with the corpus total attached as a broadcast
+    1-row factor → join back on token (vocab ≪ corpus; AQE broadcasts
+    when it fits) → per-doc exact BIGINT sums. At 100 TB the join key
+    would be a hashed long rather than the token string (xxhash64 — same
+    plan, narrower shuffle); the declared query keeps strings so the
+    oracle can express the identical join."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").alias("total"))
+    scored = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.floor(
+            -F.ln(F.col("n_tok").cast("double") / F.col("total")) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    return (
+        tf.join(scored, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_toks"),
+            (
+                F.floor(
+                    F.sum(F.col("tf") * F.col("nll_micro")).cast("double")
+                    / F.sum("tf")
+                    / 1000000
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )

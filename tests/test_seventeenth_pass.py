@@ -115,3 +115,44 @@ def test_hll_union_is_order_insensitive(spark):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
     ).collect()[0].e
     assert asc == desc
+
+
+# ---------------------------------------------------------- perplexity proxy
+
+
+def test_perplexity_proxy_known_corpus(spark, monkeypatch):
+    """Crafted corpus with known unigram probs: p(a)=3/6, p(b)=2/6,
+    p(c)=1/6. Doc scores are exact means of 6-dp-rounded surprisals."""
+    import math
+
+    import enterprise_data_quality_platform_spark.queries.text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    monkeypatch.setattr(tx, "table", lambda s, d, n: docs)
+    rows = {r.doc_id: r for r in tx.text_perplexity_proxy(spark, "x").collect()}
+
+    def micro(p):
+        return math.floor(-math.log(p) * 1e6 + 0.5)
+
+    d1 = (2 * micro(3 / 6) + micro(2 / 6)) / 3 / 1e6
+    d2 = (micro(3 / 6) + micro(2 / 6) + micro(1 / 6)) / 3 / 1e6
+    assert rows[1].n_toks == 3 and rows[2].n_toks == 3
+    assert rows[1].avg_nll == math.floor(d1 * 1e4 + 0.5) / 1e4
+    assert rows[2].avg_nll == math.floor(d2 * 1e4 + 0.5) / 1e4
+    # the rare-token doc must score strictly higher
+    assert rows[2].avg_nll > rows[1].avg_nll
+
+
+def test_perplexity_proxy_reuses_token_pass(spark):
+    """The tf frame feeds three consumers (join, vocab, total); AQE must
+    reuse its shuffle so the explode pass runs once at runtime."""
+    import re
+
+    df = SPECS["text_perplexity_proxy"].fn(spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert len(re.findall(r"\(\d+\) ReusedExchange", plan)) >= 2
