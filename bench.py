@@ -82,6 +82,8 @@ HEADLINE = [
     "dedup_cluster_sizes",
     "events_zorder_locality",
     "text_perplexity_proxy",
+    "mart_promo_revenue_share",
+    "mart_disjunctive_revenue",
     "source_duckdb_scan",
     "mart_returned_revenue",
     "mart_top_supplier",

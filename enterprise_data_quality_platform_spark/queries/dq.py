@@ -1485,3 +1485,53 @@ def dq_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_error_pct"),
     )
+
+
+@register(
+    "dq_freq_sketch",
+    # rows-only: CMS estimates are implementation-specific. Tests pin the
+    # never-underestimate invariant and the eps*N overestimate bound.
+    oracle=None,
+    tables=("events",),
+)
+def dq_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates vs truth for the top-5 users —
+    the mergeable point-frequency sketch that answers "how often does key
+    k appear?" from a few KB of state (the CMS companion to
+    dq_distinct_sketch's HLL). At 100 TB: each partition contributes a
+    fixed-size sketch, merged associatively; the full per-key aggregate
+    never materializes for ad-hoc point lookups.
+
+    The sketch is built distributed (Spark's count_min_sketch aggregate,
+    seeded → deterministic); only the ~KB binary crosses to the driver,
+    where the point queries run. Returns (user_id, exact_count,
+    cms_estimate) for the top-5 exact users. eps=0.001 → overestimate
+    < 0.1% of total count at 99% confidence."""
+    events = table(spark, sf_dir, "events")
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "user_id")
+        .limit(5)
+        .collect()
+    )
+    sk_bytes = events.agg(
+        F.count_min_sketch("user_id", F.lit(0.001), F.lit(0.99), F.lit(42)).alias(
+            "sk"
+        )
+    ).collect()[0]["sk"]
+    jvm = spark.sparkContext._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_bytes)
+    )
+    rows = [
+        (
+            int(r.user_id),
+            int(r.exact_count),
+            int(sketch.estimateCount(jvm.java.lang.Long(int(r.user_id)))),
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, exact_count long, cms_estimate long"
+    )

@@ -1325,3 +1325,116 @@ def mart_customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "mart_promo_revenue_share",
+    oracle=f"""
+    SELECT date_trunc('month', l.l_shipdate) AS ship_month,
+           {sql_round('''
+             CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000
+                            + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE) * 100
+             / SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000
+                       + 0.5) AS BIGINT))''', 6)} AS promo_share_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tables=("lineitem", "part"),
+)
+def mart_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion effect: the monthly share of revenue on
+    PROMO-type parts — the conditional-aggregate-ratio shape (CASE inside
+    two SUMs of one scan, no second pass, no join per branch).
+
+    Plan: part is the broadcast dim; both sums come from ONE conditional
+    aggregate over the joined rows (exact integer revenue units on both
+    branches, so the ratio's inputs are order-independent); the single
+    float division is the reported share."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000)
+        + F.lit(0.5)
+    ).cast("long")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    return (
+        joined.groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", units).otherwise(F.lit(0))).alias(
+                "promo_units"
+            ),
+            F.sum(units).alias("all_units"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "ship_month",
+            fx_round(
+                F.col("promo_units").cast("double") * 100 / F.col("all_units"), 6
+            ).alias("promo_share_pct"),
+            "n_lines",
+        )
+        .orderBy("ship_month")
+    )
+
+
+@register(
+    "mart_disjunctive_revenue",
+    # TPC-H Q19 shape: OR-of-ANDs predicate spanning BOTH join sides —
+    # the test of disjunctive predicate handling (the common subexpression
+    # p_partkey = l_partkey must still drive a hash join, with the OR as
+    # a post-join filter, never a nested loop).
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {sql_sum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    tables=("lineitem", "part"),
+)
+def mart_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive filter join: revenue from three OR'd
+    (brand, size, quantity) bands. Catalyst must extract the common
+    equi-condition (partkey) for the hash join and keep the OR as a
+    residual filter — AND push each side's single-side conjuncts
+    (brand/size bands to the part scan via an OR-derived filter). The
+    plan test asserts no BroadcastNestedLoopJoin appears."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(band).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        fx_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        ),
+    )
