@@ -1,3 +1,5 @@
+from .duckdb_source import register_duckdb_source
+from .jsonl_stream_source import register_jsonl_stream_source
 from .readers import read_table, read_csv, read_json, read_parquet
 from .writers import (
     materialize_incremental,
@@ -9,6 +11,8 @@ from .writers import (
 )
 
 __all__ = [
+    "register_duckdb_source",
+    "register_jsonl_stream_source",
     "read_table",
     "read_csv",
     "read_json",
