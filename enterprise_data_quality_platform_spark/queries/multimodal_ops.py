@@ -64,3 +64,34 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type", "decode_status")
     )
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=None,  # decode + aHash are library-side; rows-only. Semantics
+    # (radius recall, banding exactness) pinned in tests/test_phash.py.
+    tables=("documents",),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4×X7: perceptual-hash near-duplicate image pairs over the real-PNG
+    media twin of the documents table — decode (stdlib PNG) → 64-bit
+    aHash (Arrow-batched mapInPandas) → banded bucket join (no all-pairs)
+    → JVM bit_count Hamming verify. Payloads are full-entropy chained-hash
+    images (attach_image_payloads) so ONLY exact-duplicate documents
+    collide: the hamming=0 pair count equals the sum over exact-dup
+    clusters of C(size,2) (cross-checked against dedup_cluster_sizes at
+    sf0.1). The summary row counts pairs by hamming distance."""
+    from ..multimodal.phash import (
+        attach_image_payloads,
+        image_ahashes,
+        phash_neardup_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    media = attach_image_payloads(docs)
+    pairs = phash_neardup_pairs(image_ahashes(media))
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )
