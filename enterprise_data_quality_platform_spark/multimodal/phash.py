@@ -77,7 +77,9 @@ def image_ahashes(media: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
-def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+def phash_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 6, max_bucket_size: int = 1000
+) -> DataFrame:
     """Near-dup image pairs via banded bucket join + Hamming verify.
 
     Candidates: explode each 64-bit hash into (band_idx, band_value)
@@ -85,7 +87,13 @@ def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
     (pigeonhole: any pair with Hamming < N_BANDS shares >= 1 band; up to
     radius 6 recall is high and pinned by tests). Verify: JVM
     ``bit_count(a XOR b)``. Dedup of multi-band collisions is a distinct
-    on the (lo, hi) pair."""
+    on the (lo, hi) pair.
+
+    ``max_bucket_size`` is the same hot-bucket guard as
+    dedup/minhash.py:197 — a corpus with a boilerplate image repeated N
+    times puts all N in one band bucket and the pair join goes O(N²);
+    oversized buckets are dropped (their members are exact-dup territory:
+    route them through hash-groupBy dedup instead of pairwise)."""
     bands = hashes.select(
         "media_id",
         "ahash",
@@ -103,6 +111,13 @@ def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
             )
         ).alias("b"),
     ).select("media_id", "ahash", "b.band_idx", "b.band_val")
+    # hot-bucket guard (same shape as dedup/minhash.py): let Catalyst pick
+    # the join strategy — the sizes frame is |buckets|-sized, not small
+    sizes = bands.groupBy("band_idx", "band_val").count()
+    bands = bands.join(
+        sizes.filter(F.col("count") <= max_bucket_size).drop("count"),
+        ["band_idx", "band_val"],
+    )
     left = bands.select(
         F.col("media_id").alias("id_a"),
         F.col("ahash").alias("hash_a"),

@@ -92,3 +92,17 @@ def test_no_crossjoin_in_pair_plan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hot_bucket_guard_drops_pathological_buckets(spark):
+    """1 image repeated many times would pair O(N²); with max_bucket_size
+    below N the bucket is dropped entirely (exact-dup handling belongs to
+    hash-groupBy dedup, not pairwise)."""
+    img = _img(20)
+    media = spark.createDataFrame(
+        [(i, bytearray(png_encode(img)), "image") for i in range(10)],
+        "media_id long, payload binary, media_type string",
+    )
+    hashes = image_ahashes(media)
+    assert phash_neardup_pairs(hashes, max_bucket_size=5).count() == 0
+    assert phash_neardup_pairs(hashes, max_bucket_size=100).count() == 45

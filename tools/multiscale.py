@@ -26,15 +26,26 @@ from bench import HEADLINE, HEAVY  # noqa: E402
 #: timed runs per tier — larger tiers amortize the floor, need fewer medians
 RUNS_BY_TIER = {"0.1": 5, "1": 3, "10": 2}
 
+#: quadratic-ish shapes (blocked Levenshtein self-join) measured only at
+#: the base tier: their DuckDB twin scales superlinearly and would
+#: dominate the sweep wall-clock at sf1/sf10. Recorded in the JSON so the
+#: cap is not silent.
+DEEP_EXCLUDE = {"dedup_fuzzy_names"}
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
 
-def time_queries(run, names, runs: int, gc=None) -> dict[str, float]:
+def time_queries(run, names, runs: int, gc=None, tag: str = "") -> dict[str, float]:
     out: dict[str, float] = {}
     for name in names:
+        t_w = time.perf_counter()
         run(name)  # warm (codegen / buffer pool)
+        print(
+            f"  [{tag}] warm {name}: {time.perf_counter()-t_w:.2f}s",
+            file=sys.stderr, flush=True,
+        )
         if gc is not None and name in HEAVY:
             gc()
         samples = []
@@ -43,6 +54,7 @@ def time_queries(run, names, runs: int, gc=None) -> dict[str, float]:
             run(name)
             samples.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(samples), 4)
+        print(f"  [{tag}] {name}: {out[name]}s", file=sys.stderr, flush=True)
     return out
 
 
@@ -76,12 +88,15 @@ def main() -> None:
             print(f"skip tier {tier}: {sf_dir} missing", file=sys.stderr)
             continue
         runs = RUNS_BY_TIER.get(tier, 3)
+        tier_names = [
+            n for n in names if tier == "0.1" or n not in DEEP_EXCLUDE
+        ]
 
         def spark_run(name, _dir=sf_dir):
             fns[name](spark, _dir).collect()
 
         spark_t = time_queries(
-            spark_run, names, runs,
+            spark_run, tier_names, runs, tag=f"sf{tier} spark",
             gc=lambda: (spark.sparkContext._jvm.System.gc(), time.sleep(1)),
         )
 
@@ -94,16 +109,17 @@ def main() -> None:
         def duck_run(name, _con=con):
             _con.execute(oracles[name]).fetchall()
 
-        duck_t = time_queries(duck_run, names, runs)
+        duck_t = time_queries(duck_run, tier_names, runs, tag=f"sf{tier} duckdb")
         con.close()
 
         ratio = {
             n: round(spark_t[n] / duck_t[n], 2) if duck_t[n] > 0 else None
-            for n in names
+            for n in tier_names
         }
         doc["tiers"][tier] = {
             "sf_dir": sf_dir,
             "runs": runs,
+            "excluded": sorted(set(names) - set(tier_names)),
             "spark": spark_t,
             "duckdb": duck_t,
             "ratio": ratio,
