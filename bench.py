@@ -84,6 +84,7 @@ HEADLINE = [
     "text_perplexity_proxy",
     "mart_promo_revenue_share",
     "mart_disjunctive_revenue",
+    "mart_shipping_priority",
     "source_duckdb_scan",
     "mart_returned_revenue",
     "mart_top_supplier",

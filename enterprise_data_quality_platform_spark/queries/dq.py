@@ -1535,3 +1535,55 @@ def dq_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "user_id long, exact_count long, cms_estimate long"
     )
+
+
+@register(
+    "dq_schema_audit",
+    oracle=None,  # footer-metadata audit; no SQL twin (DuckDB's DESCRIBE
+    # names types differently). Drift matrix pinned by tests.
+    tables=("region", "nation", "customer", "orders", "lineitem", "events"),
+)
+def dq_schema_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift audit (Q4's contract, turned into a report): every
+    declared table/column vs the parquet footer — match / type_drift /
+    missing / unexpected. Footer-only reads (no data scan), so this costs
+    seconds at any corpus size; it is the pre-flight gate before a 100 TB
+    job discovers drift at task 40,000.
+
+    The known events.ts representational variance (TIMESTAMP(NANOS) vs
+    MICROS across driver generations — see catalog._fix_events_ts) is
+    reported as status 'adapted', not drift: the reader normalizes it."""
+    from ..catalog import EXPECTED_SCHEMAS, table_path
+
+    rows = []
+    for name, expected in EXPECTED_SCHEMAS.items():
+        try:
+            actual = {
+                f.name: f.dataType.simpleString()
+                for f in spark.read.parquet(table_path(sf_dir, name)).schema
+            }
+        except Exception:
+            for f in expected.fields:
+                rows.append((name, f.name, f.dataType.simpleString(), None, "missing_table"))
+            continue
+        for f in expected.fields:
+            want = f.dataType.simpleString()
+            got = actual.pop(f.name, None)
+            if got is None:
+                status = "missing"
+            elif got == want:
+                status = "match"
+            elif name == "events" and f.name == "ts" and got in (
+                "bigint", "timestamp", "timestamp_ntz"
+            ):
+                status = "adapted"
+            else:
+                status = "type_drift"
+            rows.append((name, f.name, want, got, status))
+        for col, got in actual.items():
+            rows.append((name, col, None, got, "unexpected"))
+    return spark.createDataFrame(
+        rows,
+        "table_name string, column_name string, expected_type string, "
+        "actual_type string, status string",
+    ).orderBy("table_name", "column_name")

@@ -1445,3 +1445,103 @@ def mart_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
         ),
     )
+
+
+@register(
+    "mart_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_sum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000
+                     + 0.5) AS BIGINT)) DESC,
+             o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+    tables=("customer", "orders", "lineitem"),
+)
+def mart_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: the 10 highest-revenue orders
+    placed before a date but (partially) shipped after it, for one market
+    segment — the fact-granularity top-k over a 3-way join.
+
+    Plan: the segment filter reduces customer BEFORE its join (and the
+    customer side is projected to the key column only — the segment is a
+    filter, not an output); both date filters push to their scans. The
+    orderkey join is the co-partitioned fact-fact edge; the top-10 is
+    TakeOrderedAndProject over exact revenue units with (orderdate,
+    orderkey) tiebreaks."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000)
+        + F.lit(0.5)
+    ).cast("long")
+    cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = orders.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    l = li.filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(units).alias("rev_units"))
+        .orderBy(F.col("rev_units").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            fx_round(F.col("rev_units") / F.lit(10000.0), 2).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "mart_copurchase_pagerank",
+    oracle=None,  # iterative float fixpoint — rows-only; invariants
+    # (stochastic sum, symmetry, hub dominance) pinned in tests/test_graph.py
+    tables=("lineitem",),
+)
+def mart_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part importance via weighted PageRank on the co-purchase graph —
+    the iterative-dataflow capability (superstep = join + groupBy,
+    lineage truncated by localCheckpoint; see operators/graph.py). Edges
+    are the basket pair counts from the mart_part_affinity shape; output
+    is the top-20 parts by rank.
+
+    At 100 TB the edge build is the dominant cost (same plan as
+    mart_part_affinity); each of the 10 supersteps then shuffles only
+    |parts| rank rows against the cached normalized edge frame."""
+    from ..operators.graph import pagerank
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("ps")
+    )
+    edges = (
+        baskets.select(F.explode("ps").alias("x"), "ps")
+        .select(
+            F.col("x").alias("src"),
+            F.explode(F.expr("filter(ps, y -> y > x)")).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    ranks = pagerank(edges, iterations=10)
+    return (
+        ranks.orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+        .select(F.col("node").alias("part_key"), "rank")
+    )
