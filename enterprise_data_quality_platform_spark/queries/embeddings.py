@@ -337,3 +337,30 @@ def embed_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "embed_knn_pq",
+    oracle=None,  # PQ ranking is approximate by design; recall-tested
+    tables=("embeddings",),
+)
+def embed_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14 (product quantization): ADC top-5 per probe over m=8-byte PQ
+    codes (``similarity/pq.py``) — 32× smaller corpus representation than
+    float32, scored via per-probe (m × k) lookup tables instead of float
+    reconstruction. Recall vs exact cosine pinned in tests/test_pq.py."""
+    from ..similarity.pq import pq_adc_topk, train_pq_codebooks
+
+    emb = table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=8, k=64, sample_size=2000)
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"),
+        V.to_double(F.col("embedding")).alias("pvec"),
+    )
+    out = pq_adc_topk(emb, probes, books, k=5)
+    return out.filter(F.col("probe_id") != F.col("vec_id")).select(
+        "probe_id",
+        "vec_id",
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+        "sim_rank",
+    )
