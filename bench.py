@@ -97,7 +97,11 @@ HEADLINE = [
 
 #: Multi-second LLM-pipeline operators: median of fewer runs so the bench
 #: stays inside the per-round budget (they dominate total wall anyway).
-HEAVY = {"dedup_minhash_docs", "dedup_fuzzy_names"}
+#: mart_part_affinity joins HEAVY for the gc, not the run count: its
+#: collect_list baskets at sf10 run 5.9 s on a fresh JVM but 22.8 s when
+#: 60 earlier queries fill the old gen (measured on a quiet box) — the
+#: same pressure effect documented for minhash below.
+HEAVY = {"dedup_minhash_docs", "dedup_fuzzy_names", "mart_part_affinity"}
 HEAVY_RUNS = min(RUNS, int(os.environ.get("BENCH_HEAVY_RUNS", "2")))
 
 
