@@ -85,6 +85,8 @@ HEADLINE = [
     "mart_promo_revenue_share",
     "mart_disjunctive_revenue",
     "mart_shipping_priority",
+    "mart_local_supplier_volume",
+    "mart_brand_market_share",
     "source_duckdb_scan",
     "mart_returned_revenue",
     "mart_top_supplier",

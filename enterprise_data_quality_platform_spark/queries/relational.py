@@ -1545,3 +1545,232 @@ def mart_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("node").alias("part_key"), "rank")
     )
+
+
+@register(
+    "mart_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation_name,
+           {sql_sum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation_name
+    """,
+    tables=("lineitem", "orders", "customer", "supplier", "nation"),
+)
+def mart_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: revenue where the customer
+    and the line's supplier share a nation — the 5-way star-plus-residual
+    join (the c_nationkey = s_nationkey condition links two DIMENSION
+    branches, which is what makes Q5 a join-ORDER benchmark).
+
+    Plan: the date filter cuts orders first; customer and supplier attach
+    as broadcast dims (each carries only key + nationkey); the
+    same-nation residual applies after both are in scope; nation
+    broadcasts last for the name. The only co-partitioned fact edge is
+    lineitem⋈orders on orderkey. Revenue units exact BIGINT."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000)
+        + F.lit(0.5)
+    ).cast("long")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    j = (
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum(units).alias("rev_units"), F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            "nation_name",
+            fx_round(F.col("rev_units") / F.lit(10000.0), 2).alias("revenue"),
+            "n_lines",
+        )
+        .orderBy(F.col("rev_units").desc(), "nation_name")
+    )
+
+
+@register(
+    "mart_nation_trade_volume",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           {sql_sum("l.l_extendedprice * (1 - l.l_discount)")} AS volume
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    WHERE ((cn.n_name = 'NATION_9' AND sn.n_name = 'NATION_10')
+        OR (cn.n_name = 'NATION_10' AND sn.n_name = 'NATION_9'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    tables=("lineitem", "orders", "customer", "supplier", "nation"),
+)
+def mart_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: revenue shipped between two
+    named nations (both directions) by year — the two-aliases-of-one-dim
+    join (nation joins twice under different roles).
+
+    Plan: both nation aliases broadcast; the disjunctive nation-pair
+    predicate evaluates post-join on two broadcast-resolved names (AND
+    each alias prunes to the 2 relevant rows pre-broadcast via an IN
+    filter — the OR collapses to in-lists per side, which Catalyst pushes
+    into both dimension scans). Year extraction is exact integer."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    pair = ("NATION_9", "NATION_10")
+    units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000)
+        + F.lit(0.5)
+    ).cast("long")
+    cn = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+        .join(
+            table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return (
+        j.groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(F.sum(units).alias("vol_units"))
+        .select(
+            "cust_nation",
+            "supp_nation",
+            "ship_year",
+            fx_round(F.col("vol_units") / F.lit(10000.0), 2).alias("volume"),
+        )
+        .orderBy("cust_nation", "supp_nation", "ship_year")
+    )
+
+
+@register(
+    "mart_brand_market_share",
+    oracle=f"""
+    WITH all_rev AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+             CASE WHEN p.p_brand = 'Brand#11' THEN
+               CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                    AS BIGINT) ELSE 0 END AS brand_units,
+             CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                  AS BIGINT) AS units
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'STANDARD'
+    )
+    SELECT order_year,
+           {sql_round("CAST(SUM(brand_units) AS DOUBLE) / SUM(units)", 6)}
+             AS brand_share
+    FROM all_rev
+    GROUP BY order_year
+    ORDER BY order_year
+    """,
+    tables=("lineitem", "orders", "part"),
+)
+def mart_brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: one brand's fraction of STANDARD-type
+    revenue by order year — the conditional-numerator-over-total ratio
+    computed in ONE aggregate (the Q14 pattern generalized to a grouped
+    time series).
+
+    Plan: part broadcasts with the type filter pushed to its scan; the
+    orderkey fact edge is the one co-partitioned join; numerator and
+    denominator are exact integer units in the same map-combined
+    aggregate — never two query subtrees."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    part = table(spark, sf_dir, "part")
+    units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000)
+        + F.lit(0.5)
+    ).cast("long")
+    j = (
+        li.select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+        .join(
+            F.broadcast(
+                part.filter(F.col("p_type") == "STANDARD").select(
+                    "p_partkey", "p_brand"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_brand") == "Brand#11", units).otherwise(F.lit(0))
+            ).alias("brand_units"),
+            F.sum(units).alias("units"),
+        )
+        .select(
+            "order_year",
+            fx_round(
+                F.col("brand_units").cast("double") / F.col("units"), 6
+            ).alias("brand_share"),
+        )
+        .orderBy("order_year")
+    )

@@ -217,3 +217,82 @@ def test_discount_effect_single_scan_map_combined(spark):
     # one scan node (the formatted tree lists each node twice: summary+detail)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "PushedFilters" in plan
+
+
+# ----------------------------------------------- Q5/Q7/Q8 shapes (pass 22)
+
+
+def test_local_supplier_volume_same_nation_only(spark, monkeypatch):
+    import datetime
+
+    import enterprise_data_quality_platform_spark.queries.relational as rel
+
+    d = datetime.datetime(1996, 6, 1)
+    li = spark.createDataFrame(
+        [(10, 1, 100.0, 0.0), (11, 2, 50.0, 0.0)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, d), (11, 1, d)], "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    )
+    cust = spark.createDataFrame([(1, 7)], "c_custkey long, c_nationkey int")
+    supp = spark.createDataFrame(
+        [(1, 7), (2, 8)], "s_suppkey long, s_nationkey int"
+    )  # supplier 2 is foreign -> excluded
+    nation = spark.createDataFrame([(7, "n7"), (8, "n8")], "n_nationkey int, n_name string")
+    tables = {"lineitem": li, "orders": orders, "customer": cust,
+              "supplier": supp, "nation": nation}
+    monkeypatch.setattr(rel, "table", lambda s, dd, n: tables[n])
+    rows = rel.mart_local_supplier_volume(spark, "x").collect()
+    assert [(r.nation_name, r.revenue, r.n_lines) for r in rows] == [("n7", 100.0, 1)]
+
+
+def test_nation_trade_volume_is_directional(spark, monkeypatch):
+    import datetime
+
+    import enterprise_data_quality_platform_spark.queries.relational as rel
+
+    d = datetime.datetime(1996, 6, 1)
+    li = spark.createDataFrame(
+        [(10, 1, 100.0, 0.0, d), (11, 2, 70.0, 0.0, d)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, d), (11, 2, d)], "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    )
+    # cust 1 in NATION_9 buys from supp 1 in NATION_10; cust 2 reverse
+    cust = spark.createDataFrame([(1, 9), (2, 10)], "c_custkey long, c_nationkey int")
+    supp = spark.createDataFrame([(1, 10), (2, 9)], "s_suppkey long, s_nationkey int")
+    nation = spark.createDataFrame(
+        [(9, "NATION_9"), (10, "NATION_10")], "n_nationkey int, n_name string"
+    )
+    tables = {"lineitem": li, "orders": orders, "customer": cust,
+              "supplier": supp, "nation": nation}
+    monkeypatch.setattr(rel, "table", lambda s, dd, n: tables[n])
+    got = {
+        (r.cust_nation, r.supp_nation): r.volume
+        for r in rel.mart_nation_trade_volume(spark, "x").collect()
+    }
+    assert got == {("NATION_9", "NATION_10"): 100.0, ("NATION_10", "NATION_9"): 70.0}
+
+
+def test_brand_market_share_single_aggregate(spark, monkeypatch):
+    import datetime
+
+    import enterprise_data_quality_platform_spark.queries.relational as rel
+
+    d = datetime.datetime(1996, 6, 1)
+    li = spark.createDataFrame(
+        [(10, 1, 100.0, 0.0), (10, 2, 300.0, 0.0), (10, 3, 999.0, 0.0)],
+        "l_orderkey long, l_partkey long, l_extendedprice double, l_discount double",
+    )
+    orders = spark.createDataFrame([(10, d)], "o_orderkey long, o_orderdate timestamp")
+    part = spark.createDataFrame(
+        [(1, "Brand#11", "STANDARD"), (2, "Brand#22", "STANDARD"), (3, "Brand#11", "PROMO")],
+        "p_partkey long, p_brand string, p_type string",
+    )
+    tables = {"lineitem": li, "orders": orders, "part": part}
+    monkeypatch.setattr(rel, "table", lambda s, dd, n: tables[n])
+    rows = rel.mart_brand_market_share(spark, "x").collect()
+    # PROMO line excluded by type filter; share = 100/400
+    assert [(r.order_year, r.brand_share) for r in rows] == [(1996, 0.25)]
