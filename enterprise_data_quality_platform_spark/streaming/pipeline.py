@@ -454,3 +454,54 @@ def streaming_click_purchase_pairs(
             F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
         ).alias("gap_seconds"),
     )
+
+
+def streaming_upsert_sink(
+    stream: DataFrame,
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str],
+    checkpoint_dir: str | None = None,
+    date_col: str | None = None,
+):
+    """T10 (streaming → serving table): keep a keyed parquet table current
+    from a stream via ``foreachBatch`` + ``merge_upsert`` — the streaming
+    form of the reference's refresh-then-revalidate loop, and the pattern
+    that turns an append-only event stream into an upsert-maintained
+    dimension/state table.
+
+    Per micro-batch: rows are deduplicated to the LAST event per key
+    (max_by over event time, so a batch carrying several updates for one
+    key lands its latest — the caller contract merge_upsert requires),
+    then merged. Restart safety: the checkpoint replays an uncommitted
+    batch; replaying the same batch re-merges the same keys to the same
+    values, so the sink is effectively idempotent (exactly-once table
+    state from at-least-once batch delivery). Runs with AvailableNow and
+    returns after completion."""
+    import tempfile
+
+    from ..sources.writers import merge_upsert
+
+    key_list = list(keys)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        others = [c for c in batch_df.columns if c not in key_list]
+        latest = batch_df.groupBy(*key_list).agg(
+            *[
+                F.max_by(c, F.struct(F.col("ts"), F.col("event_id"))).alias(c)
+                for c in others
+            ]
+        )
+        merge_upsert(spark, latest, path, keys=key_list, date_col=date_col)
+
+    query = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="edqp-ckpt-"),
+        )
+        .start()
+    )
+    query.awaitTermination()
+    return query

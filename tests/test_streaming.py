@@ -665,3 +665,108 @@ def test_click_purchase_join_state_is_bounded(spark):
     # the join state operator reports watermark-driven row removal support
     ops = [so for p in q.recentProgress for so in p["stateOperators"]]
     assert any(so.get("operatorName") == "symmetricHashJoin" for so in ops)
+
+
+def test_streaming_upsert_sink_keeps_latest_per_key(spark, tmp_path):
+    """T10: the upsert sink maintains last-event-wins state per user
+    across micro-batches, and a second run with new data updates in place
+    (no duplicate keys, untouched keys preserved)."""
+    import pandas as pd
+
+    from enterprise_data_quality_platform_spark.streaming import (
+        streaming_upsert_sink,
+    )
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(src)
+
+    def write(name, rows):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]),
+                "user_id": [r[2] for r in rows],
+                "event_type": ["view"] * len(rows),
+                "value": [float(r[3]) for r in rows],
+                "props": ["{}"] * len(rows),
+            }
+        ).astype({"ts": "datetime64[us]"}).to_parquet(f"{src}/{name}")
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        streaming_upsert_sink(
+            stream, spark, out, keys=["user_id"], checkpoint_dir=ckpt
+        )
+
+    # batch 1: user 1 twice (latest wins), user 2 once
+    write("a.parquet", [(1, "2024-06-01 10:00:00", 1, 10.0),
+                        (2, "2024-06-01 11:00:00", 1, 20.0),
+                        (3, "2024-06-01 10:30:00", 2, 5.0)])
+    run()
+    state = {r.user_id: r.value for r in spark.read.parquet(out).collect()}
+    assert state == {1: 20.0, 2: 5.0}
+    # batch 2: user 2 updated, user 3 inserted, user 1 untouched
+    write("b.parquet", [(4, "2024-06-01 12:00:00", 2, 7.5),
+                        (5, "2024-06-01 12:01:00", 3, 1.0)])
+    run()
+    state = {r.user_id: r.value for r in spark.read.parquet(out).collect()}
+    assert state == {1: 20.0, 2: 7.5, 3: 1.0}
+    # exactly one row per key
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_streaming_upsert_sink_tie_breaks_on_event_id(spark, tmp_path):
+    """Same-timestamp updates for one key resolve by event_id (the
+    deterministic max_by struct key), not arrival order."""
+    import os
+
+    import pandas as pd
+
+    from enterprise_data_quality_platform_spark.streaming import (
+        streaming_upsert_sink,
+    )
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pd.DataFrame(
+        {
+            "event_id": [9, 4],
+            "ts": pd.to_datetime(["2024-06-01 10:00:00"] * 2),
+            "user_id": [1, 1],
+            "event_type": ["view", "view"],
+            "value": [111.0, 222.0],
+            "props": ["{}", "{}"],
+        }
+    ).astype({"ts": "datetime64[us]"}).to_parquet(f"{src}/a.parquet")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = str(tmp_path / "state")
+    streaming_upsert_sink(stream, spark, out, keys=["user_id"])
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0].value == 111.0  # event_id 9 wins
