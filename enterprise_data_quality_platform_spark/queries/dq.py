@@ -1587,3 +1587,63 @@ def dq_schema_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name string, column_name string, expected_type string, "
         "actual_type string, status string",
     ).orderBy("table_name", "column_name")
+
+
+@register(
+    "dq_file_stats",
+    oracle=None,  # filesystem/footer metadata — no SQL twin; pinned by tests
+    tables=("lineitem", "orders", "events", "documents"),
+)
+def dq_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout health report per table: file count, bytes,
+    row-group count, rows, and the small-file / giant-row-group flags
+    that drive maintenance (compact_partitions for many-small-files,
+    make_sf1's bounded-row-group lesson for too-few-groups — a 500k-row
+    single group cannot split across tasks; see PERF.md).
+
+    Footer-only pyarrow reads on the driver — zero data scan, zero Spark
+    jobs until the tiny report frame materializes; at 100 TB this is a
+    metadata listing, which is exactly why the audit can run before every
+    job."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..catalog import TABLES, table_path
+
+    rows = []
+    for name in TABLES:
+        path = table_path(sf_dir, name)
+        files = []
+        if os.path.isdir(path):
+            for root, _, names in os.walk(path):
+                files += [os.path.join(root, f) for f in names if f.endswith(".parquet")]
+        elif os.path.exists(path):
+            files = [path]
+        n_rows = n_groups = n_bytes = 0
+        max_group = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            n_rows += md.num_rows
+            n_groups += md.num_row_groups
+            n_bytes += os.path.getsize(f)
+            for g in range(md.num_row_groups):
+                max_group = max(max_group, md.row_group(g).num_rows)
+        rows.append(
+            (
+                name,
+                len(files),
+                int(n_bytes),
+                int(n_rows),
+                int(n_groups),
+                int(max_group),
+                bool(files and n_bytes / max(len(files), 1) < 1 << 20),
+                bool(max_group > 200_000),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "table_name string, n_files int, total_bytes long, n_rows long, "
+        "n_row_groups long, max_rows_per_group long, small_files boolean, "
+        "oversized_row_groups boolean",
+    ).orderBy("table_name")

@@ -97,3 +97,25 @@ def test_schema_audit_green_on_real_testdata(spark):
         for r in dq.dq_schema_audit(spark, SF_SMALL).select("status").distinct().collect()
     }
     assert statuses <= {"match", "adapted"}
+
+
+# ----------------------------------------------------------- file stats
+
+
+def test_file_stats_flags(spark, tmp_path):
+    """Small-file and oversized-row-group detection on crafted layouts."""
+    import enterprise_data_quality_platform_spark.queries.dq as dq
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path)
+    # orders: one file with a single 300k-row group -> oversized flag
+    t = pa.table({"o_orderkey": list(range(300_000))})
+    pq.write_table(t, f"{sf}/orders.parquet", row_group_size=300_000)
+    out = {r.table_name: r for r in dq.dq_file_stats(spark, sf).collect()}
+    o = out["orders"]
+    assert o.n_files == 1 and o.n_rows == 300_000
+    assert o.oversized_row_groups is True
+    # absent tables report zero files, no flags
+    assert out["lineitem"].n_files == 0
+    assert out["lineitem"].small_files is False
