@@ -87,6 +87,9 @@ HEADLINE = [
     "mart_shipping_priority",
     "mart_local_supplier_volume",
     "mart_brand_market_share",
+    "mart_large_volume_customers",
+    "mart_supplier_part_counts",
+    "mart_sole_late_supplier",
     "source_duckdb_scan",
     "mart_returned_revenue",
     "mart_top_supplier",

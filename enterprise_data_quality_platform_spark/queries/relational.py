@@ -1774,3 +1774,195 @@ def mart_brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+@register(
+    "mart_large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             SUM(CAST(FLOOR(l_quantity * 10000 + 0.5) AS BIGINT)) AS qty_units
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(FLOOR(l_quantity * 10000 + 0.5) AS BIGINT)) > 3000000
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           {sql_round("o.o_totalprice")} AS total_price,
+           {sql_round("b.qty_units / 10000.0", 2)} AS total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    tables=("lineitem", "orders", "customer"),
+)
+def mart_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume customers: orders whose total line
+    quantity exceeds 300 — the HAVING-filtered aggregate JOINED BACK to
+    its facts (the aggregate is a filter, not the answer).
+
+    Plan: lineitem collapses to per-order quantity units first (one
+    map-combined groupBy); the HAVING filter shrinks that frame to the
+    rare big orders, which then drive broadcast-sized joins back to
+    orders and customer — the fact is never re-scanned at fact
+    granularity after the aggregate. Exact integer quantity units;
+    top-100 via TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    qunits = F.floor(F.col("l_quantity") * F.lit(10000) + F.lit(0.5)).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qunits).alias("qty_units"))
+        .filter(F.col("qty_units") > 3000000)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(
+            customer.select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            fx_round(F.col("o_totalprice"), 2).alias("total_price"),
+            fx_round(F.col("qty_units") / F.lit(10000.0), 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "mart_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+    )
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    LIMIT 50
+    """,
+    tables=("lineitem", "part", "supplier"),
+)
+def mart_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier diversity: distinct suppliers per
+    (brand, size), excluding a NOT-IN denylist (negative-balance
+    suppliers stand in for Q16's complaints list; the synthetic schema
+    has no partsupp, so the lineitem edge provides the part↔supplier
+    link).
+
+    Plan: the denylist is a broadcast LEFT ANTI join (NOT IN with a
+    provably non-null key — never a nested loop); the distinct count is
+    the two-level aggregate (groupBy brand,size,suppkey first — the
+    Expand-free dq_uniqueness pattern), then the count per brand,size."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    supplier = table(spark, sf_dir, "supplier")
+    deny = supplier.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    triples = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(deny), li.l_suppkey == deny.s_suppkey, "left_anti")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_size", "l_suppkey")
+        .agg(F.lit(1).alias("_"))
+    )
+    return (
+        triples.groupBy("p_brand", "p_size")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+        .limit(50)
+    )
+
+
+@register(
+    "mart_sole_late_supplier",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    tables=("lineitem", "orders", "supplier"),
+)
+def mart_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped suppliers-who-kept-orders-waiting: for finished
+    orders, lines shipped >90 days after ordering, where OTHER suppliers
+    participated in the order (EXISTS) but NONE of them was also late
+    (NOT EXISTS) — the double-correlated-subquery shape (the synthetic
+    schema has no receiptdate; ship-lag beyond 90 days stands in for
+    Q21's receipt-after-commit).
+
+    Plan: instead of per-row subqueries, BOTH correlations collapse into
+    one per-order aggregate over the late-flagged lines — n_suppliers
+    (any) and n_late_suppliers per order — then the predicate is
+    ``n_suppliers > 1 AND n_late_suppliers = 1 AND this line is late``:
+    the aggregate frame joins back by orderkey (the Q18 join-back move,
+    applied twice over the same grouped frame instead of two EXISTS
+    scans). Supplier names broadcast at the end; exact integer counts."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supplier = table(spark, sf_dir, "supplier")
+    o = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lines = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        o, F.col("l_orderkey") == o.o_orderkey
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    flagged = lines.select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_suppliers"),
+    )
+    culprit = (
+        flagged.filter(F.col("is_late"))
+        .join(
+            per_order.filter(
+                (F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1)
+            ).select(per_order.l_orderkey.alias("ok")),
+            F.col("l_orderkey") == F.col("ok"),
+        )
+        .select("l_orderkey", "l_suppkey")
+        # NO distinct: Q21 counts each qualifying l1 LINE — a supplier with
+        # two late lines in one order waits twice (EXISTS correlates per
+        # outer row; it never collapses the outer side)
+    )
+    return (
+        culprit.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            culprit.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

@@ -296,3 +296,54 @@ def test_brand_market_share_single_aggregate(spark, monkeypatch):
     rows = rel.mart_brand_market_share(spark, "x").collect()
     # PROMO line excluded by type filter; share = 100/400
     assert [(r.order_year, r.brand_share) for r in rows] == [(1996, 0.25)]
+
+
+# ------------------------------------------- Q18/Q16/Q21 shapes (pass 23)
+
+
+def test_large_volume_having_then_joinback(spark):
+    plan = plan_of(spark, "mart_large_volume_customers")
+    assert "TakeOrderedAndProject" in plan
+    # the HAVING threshold is a Filter over the aggregate's output column
+    # (join-back shape: the aggregate filters, facts join after)
+    assert "qty_units" in plan and "> 3000000" in plan
+    assert "Window" not in plan
+
+
+def test_supplier_part_counts_no_expand_and_anti_join(spark):
+    plan = plan_of(spark, "mart_supplier_part_counts")
+    assert "Expand" not in plan  # two-level distinct, never the Expand form
+    assert "LeftAnti" in plan  # NOT IN as anti join, no nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sole_late_supplier_crafted(spark, monkeypatch):
+    """Order 1: suppliers A late, B on time, multi-supplier -> A waits
+    (twice: two late lines). Order 2: A and B both late -> nobody. Order
+    3: only A participates -> nobody (EXISTS fails)."""
+    import datetime
+
+    import enterprise_data_quality_platform_spark.queries.relational as rel
+
+    d0 = datetime.datetime(1996, 1, 1)
+    late = datetime.datetime(1996, 6, 1)  # > 90 days
+    ok = datetime.datetime(1996, 1, 15)
+    li = spark.createDataFrame(
+        [
+            (1, 100, late), (1, 100, late), (1, 200, ok),
+            (2, 100, late), (2, 200, late),
+            (3, 100, late),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        [(1, "F", d0), (2, "F", d0), (3, "F", d0)],
+        "o_orderkey long, o_orderstatus string, o_orderdate timestamp",
+    )
+    supp = spark.createDataFrame(
+        [(100, "supp_a"), (200, "supp_b")], "s_suppkey long, s_name string"
+    )
+    tables = {"lineitem": li, "orders": orders, "supplier": supp}
+    monkeypatch.setattr(rel, "table", lambda s, dd, n: tables[n])
+    rows = rel.mart_sole_late_supplier(spark, "x").collect()
+    assert [(r.s_name, r.numwait) for r in rows] == [("supp_a", 2)]
