@@ -90,6 +90,7 @@ HEADLINE = [
     "mart_large_volume_customers",
     "mart_supplier_part_counts",
     "mart_sole_late_supplier",
+    "events_pit_state_join",
     "source_duckdb_scan",
     "mart_returned_revenue",
     "mart_top_supplier",

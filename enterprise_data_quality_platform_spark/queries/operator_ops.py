@@ -199,3 +199,95 @@ def source_duckdb_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "events_pit_state_join",
+    # point-in-time (feature-store) join: each purchase gets the SCD2
+    # state row valid AT purchase time. DuckDB states it natively with
+    # ASOF JOIN over the same episode CTE.
+    oracle="""
+    WITH acts AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE event_type <> 'purchase'
+    ),
+    flagged AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN event_type IS DISTINCT FROM
+                       LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM acts
+    ),
+    episodes AS (
+      SELECT user_id, event_type AS state_type, MIN(ts) AS started_at
+      FROM (
+        SELECT user_id, event_type, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS seq
+        FROM flagged
+      )
+      GROUP BY user_id, seq, event_type
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           e.state_type, e.started_at AS state_since
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN episodes e
+      ON p.user_id = e.user_id AND e.started_at <= p.ts
+    ORDER BY p.event_id
+    """,
+    tables=("events",),
+)
+def events_pit_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (the feature-store primitive): every purchase
+    event is enriched with the SCD2 activity-state row that was valid AT
+    purchase time — "what was the user doing when they bought". Training
+    pipelines use exactly this shape to attach features as-of a label
+    timestamp without leakage (no future state can match: the as-of is
+    backward-only).
+
+    Plan: activity episodes (non-purchase events compressed per user —
+    the events_scd2_episodes build) become the version table keyed by
+    started_at; the purchase side joins via the as-of operator — union +
+    carry-forward window, ONE shuffle on user_id, no inequality join.
+    Episode boundaries inherit the (ts, event_id)-deterministic SCD2
+    sort; started_at <= purchase_ts ties match (backward ASOF)."""
+    events = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    acts = events.filter(F.col("event_type") != "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = acts.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wsum = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    episodes = (
+        flagged.withColumn("seq", F.sum("is_new").over(wsum))
+        .groupBy("user_id", "seq", F.col("event_type").alias("state_type"))
+        .agg(F.min("ts").alias("ts"))
+        .select("user_id", "state_type", "ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, episodes, on="ts", key="user_id",
+        right_value_cols=["state_type"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("state_type_right").alias("state_type"),
+        F.col("ts_right").alias("state_since"),
+    ).orderBy("event_id")

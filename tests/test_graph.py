@@ -119,3 +119,52 @@ def test_file_stats_flags(spark, tmp_path):
     # absent tables report zero files, no flags
     assert out["lineitem"].n_files == 0
     assert out["lineitem"].small_files is False
+
+
+# ----------------------------------------------------- point-in-time join
+
+
+def test_pit_state_join_no_leakage(spark, monkeypatch):
+    """A purchase must see the state valid AT its timestamp — never a
+    later state (leakage), and a state starting exactly at purchase_ts
+    matches (backward ASOF <=)."""
+    import datetime
+
+    import enterprise_data_quality_platform_spark.queries.operator_ops as oo
+
+    def ts(m):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=m)
+
+    rows = [
+        # user 1: view-state from t0, error-state from t20
+        (1, 1, "view", ts(0), 0.0),
+        (2, 1, "error", ts(20), 0.0),
+        (3, 1, "purchase", ts(10), 9.9),   # inside view state
+        (4, 1, "purchase", ts(20), 9.9),   # exactly at error start -> error
+        # user 2: purchase before ANY state -> NULL state
+        (5, 2, "purchase", ts(5), 1.0),
+        (6, 2, "click", ts(30), 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    monkeypatch.setattr(oo, "table", lambda s, d, n: df)
+    got = {
+        r.event_id: (r.state_type, r.state_since)
+        for r in oo.events_pit_state_join(spark, "x").collect()
+    }
+    assert got[3] == ("view", ts(0))
+    assert got[4] == ("error", ts(20))
+    assert got[5] == (None, None)  # no past state: NULL, never the future one
+
+
+def test_pit_state_join_single_user_shuffle(spark):
+    """The as-of composition must not plan an inequality join."""
+    from enterprise_data_quality_platform_spark.queries import all_queries
+
+    df = all_queries()["events_pit_state_join"].fn(spark, SF_SMALL)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
