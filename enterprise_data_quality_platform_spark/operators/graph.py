@@ -69,4 +69,10 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0:
             rank = rank.localCheckpoint(eager=True)
+    # materialize the result OFF the cached frames, then release them —
+    # otherwise every pagerank() call leaves two cached frames pinned in
+    # executor storage for the caller's lifetime
+    rank = rank.localCheckpoint(eager=True)
+    norm.unpersist()
+    nodes.unpersist()
     return rank

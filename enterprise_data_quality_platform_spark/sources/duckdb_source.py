@@ -46,8 +46,8 @@ def _relation_sql(options: dict) -> str:
 
 
 class RangePartition(InputPartition):
-    def __init__(self, lo, hi, is_last: bool):
-        self.lo, self.hi, self.is_last = lo, hi, is_last
+    def __init__(self, lo, hi):
+        self.lo, self.hi = lo, hi
 
 
 class DuckDBTableReader(DataSourceReader):
@@ -64,18 +64,18 @@ class DuckDBTableReader(DataSourceReader):
         pc = self.options.get("partitioncolumn")
         n = int(self.options.get("numpartitions", "1"))
         if not pc or n <= 1:
-            return [RangePartition(None, None, True)]
+            return [RangePartition(None, None)]
         rel = _relation_sql(self.options)
         lo, hi = duckdb.connect().execute(
             f"SELECT MIN({pc}), MAX({pc}) FROM {rel}"
         ).fetchone()
         if lo is None:  # empty table
-            return [RangePartition(None, None, True)]
+            return [RangePartition(None, None)]
         lo, hi = int(lo), int(hi)
         step = max(1, (hi - lo + 1 + n - 1) // n)
         bounds = list(range(lo, hi + 1, step)) + [hi + 1]
         return [
-            RangePartition(bounds[i], bounds[i + 1], i == len(bounds) - 2)
+            RangePartition(bounds[i], bounds[i + 1])
             for i in range(len(bounds) - 1)
         ]
 
