@@ -228,12 +228,20 @@ def source_duckdb_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       GROUP BY user_id, seq, event_type
     )
-    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
-           e.state_type, e.started_at AS state_since
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN episodes e
-      ON p.user_id = e.user_id AND e.started_at <= p.ts
-    ORDER BY p.event_id
+    , pit AS (
+      SELECT p.event_id, p.ts, e.state_type, e.started_at
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN episodes e
+        ON p.user_id = e.user_id AND e.started_at <= p.ts
+    )
+    SELECT COALESCE(state_type, 'none') AS state_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           SUM(CASE WHEN started_at IS NULL THEN 0
+                    ELSE epoch_us(ts) // 1000000
+                         - epoch_us(started_at) // 1000000 END)
+             AS total_state_age_sec
+    FROM pit
+    GROUP BY 1 ORDER BY 1
     """,
     tables=("events",),
 )
@@ -284,10 +292,28 @@ def events_pit_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, episodes, on="ts", key="user_id",
         right_value_cols=["state_type"],
     )
-    return joined.select(
-        "event_id",
-        "user_id",
-        F.col("ts").alias("purchase_ts"),
-        F.col("state_type_right").alias("state_type"),
-        F.col("ts_right").alias("state_since"),
-    ).orderBy("event_id")
+    # summarize (purchases by state, exact integer state-age sums): the
+    # per-purchase frame is a table you WRITE at scale — an unbounded
+    # driver result would measure py4j transfer, not the join (the
+    # mart_customer_first_last_order lesson); the aggregate also verifies
+    # EVERY row's state assignment through exact sums, which is a
+    # stronger oracle than hashing a capped sample
+    age_sec = F.expr(
+        "unix_micros(cast(ts as timestamp)) div 1000000"
+    ) - F.expr("unix_micros(cast(ts_right as timestamp)) div 1000000")
+    return (
+        joined.select(
+            F.coalesce(F.col("state_type_right"), F.lit("none")).alias(
+                "state_type"
+            ),
+            F.when(F.col("ts_right").isNull(), F.lit(0))
+            .otherwise(age_sec)
+            .alias("age_sec"),
+        )
+        .groupBy("state_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("age_sec").alias("total_state_age_sec"),
+        )
+        .orderBy("state_type")
+    )

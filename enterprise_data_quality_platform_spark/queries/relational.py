@@ -597,27 +597,25 @@ def mart_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     TPC-H shapes, so per-group state is tiny), then pairs generate
     ROW-LOCALLY from each basket array — the pair blow-up (≤ 21/order)
     never crosses a join, and the only shuffles are the basket groupBy and
-    the map-combined pair counts. Measured 1.6× the self-join at sf0.1
-    warm (0.19 vs 0.31 s) with one fewer fact scan. The in-row pair
-    generator is a nested higher-order ``transform`` (interpreted, not
-    codegen — acceptable here because arrays are basket-bounded; the
-    winnowing lesson about HOFs applies to unbounded per-row data). For
-    carts with unbounded/skewed sizes, cap lines per basket first
-    (the standard guard); the top-20 is TakeOrderedAndProject."""
+    the map-combined pair counts. Pair generation is explode(x) +
+    explode(filter(ps, y -> y > x)) — a single-level HOF filter — rather
+    than the nested-transform-building-null-structs form: same answers
+    (a < b pairs per line pair, duplicates counted), but 4× fewer
+    interpreted allocations per basket, which is what degraded the old
+    form from 5.9 s to 18.7 s at sf10 inside a long-lived JVM (allocation
+    pressure; A/B in PERF.MD). For carts with unbounded/skewed sizes, cap
+    lines per basket first (the standard guard); the top-20 is
+    TakeOrderedAndProject."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.collect_list("l_partkey").alias("ps")
     )
-    pair_expr = F.expr(
-        "filter(flatten(transform(ps, (x, i) ->"
-        " transform(ps, (y, j) -> IF(j > i AND x <> y,"
-        " struct(least(x, y) AS part_a, greatest(x, y) AS part_b),"
-        " CAST(NULL AS STRUCT<part_a: BIGINT, part_b: BIGINT>))))),"
-        " p -> p IS NOT NULL)"
-    )
     return (
-        baskets.select(F.explode(pair_expr).alias("p"))
-        .select("p.part_a", "p.part_b")
+        baskets.select(F.explode("ps").alias("x"), "ps")
+        .select(
+            F.col("x").alias("part_a"),
+            F.explode(F.expr("filter(ps, y -> y > x)")).alias("part_b"),
+        )
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("together_count"))
         .orderBy(

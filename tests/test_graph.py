@@ -150,12 +150,14 @@ def test_pit_state_join_no_leakage(spark, monkeypatch):
     )
     monkeypatch.setattr(oo, "table", lambda s, d, n: df)
     got = {
-        r.event_id: (r.state_type, r.state_since)
+        r.state_type: (r.n_purchases, r.total_state_age_sec)
         for r in oo.events_pit_state_join(spark, "x").collect()
     }
-    assert got[3] == ("view", ts(0))
-    assert got[4] == ("error", ts(20))
-    assert got[5] == (None, None)  # no past state: NULL, never the future one
+    # purchase 3: view state since t0 (age 600s); purchase 4: error state
+    # since t20 (age 0 — exact-boundary match); purchase 5: no past state
+    assert got["view"] == (1, 600)
+    assert got["error"] == (1, 0)
+    assert got["none"] == (1, 0)  # future state never leaks backward
 
 
 def test_pit_state_join_single_user_shuffle(spark):
