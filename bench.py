@@ -153,6 +153,24 @@ def main() -> None:
         4,
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query map goes to a FILE (r3 lesson: the one-line dump of 79
+    # queries overflowed the driver's tail capture -> BENCH_r03.json
+    # "parsed": null). The line the driver parses stays compact: totals +
+    # the 5 slowest queries only.
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "comparable_total": comparable,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "runs_per_query": RUNS,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
@@ -160,9 +178,11 @@ def main() -> None:
                 "value": total,
                 "comparable_total": comparable,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "queries": worst,
+                "sf": sf_val,
                 "runs_per_query": RUNS,
+                "full_results": "BENCH_FULL.json",
             }
         )
     )
