@@ -591,30 +591,36 @@ def mart_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the affinity mining shape (self-join on the basket key) behind
     "frequently bought together".
 
-    Scale posture: NOT the naive self-join (which scans the fact twice and
-    shuffles both copies through an equi-join before pairing). One scan
-    groups baskets with ``collect_list`` (bounded: ≤ 7 lines/order in
-    TPC-H shapes, so per-group state is tiny), then pairs generate
-    ROW-LOCALLY from each basket array — the pair blow-up (≤ 21/order)
-    never crosses a join, and the only shuffles are the basket groupBy and
-    the map-combined pair counts. Pair generation is explode(x) +
-    explode(filter(ps, y -> y > x)) — a single-level HOF filter — rather
-    than the nested-transform-building-null-structs form: same answers
-    (a < b pairs per line pair, duplicates counted), but 4× fewer
-    interpreted allocations per basket, which is what degraded the old
-    form from 5.9 s to 18.7 s at sf10 inside a long-lived JVM (allocation
-    pressure; A/B in PERF.MD). For carts with unbounded/skewed sizes, cap
-    lines per basket first (the standard guard); the top-20 is
-    TakeOrderedAndProject."""
+    Scale posture: the self-join on the basket key with IDENTICAL subtrees
+    on both sides — same projection, same shuffle key — so the one
+    hashpartitioning(l_orderkey) exchange is built once and ReusedExchange
+    feeds the other side (plan-asserted). The pair blow-up is bounded by
+    lines-per-order (≤ 21 pairs/order in TPC-H shapes) and collapses into
+    a map-combined pair-count aggregate; the top-20 is
+    TakeOrderedAndProject. This shape deliberately avoids the earlier
+    ``collect_list``-basket + row-local-pair-explode plan: that plan wins
+    on a fresh JVM (one scan, no join) but its ObjectHashAggregate basket
+    state degraded 3× (5.5 → 16.9 s at sf10) once a long session filled
+    the old gen with allocation history — the self-join stays in
+    whole-stage codegen end-to-end with flat UnsafeRow state, so the
+    long-session number IS the fresh number (A/B ledger in PERF.md).
+    For carts with unbounded/skewed sizes, cap lines per basket first
+    (the standard guard)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.collect_list("l_partkey").alias("ps")
-    )
+    a = li.alias("a")
+    # merge hint: at tiny SFs the planner would broadcast the whole fact
+    # (fine locally, death at 100 TB); pinning SMJ keeps the plan the one
+    # that scales AND makes the shared exchange deterministic to assert.
+    b = li.alias("b").hint("merge")
     return (
-        baskets.select(F.explode("ps").alias("x"), "ps")
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
         .select(
-            F.col("x").alias("part_a"),
-            F.explode(F.expr("filter(ps, y -> y > x)")).alias("part_b"),
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
         )
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("together_count"))

@@ -252,11 +252,20 @@ def test_ma7_window_runs_over_daily_aggregate(spark):
 
 def test_part_affinity_no_nested_loop(spark):
     """The basket self-join must be a hash/merge equi-join on the order
-    key — a nested-loop/cartesian plan here is the O(n^2) failure mode."""
+    key — a nested-loop/cartesian plan here is the O(n^2) failure mode —
+    and the two identical fact subtrees must share ONE exchange (the
+    long-session-safe form: no ObjectHashAggregate basket state)."""
     plan = plan_of(spark, "mart_part_affinity")
-    assert "Join" not in plan  # row-local pairing: no self-join at all
-    assert "Generate" in plan  # explode of the row-local pair array
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "ObjectHashAggregate" not in plan  # no collect_list state
     assert "TakeOrderedAndProject" in plan  # top-20 without global sort
+    # exchange reuse is an AQE runtime decision: execute, then read the
+    # final adaptive plan
+    df = SPECS["mart_part_affinity"].fn(spark, SF_SMALL)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final  # both join sides fed by ONE shuffle
 
 
 def test_snapshot_diff_fingerprints_below_the_join(spark):
