@@ -591,11 +591,18 @@ def ri_frame(
     parent_keys = parent.select(F.col(parent_key).alias(child_key)).dropDuplicates()
     if p.get("broadcast_parent", False):
         parent_keys = F.broadcast(parent_keys)
-    orphans = df.filter(F.col(child_key).isNotNull()).join(
-        parent_keys, on=child_key, how="left_anti"
+    # distinct-first: pre-aggregate the child to (key, row-count) so the
+    # anti-join shuffles |distinct child keys| rows instead of |child rows|
+    # (15M -> 1.5M at sf10 for orders->customer; the map-side partial agg
+    # does the collapse before the exchange). Violations stay row-counted:
+    # orphan keys carry their multiplicities through the sum.
+    child_counts = (
+        df.filter(F.col(child_key).isNotNull())
+        .groupBy(child_key)
+        .agg(F.count(F.lit(1)).alias("__n"))
     )
-    orphan_count = orphans.agg(
-        F.count(F.lit(1)).alias(f"{prefix}__violations")
+    orphan_count = child_counts.join(parent_keys, on=child_key, how="left_anti").agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).alias(f"{prefix}__violations")
     )
     total = df.agg(F.count(F.lit(1)).alias(f"{prefix}__total"))
     return orphan_count.crossJoin(total)

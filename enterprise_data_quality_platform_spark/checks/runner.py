@@ -11,22 +11,25 @@ Semantics reproduced from the reference:
 
 Execution differs deliberately. The reference runs one BigQuery round-trip
 per check (5 queries over 2 tables for 5 checks); at 100TB each round-trip
-is a full scan. Here the WHOLE suite compiles into ONE Spark job:
-
-    (table-A fused aggs) × (table-B fused aggs) × ... × (RI anti-join aggs)
-
-— a crossJoin chain of single-row aggregate frames. Each factor is an
-independent stage, so the DAG scheduler runs all table scans concurrently
-inside the one job, and N checks over M tables cost M scans and one
-driver round-trip. If the fused job fails (e.g. one malformed expression),
-the runner falls back to per-check execution so isolation is preserved.
+is a full scan. Here the suite compiles into a handful of 1-row aggregate
+FACTORS — all expression checks on the same table fuse into ONE aggregate
+over one scan; distinct-shaped and referential-integrity checks carry their
+own factor — and the runner submits every factor's job CONCURRENTLY from a
+small thread pool. N checks over M tables cost ~M scans, and suite wall
+time is max(factor), not sum(factors). (The previous design crossJoined
+the factors into one action with AQE off; measured at sf10 the one-DAG
+form overlapped stages poorly — 2.5 s vs 1.2 s for concurrent jobs —
+because the scheduler walks the join chain's stage dependencies serially
+as each broadcast side materializes.) If a fused table-factor fails at
+runtime (e.g. one ANSI-throwing expression), its checks are retried
+individually so per-check isolation is preserved.
 """
 
 from __future__ import annotations
 
 from collections import defaultdict
 from datetime import datetime, timezone
-from functools import reduce
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable, Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,35 +83,19 @@ def _attach_samples(
             pass
 
 
-def _collect_fused(fused: DataFrame) -> dict:
-    """Collect the fused 1-row frame with AQE disabled for this one job.
-
-    The fused plan is a crossJoin chain of independent 1-row aggregate
-    factors. AQE materializes each shuffle query stage in waves, which
-    serializes the factor subtrees; with AQE off the whole DAG is submitted
-    at once and every factor's stages schedule concurrently (measured at
-    sf10: 3.2 s → 2.0 s for the 8-check suite). AQE's own wins don't apply
-    here — every factor ends in a single row, join sides are explicit
-    broadcasts, and there is no skew to re-plan — so this is strictly the
-    better trade for the fused job. Runtime conf, restored immediately;
-    the per-check fallback path keeps AQE."""
-    spark = fused.sparkSession
-    key = "spark.sql.adaptive.enabled"
-    old = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try:
-        return fused.collect()[0].asDict()
-    finally:
-        spark.conf.set(key, old)
-
-
 def run_suite(
     tables: Mapping[str, DataFrame],
     checks: Sequence[Check],
     fuse: bool = True,
     sample_violations: bool = True,
 ) -> list[CheckResult]:
-    """Run all checks; never raises for an individual check's failure."""
+    """Run all checks; never raises for an individual check's failure.
+
+    ``fuse=True`` (default): expression checks sharing a table compile into
+    one aggregate factor per table; every factor's job is submitted
+    concurrently, so suite wall time tracks the slowest factor. ``fuse=
+    False`` runs one job per check, serially (the isolation-debug path).
+    """
     results: dict[int, CheckResult] = {}
     agg_groups: dict[str, list[tuple[int, CompiledAggCheck]]] = defaultdict(list)
     ri_checks: list[tuple[int, Check, DataFrame]] = []
@@ -127,90 +114,132 @@ def run_suite(
         except Exception as exc:  # noqa: BLE001 — isolation is the contract
             results[i] = _error_result(check, exc)
 
-    factors: list[DataFrame] = []
-    loose: list[tuple[int, CompiledAggCheck]] = []  # groups that failed analysis
+    # A job = (1-row frame, members). Each member is (index, check, evaluate,
+    # solo_builder): ``evaluate`` turns the collected row into a CheckResult;
+    # ``solo_builder`` (fused expr groups only) rebuilds that check's own
+    # 1-row frame for the isolation retry when a shared factor fails at
+    # runtime (e.g. one ANSI-throwing expression).
+    Member = tuple  # (int, Check, Callable[[dict], CheckResult], Callable | None)
+    jobs: list[tuple[DataFrame, list[Member]]] = []
+
+    def _agg_member(i: int, compiled: CompiledAggCheck, solo) -> Member:
+        return (
+            i,
+            compiled.check,
+            lambda row, c=compiled: c.evaluate(row, c.prefix),
+            solo,
+        )
+
     for table_name, group in agg_groups.items():
+        df = tables[table_name]
         # distinct-shaped checks carry their own groupBy factor (see
-        # CompiledAggCheck.frame_builder) — they join the same fused job as
-        # independent concurrent stages instead of Expand-ing the shared scan
+        # CompiledAggCheck.frame_builder) — each is its own concurrent job
+        # instead of Expand-ing the shared scan
         for i, compiled in group:
             if compiled.frame_builder is None:
                 continue
             try:
-                factors.append(compiled.frame_builder(tables[table_name]))
+                jobs.append(
+                    (compiled.frame_builder(df), [_agg_member(i, compiled, None)])
+                )
             except Exception as exc:  # noqa: BLE001
                 results[i] = _error_result(compiled.check, exc)
-                loose.append((i, compiled))
-        expr_group = [(i, c) for i, c in group if c.frame_builder is None]
-        exprs = [
-            col.alias(alias)
-            for _, compiled in expr_group
-            for alias, col in compiled.exprs.items()
+        expr_group = [
+            (i, c) for i, c in group if c.frame_builder is None and i not in results
         ]
-        if not exprs:
+        if not expr_group:
             continue
-        try:
-            factors.append(tables[table_name].agg(*exprs))
-        except Exception:
-            # one bad expression fails the whole group's analysis — retry
-            # each check alone so the good ones still run (isolation)
-            for i, compiled in expr_group:
-                try:
-                    factors.append(
-                        tables[table_name].agg(
-                            *[c.alias(a) for a, c in compiled.exprs.items()]
-                        )
+
+        def solo_frame(compiled: CompiledAggCheck, df: DataFrame = df) -> DataFrame:
+            return df.agg(
+                *[c.alias(a) for a, c in compiled.exprs.items()]
+            )
+
+        if fuse:
+            exprs = [
+                col.alias(alias)
+                for _, compiled in expr_group
+                for alias, col in compiled.exprs.items()
+            ]
+            try:
+                jobs.append(
+                    (
+                        df.agg(*exprs),
+                        [
+                            _agg_member(i, c, lambda c=c: solo_frame(c))
+                            for i, c in expr_group
+                        ],
                     )
-                except Exception as exc:  # noqa: BLE001
-                    results[i] = _error_result(compiled.check, exc)
-                    loose.append((i, compiled))
-    factors.extend(frame for _, _, frame in ri_checks)
+                )
+                continue
+            except Exception:
+                pass  # one bad expression failed the group's analysis —
+                # fall through to per-check frames so the good ones run
+        for i, compiled in expr_group:
+            try:
+                jobs.append(
+                    (solo_frame(compiled), [_agg_member(i, compiled, None)])
+                )
+            except Exception as exc:  # noqa: BLE001
+                results[i] = _error_result(compiled.check, exc)
+    for i, check, frame in ri_checks:
+        jobs.append(
+            (
+                frame,
+                [
+                    (
+                        i,
+                        check,
+                        lambda row, c=check, p=f"c{i}": evaluate_ri(c, row, p),
+                        None,
+                    )
+                ],
+            )
+        )
 
     def finish() -> list[CheckResult]:
         if sample_violations:
             _attach_samples(tables, checks, results)
         return [results[i] for i in sorted(results)]
 
-    if not factors:
+    if not jobs:
         return finish()
 
-    if fuse:
+    def collect_row(frame: DataFrame):
         try:
-            row = _collect_fused(reduce(DataFrame.crossJoin, factors))
-            dead = {i for i, _ in loose}
-            for group in agg_groups.values():
-                for i, compiled in group:
-                    if i in dead:
-                        continue  # already reported as error
-                    try:
-                        results[i] = compiled.evaluate(row, compiled.prefix)
-                    except Exception as exc:  # noqa: BLE001
-                        results[i] = _error_result(compiled.check, exc)
-            for i, check, _ in ri_checks:
-                try:
-                    results[i] = evaluate_ri(check, row, prefix=f"c{i}")
-                except Exception as exc:  # noqa: BLE001
-                    results[i] = _error_result(check, exc)
-            return finish()
-        except Exception:
-            pass  # fused job failed — fall through to isolated execution
+            return frame.collect()[0].asDict()
+        except Exception as exc:  # noqa: BLE001
+            return exc
 
-    for table_name, group in agg_groups.items():
-        df = tables[table_name]
-        for i, compiled in group:
-            try:
-                if compiled.frame_builder is not None:
-                    row = compiled.frame_builder(df).collect()[0].asDict()
+    if fuse and len(jobs) > 1:
+        # concurrent submission: the scheduler interleaves the factor jobs
+        # across all cores, so the suite costs max(factor) wall, not
+        # sum(factors). Pool is bounded — each thread holds a py4j
+        # connection and job-submission slot, not executor resources.
+        with ThreadPoolExecutor(max_workers=min(len(jobs), 8)) as pool:
+            outcomes = list(pool.map(collect_row, (f for f, _ in jobs)))
+    else:
+        outcomes = [collect_row(f) for f, _ in jobs]
+
+    retry: list[Member] = []
+    for (frame, members), outcome in zip(jobs, outcomes):
+        if isinstance(outcome, Exception):
+            for i, check, _evaluate, solo in members:
+                if solo is not None:
+                    retry.append((i, check, _evaluate, solo))
                 else:
-                    exprs = [col.alias(a) for a, col in compiled.exprs.items()]
-                    row = df.agg(*exprs).collect()[0].asDict()
-                results[i] = compiled.evaluate(row, compiled.prefix)
+                    results[i] = _error_result(check, outcome)
+            continue
+        for i, check, evaluate, _solo in members:
+            try:
+                results[i] = evaluate(outcome)
             except Exception as exc:  # noqa: BLE001
-                results[i] = _error_result(compiled.check, exc)
-    for i, check, frame in ri_checks:
+                results[i] = _error_result(check, exc)
+    # isolation retry: a shared table-factor died at runtime; rerun each of
+    # its checks alone so one poisoned expression can't sink its neighbors
+    for i, check, evaluate, solo in retry:
         try:
-            row = frame.collect()[0].asDict()
-            results[i] = evaluate_ri(check, row, prefix=f"c{i}")
+            results[i] = evaluate(solo().collect()[0].asDict())
         except Exception as exc:  # noqa: BLE001
             results[i] = _error_result(check, exc)
     return finish()
