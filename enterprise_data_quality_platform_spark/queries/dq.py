@@ -1500,6 +1500,42 @@ def dq_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_point_query(buf: bytes):
+    """Point-frequency lookup over Spark's serialized CountMinSketch,
+    decoded with struct — no ``_jvm`` private-API reach-through. The
+    binary layout is the sketch's PUBLIC cross-version serialization
+    contract (``CountMinSketch.readFrom``; stream-lib heritage):
+    version:int, totalCount:long, depth:int, width:int, hashA[depth]:long,
+    table[depth][width]:long, all big-endian. The long-item hash is the
+    AMS scheme (``hash = hashA[i]*item; hash += hash >> 32;
+    hash &= 2^31-1; bucket = hash % width``) — verified bit-equal to JVM
+    ``estimateCount`` on this build (tests pin it vs exact counts)."""
+    import struct
+
+    depth, width = struct.unpack_from(">ii", buf, 12)
+    off = 20
+    hash_a = struct.unpack_from(f">{depth}q", buf, off)
+    off += 8 * depth
+    tbl = [
+        struct.unpack_from(f">{width}q", buf, off + 8 * width * i)
+        for i in range(depth)
+    ]
+    prime, m64 = (1 << 31) - 1, (1 << 64) - 1
+
+    def estimate(item: int) -> int:
+        best = None
+        for i in range(depth):
+            h = (hash_a[i] * item) & m64
+            if h >= 1 << 63:  # reinterpret as Java signed long
+                h -= 1 << 64
+            h = (h + (h >> 32)) & prime
+            v = tbl[i][h % width]
+            best = v if best is None else min(best, v)
+        return int(best)
+
+    return estimate
+
+
 @register(
     "dq_freq_sketch",
     # rows-only: CMS estimates are implementation-specific. Tests pin the
@@ -1533,16 +1569,9 @@ def dq_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sk"
         )
     ).collect()[0]["sk"]
-    jvm = spark.sparkContext._jvm
-    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        bytes(sk_bytes)
-    )
+    estimate = _cms_point_query(bytes(sk_bytes))
     rows = [
-        (
-            int(r.user_id),
-            int(r.exact_count),
-            int(sketch.estimateCount(jvm.java.lang.Long(int(r.user_id)))),
-        )
+        (int(r.user_id), int(r.exact_count), estimate(int(r.user_id)))
         for r in top
     ]
     return spark.createDataFrame(

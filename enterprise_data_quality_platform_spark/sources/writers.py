@@ -68,7 +68,13 @@ def materialize_incremental(
 def _hadoop_fs(spark: SparkSession, path: str):
     """Hadoop FileSystem handle for ``path`` — works for any supported
     scheme (file://, hdfs://, s3a://), so the staging-swap below is not
-    local-FS-specific."""
+    local-FS-specific.
+
+    DOCUMENTED ``_jvm`` PIN: PySpark exposes no public FileSystem API;
+    the Hadoop ``Path.getFileSystem`` route is the standard, stable way
+    to do atomic rename/delete from the driver (the alternative — shell
+    ``mv`` — breaks on non-posix schemes). Scope is limited to rename/
+    delete/exists in this module."""
     jvm = spark.sparkContext._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
