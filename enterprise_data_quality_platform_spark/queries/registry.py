@@ -48,6 +48,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "multimodal_ops",
         "training_ops",
         "operator_ops",
+        "partsupp_ops",
     ):
         try:
             importlib.import_module(f".{mod}", __package__)

@@ -30,6 +30,14 @@ RUNTIME_CONFS: dict[str, str] = {
     # stages to one task either way.
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime-size-decided broadcast ceiling. The STATIC threshold stays at
+    # the 10 MB default (file sizes overestimate filtered inputs), but when
+    # AQE has the measured post-filter size in hand, converting an SMJ whose
+    # build side is ≤64 MB into a broadcast join is safe at any scale: a
+    # side that grows past the ceiling at 100 TB simply stays SMJ. This is
+    # what turns the Q5/Q12/Q17 shapes' filtered-orders side into the hash
+    # build DuckDB picks, without ever hinting a scale-growing table.
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "67108864",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
     # rejects by default; read as long and convert (catalog._fix_events_ts).
