@@ -382,3 +382,116 @@ svg {{ display: block; }}
 <tbody>{''.join(trs)}</tbody></table>
 </body></html>
 """
+
+
+# --------------------------------------------------------------------------
+# Checkpoints (GE CheckpointStore twin, SURVEY.md §2.1 S7)
+#
+# The reference's great_expectations.yml declares a checkpoint store but
+# ships it empty (``/root/reference/great_expectations/great_expectations.yml``:
+# config scaffold, ``checkpoints/.gitkeep``). A checkpoint is the missing
+# binding: WHICH suite runs against WHICH tables with WHICH run config —
+# persisted like a suite, executable by name.
+
+
+class Checkpoint:
+    """Named suite×tables binding + run config.
+
+    ``tables`` maps logical table names (as referenced by the suite's
+    checks) to the data directory's table names; ``sf_dir`` is the
+    datasource root (the parquet warehouse). ``gate`` mirrors GE's
+    fail-on-validation-error action: when True, ``run_checkpoint`` raises
+    ``ValidationGateError`` AFTER persisting results/docs (the reference's
+    alert-then-raise order, pager-workflow.py:247-267)."""
+
+    def __init__(
+        self,
+        name: str,
+        suite_path: str,
+        sf_dir: str,
+        tables: Sequence[str],
+        validations_path: str | None = None,
+        data_docs_dir: str | None = None,
+        gate: bool = False,
+    ) -> None:
+        self.name = name
+        self.suite_path = suite_path
+        self.sf_dir = sf_dir
+        self.tables = list(tables)
+        self.validations_path = validations_path
+        self.data_docs_dir = data_docs_dir
+        self.gate = gate
+
+    def to_dict(self) -> dict:
+        return {
+            "checkpoint_name": self.name,
+            "expectation_suite_path": self.suite_path,
+            "datasource": {"sf_dir": self.sf_dir, "tables": self.tables},
+            "actions": {
+                "store_validation_result": self.validations_path,
+                "update_data_docs": self.data_docs_dir,
+                "gate": self.gate,
+            },
+            "meta": {"engine": "enterprise_data_quality_platform_spark"},
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Checkpoint":
+        acts = d.get("actions", {})
+        return cls(
+            name=d["checkpoint_name"],
+            suite_path=d["expectation_suite_path"],
+            sf_dir=d["datasource"]["sf_dir"],
+            tables=d["datasource"]["tables"],
+            validations_path=acts.get("store_validation_result"),
+            data_docs_dir=acts.get("update_data_docs"),
+            gate=bool(acts.get("gate", False)),
+        )
+
+
+def save_checkpoint(cp: Checkpoint, path: str) -> None:
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Path(path).write_text(json.dumps(cp.to_dict(), indent=2))
+
+
+def load_checkpoint(path: str) -> Checkpoint:
+    return Checkpoint.from_dict(json.loads(Path(path).read_text()))
+
+
+def run_checkpoint(
+    spark: SparkSession, cp: Checkpoint, run_name: str | None = None
+) -> dict:
+    """Execute a checkpoint: load its suite, bind its tables, run, persist.
+
+    Actions in order (all before any gate raise): validation results
+    append to the parquet ValidationsStore tagged with ``run_name``; data
+    docs re-render (current run + history page when the store exists).
+    Returns the summary dict plus the per-check results under
+    ``"results"``."""
+    from ..catalog import table as _table
+    from .runner import gate as _gate
+
+    checks = load_suite(cp.suite_path)
+    tables = {name: _table(spark, cp.sf_dir, name) for name in cp.tables}
+    from .runner import run_suite
+
+    results = run_suite(tables, checks)
+    run = run_name or f"{cp.name}-run"
+    if cp.validations_path:
+        write_validation_results(spark, results, cp.validations_path, run_name=run)
+    if cp.data_docs_dir:
+        docs_dir = Path(cp.data_docs_dir)
+        docs_dir.mkdir(parents=True, exist_ok=True)
+        (docs_dir / f"{cp.name}.html").write_text(
+            render_data_docs_html(results, suite_name=cp.name, run_name=run)
+        )
+        if cp.validations_path:
+            (docs_dir / f"{cp.name}_history.html").write_text(
+                render_history_docs_html(
+                    spark, cp.validations_path, suite_name=cp.name
+                )
+            )
+    summary = _gate(results, raise_on_fail=cp.gate)
+    summary["results"] = results
+    summary["run_name"] = run
+    return summary
