@@ -608,10 +608,12 @@ def mart_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the standard guard)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
-    # merge hint: at tiny SFs the planner would broadcast the whole fact
-    # (fine locally, death at 100 TB); pinning SMJ keeps the plan the one
-    # that scales AND makes the shared exchange deterministic to assert.
-    b = li.alias("b").hint("merge")
+    # shuffle_hash hint, twice deliberate: (1) at tiny SFs the planner
+    # would broadcast the whole fact — fine locally, death at 100 TB;
+    # (2) vs sort-merge it skips BOTH 60M-row sorts (the per-order groups
+    # are tiny, so the per-partition hash build is cheap), measured ~10%
+    # faster and with far less sort-buffer churn in a long session.
+    b = li.alias("b").hint("shuffle_hash")
     return (
         a.join(
             b,
