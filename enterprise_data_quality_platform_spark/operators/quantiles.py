@@ -30,6 +30,7 @@ primitive is the scale path for any exact-percentile need where
 from __future__ import annotations
 
 import math
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -175,3 +176,148 @@ def _select_ranks(base: DataFrame, k_lo: int, k_hi: int) -> tuple[float, float]:
             break
         cum += cnt
     return out[k_lo], out[k_hi]
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    col: Column | str,
+    qs: Sequence[float],
+    buckets: int = DEFAULT_BUCKETS,
+) -> list[dict]:
+    """Exact interpolated quantiles PER GROUP — the grouped twin of
+    ``exact_quantile`` for low-cardinality group keys (SLO/latency
+    profiles: percentiles per event type / endpoint / tenant).
+
+    Three codegen passes regardless of group count or quantile count:
+
+    1. per-group (count, non-null count, min, max) — |G| rows;
+    2. per-(group, bucket) histogram — the bucket id comes from an
+       equi-width quantizer whose (min, scale) attach via a broadcast
+       join of the |G|-row stats frame; collect is ≤ |G|·buckets rows;
+    3. the candidate buckets' distinct (group, value, count) triples —
+       ~Σ n_g/buckets per requested rank.
+
+    This is the FLAT-MEMORY alternative to Spark's per-group sort-based
+    ``percentile`` object aggregate: the built-in buffers every group's
+    raw values in one task (n/|G| values — fine at bench scales, where
+    its in-task sort is actually faster; OOM territory once a group holds
+    billions of values), while this shape never materializes more than
+    the bounded histogram + candidate buckets. Use the built-in below
+    ~10M rows/group, this operator beyond. Driver state is |G|·buckets
+    histogram rows — intended for dashboard-cardinality groups (≤ ~10k);
+    for high-cardinality keys use ``percentile_approx``.
+
+    Returns one dict per group: {group, n_rows, n_values, q<q>: value}
+    with the same lerp as Spark's ``percentile`` (``exact_quantile``).
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    spark = df.sparkSession
+    base = df.select(F.col(group_col).alias("__g"), c.cast("double").alias("__v"))
+    vals = base.filter(F.col("__v").isNotNull())
+    stats = {
+        r["__g"]: r
+        for r in base.groupBy("__g")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("__v").alias("n"),
+            F.min("__v").alias("mn"),
+            F.max("__v").alias("mx"),
+        )
+        .collect()
+    }
+    # which 0-based order statistics each group needs
+    needed: dict[object, set[int]] = {}
+    for g, r in stats.items():
+        if r["n"] == 0 or r["mn"] == r["mx"]:
+            continue
+        ks = set()
+        for q in qs:
+            pos = (r["n"] - 1) * q
+            ks.add(math.floor(pos))
+            ks.add(math.ceil(pos))
+        needed[g] = ks
+    values: dict[object, dict[int, float]] = {g: {} for g in stats}
+    if needed:
+        stats_rows = [
+            (g, float(stats[g]["mn"]), buckets / (stats[g]["mx"] - stats[g]["mn"]))
+            for g in needed
+        ]
+        stats_df = F.broadcast(
+            spark.createDataFrame(stats_rows, "__g string, __mn double, __scale double")
+            if isinstance(next(iter(needed)), str)
+            else spark.createDataFrame(stats_rows, "__g bigint, __mn double, __scale double")
+        )
+        b = F.least(
+            F.lit(buckets - 1),
+            F.floor((F.col("__v") - F.col("__mn")) * F.col("__scale")).cast("long"),
+        )
+        hist_df = (
+            vals.join(stats_df, on="__g")
+            .groupBy("__g", b.alias("__b"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        hist: dict[object, dict[int, int]] = {}
+        for r in hist_df.collect():
+            hist.setdefault(r["__g"], {})[r["__b"]] = r["cnt"]
+        # locate candidate buckets + their starting global rank per group
+        cand: dict[object, dict[int, int]] = {}  # g -> bucket -> start_rank
+        for g, ks in needed.items():
+            cum = 0
+            want = sorted(ks)
+            wi = 0
+            for bid in range(buckets):
+                cnt = hist[g].get(bid, 0)
+                while wi < len(want) and cum + cnt > want[wi]:
+                    cand.setdefault(g, {})[bid] = cum
+                    wi += 1
+                cum += cnt
+                if wi == len(want):
+                    break
+        cand_rows = [(g, bid) for g, bs in cand.items() for bid in bs]
+        cand_df = F.broadcast(
+            spark.createDataFrame(
+                cand_rows,
+                ("__g string, __b bigint" if isinstance(cand_rows[0][0], str) else "__g bigint, __b bigint"),
+            )
+        )
+        det = (
+            vals.join(stats_df, on="__g")
+            .withColumn("__b", b)
+            .join(cand_df, on=["__g", "__b"])
+            .groupBy("__g", "__b", "__v")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        per_bucket: dict[tuple, list] = {}
+        for r in det:
+            per_bucket.setdefault((r["__g"], r["__b"]), []).append((r["__v"], r["cnt"]))
+        for g, bs in cand.items():
+            ks = sorted(needed[g])
+            for bid in sorted(bs):
+                start = bs[bid]
+                cum = start
+                for v, cnt in sorted(per_bucket[(g, bid)]):
+                    for k in ks:
+                        if k not in values[g] and cum <= k < cum + cnt:
+                            values[g][k] = v
+                    cum += cnt
+    out = []
+    for g, r in stats.items():
+        row = {"group": g, "n_rows": r["n_rows"], "n_values": r["n"]}
+        for q in qs:
+            if r["n"] == 0:
+                row[f"q{q}"] = None
+            elif r["mn"] == r["mx"]:
+                row[f"q{q}"] = float(r["mn"])
+            else:
+                pos = (r["n"] - 1) * q
+                k_lo, k_hi = math.floor(pos), math.ceil(pos)
+                v_lo, v_hi = values[g][k_lo], values[g][k_hi]
+                row[f"q{q}"] = (
+                    v_lo
+                    if k_lo == k_hi
+                    else (k_hi - pos) * v_lo + (pos - k_lo) * v_hi
+                )
+        out.append(row)
+    return out

@@ -73,3 +73,50 @@ def test_expression_column(spark):
     df = spark.createDataFrame([(v,) for v in values], "v double")
     got = exact_quantile(df, F.abs(F.col("v")), 0.5)
     assert got == _spark_percentile(spark, [abs(v) for v in values], 0.5)
+
+
+def test_group_quantiles_match_builtin(spark):
+    import random
+
+    from enterprise_data_quality_platform_spark.operators.quantiles import (
+        exact_group_quantiles,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (g, rng.uniform(0, 10**g) if rng.random() > 0.05 else None)
+        for g in (1, 2, 3)
+        for _ in range(800)
+    ] + [(4, 7.0)]  # constant group
+    df = spark.createDataFrame(rows, "g long, v double")
+    got = {
+        r["group"]: r
+        for r in exact_group_quantiles(df, "g", "v", (0.5, 0.95, 0.99), buckets=64)
+    }
+    want = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(v, array(0.5, 0.95, 0.99))").alias("ps"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g, w in want.items():
+        assert got[g]["n_rows"] == w["n"]
+        for q, p in zip((0.5, 0.95, 0.99), w["ps"]):
+            assert got[g][f"q{q}"] == p, (g, q)
+
+
+def test_group_quantiles_string_groups_and_empty_values(spark):
+    from enterprise_data_quality_platform_spark.operators.quantiles import (
+        exact_group_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None)], "g string, v double"
+    )
+    got = {r["group"]: r for r in exact_group_quantiles(df, "g", "v", (0.5,))}
+    assert got["a"]["q0.5"] == 2.0
+    assert got["b"]["q0.5"] is None and got["b"]["n_rows"] == 1
