@@ -95,6 +95,9 @@ HEADLINE = [
     "mart_returned_revenue",
     "mart_top_supplier",
     "mart_discount_effect",
+    "mart_min_cost_supplier",
+    "mart_product_profit",
+    "mart_excess_inventory",
     "embed_label_centroid",
     "dedup_fuzzy_names",
     "dedup_minhash_docs",
