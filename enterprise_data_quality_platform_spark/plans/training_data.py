@@ -383,3 +383,41 @@ def sample_balanced(
         .crossJoin(F.broadcast(target))
         .filter(bucket * F.col("n_stratum") < F.lit(1000) * F.col("n_target"))
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rate_pm: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture sampling with OVERSAMPLING — the per-source
+    epoch-weighting step of a training mix (web ×0.3, books ×2.5, …),
+    expressed as a per-row rate in PER-MILLE (1000 = exactly one epoch).
+
+    Every row emits ``rate_pm // 1000`` full replicas, plus one more iff
+    its hash bucket clears ``rate_pm % 1000`` — so realized counts hit the
+    target rate exactly in expectation, and the SAME rows get the extra
+    replica on every engine/layout/re-run (the accept test is the
+    ``sample_balanced`` multiplicative-hash bucket; pure BIGINT, no
+    floats, no RNG state). Output carries a 1-based ``replica`` index for
+    shard lineage ("this is copy 3 of doc 17").
+
+    Scale posture: a narrow projection + row-local ``sequence`` explode —
+    no shuffle at all; the blow-up per row is the epoch factor, which a
+    sane mix bounds by ~30×. Emission order within a partition follows
+    input order, so downstream ``pack_sequences`` stays deterministic.
+    """
+    bucket = ((F.col(id_col) % F.lit(_SAMPLE_ID_MOD)) * F.lit(_SPLIT_HASH)) % F.lit(
+        1000
+    )
+    n_rep = F.floor(rate_pm / F.lit(1000)).cast("long") + F.when(
+        bucket < rate_pm % F.lit(1000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        docs.withColumn("__n_rep", n_rep)
+        .filter(F.col("__n_rep") >= 1)
+        .withColumn(
+            "replica", F.explode(F.sequence(F.lit(1), F.col("__n_rep")))
+        )
+        .drop("__n_rep")
+    )

@@ -444,3 +444,61 @@ def training_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "training_mixture_sample",
+    oracle="""
+    WITH rated AS (
+      SELECT doc_id, source,
+             200 + CAST(SUBSTR(source, 4) AS BIGINT) * 150 AS rate_pm,
+             ((doc_id % 1000003) * 2654435761) % 1000 AS bucket
+      FROM documents
+    ),
+    reps AS (
+      SELECT source, doc_id,
+             (rate_pm // 1000)
+             + CASE WHEN bucket < rate_pm % 1000 THEN 1 ELSE 0 END AS n_rep
+      FROM rated
+    ),
+    emitted AS (
+      SELECT source, doc_id, unnest(range(1, n_rep + 1)) AS replica
+      FROM reps WHERE n_rep >= 1
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_source_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_emitted,
+           CAST(MAX(replica) AS BIGINT) AS max_replica
+    FROM emitted
+    GROUP BY source ORDER BY source
+    """,
+    tables=("documents",),
+)
+def training_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting audit: every source sampled at its own epoch
+    rate — src0 at 0.20 epochs up to src19 at 3.05 (rate_pm = 200 +
+    150·source_index, a stand-in for the web×0.3/books×2.5 weighting a
+    real pretraining mix assigns) — via
+    ``plans.training_data.mixture_sample`` (deterministic multiplicative-
+    hash replication, engine-portable BIGINT accept test, 1-based replica
+    lineage). The audit reports per-source surviving docs, emitted rows,
+    and the deepest replica index.
+
+    Plan: narrow projection + row-local sequence explode (no shuffle),
+    then one map-combined groupBy on the 20-source key."""
+    from ..plans.training_data import mixture_sample
+
+    docs = table(spark, sf_dir, "documents")
+    rate = F.lit(200) + F.substring(F.col("source"), 4, 10).cast("long") * F.lit(
+        150
+    )
+    emitted = mixture_sample(docs.select("doc_id", "source"), rate)
+    return (
+        emitted.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_source_docs"),
+            F.count(F.lit(1)).alias("n_emitted"),
+            F.max("replica").cast("long").alias("max_replica"),
+        )
+        .orderBy("source")
+    )

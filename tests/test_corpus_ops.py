@@ -213,3 +213,35 @@ def test_quantized_knn_is_arrow_vectorized(spark):
     plan = quantized_knn_topk(emb, probes, k=3)._sc._jvm  # noqa: F841
     explained = quantized_knn_topk(emb, probes, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in explained
+
+
+def test_mixture_sample_replication_semantics(spark):
+    """rate 2500 -> 2 full replicas + 1 more for rows whose bucket < 500;
+    rate 0 -> dropped; replica index is 1-based and dense."""
+    from pyspark.sql import functions as F
+
+    from enterprise_data_quality_platform_spark.plans.training_data import (
+        _SAMPLE_ID_MOD,
+        _SPLIT_HASH,
+        mixture_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s") for i in range(200)], "doc_id long, source string"
+    )
+    out = mixture_sample(docs, F.lit(2500)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.replica)
+    assert set(by_doc) == set(range(200))  # every doc kept at rate >= 1000
+    for i, reps in by_doc.items():
+        bucket = ((i % _SAMPLE_ID_MOD) * _SPLIT_HASH) % 1000
+        want = 3 if bucket < 500 else 2
+        assert sorted(reps) == list(range(1, want + 1)), i
+    # statistically ~half get the 3rd replica
+    n3 = sum(1 for reps in by_doc.values() if len(reps) == 3)
+    assert 60 <= n3 <= 140
+    # rate 0 drops everything; rate 999 keeps a strict subset, 1 replica
+    assert mixture_sample(docs, F.lit(0)).count() == 0
+    sub = mixture_sample(docs, F.lit(999)).collect()
+    assert 0 < len(sub) < 200 and all(r.replica == 1 for r in sub)
