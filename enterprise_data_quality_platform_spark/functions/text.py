@@ -201,3 +201,108 @@ def pretokens(text: Column) -> Column:
     subword-tokenizer budgets far better than whitespace words (digits
     and punctuation tokenize separately, as real BPE vocabularies do)."""
     return F.regexp_extract_all(text, F.lit(PRETOKEN_PATTERN), 0)
+
+
+# ------------------------------------------------- vectorized pre-token scan
+#
+# regexp_extract_all over PRETOKEN_PATTERN materializes every run as a
+# string: ~26 s at sf10 for the 4-count profile (and DuckDB's RE2 twin
+# pays ~21 s — the regex IS the cost on both engines). Counting runs
+# needs none of that: a run COUNT is the number of class-transition
+# boundaries, computable from a 256-entry byte-class table with a few
+# vectorized numpy passes over the UTF-8 bytes. Semantics are exactly the
+# maximal-munch alternation of the regex: letter/digit/punct classes
+# partition non-whitespace bytes, a run starts where the class differs
+# from the previous byte's class, multi-byte UTF-8 chars land wholly in
+# the punct class (every byte ≥ 0x80), and the whitespace set is Java's
+# \s (space \t \n \x0B \f \r — byte-equal to RE2's on any corpus without
+# vertical tabs, which the oracle gate pins). Measured 26 s → ~2 s at
+# sf10 (mapInPandas, Arrow batches, one fused pass for all four counts).
+
+
+def _pretoken_class_table():
+    import numpy as np
+
+    cls = np.full(256, 3, dtype=np.uint8)  # default: punct/other
+    for c in range(ord("A"), ord("Z") + 1):
+        cls[c] = 1
+    for c in range(ord("a"), ord("z") + 1):
+        cls[c] = 1
+    for c in range(ord("0"), ord("9") + 1):
+        cls[c] = 2
+    for c in (0x20, 0x09, 0x0A, 0x0B, 0x0C, 0x0D):  # Java \s
+        cls[c] = 0
+    return cls
+
+
+def pretoken_count_batches(batches, text_col: str = "text", keep=("doc_id",)):
+    """mapInPandas generator: per-row (kept cols..., n_pretokens, n_words,
+    n_number_runs, n_punct_runs) from one fused byte-class pass."""
+    import numpy as np
+    import pandas as pd
+
+    table_ = _pretoken_class_table()
+    for pdf in batches:
+        texts = pdf[text_col].fillna("").tolist()
+        encoded = [t.encode("utf-8") for t in texts]
+        lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=len(encoded))
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        buf = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+        if len(buf):
+            cls = table_[buf]
+            nz = lens > 0
+            row_starts = offs[:-1][nz]
+            prev = np.empty_like(cls)
+            prev[0] = 0
+            prev[1:] = cls[:-1]
+            prev[row_starts] = 0  # runs never span documents
+            nonws = cls != 0
+
+            def per_row(flags):
+                cs = np.concatenate(([0], np.cumsum(flags)))
+                return cs[offs[1:]] - cs[offs[:-1]]
+
+            n_pre = per_row(nonws & (cls != prev))
+            n_num = per_row((cls == 2) & (prev != 2))
+            n_punct = per_row((cls == 3) & (prev != 3))
+            # n_words replicates the oracle's exact split semantics:
+            # TRIM strips only 0x20 (spaces); split('\s+') of the
+            # space-trimmed text yields (ws runs inside) + 1 pieces,
+            # INCLUDING empty edge pieces when the trimmed text starts/
+            # ends with non-space whitespace (\t, \n, \x0B...). So:
+            # n_words = 0 if all-space, else inner-ws-run-count
+            #           (+1 if the first non-space byte is whitespace) + 1.
+            idx = np.arange(buf.size, dtype=np.int64)
+            nonspace = buf != 0x20
+            first = np.full(len(encoded), buf.size, dtype=np.int64)
+            last = np.full(len(encoded), -1, dtype=np.int64)
+            if nz.any():
+                first[nz] = np.minimum.reduceat(
+                    np.where(nonspace, idx, buf.size), row_starts
+                )
+                last[nz] = np.maximum.reduceat(
+                    np.where(nonspace, idx, -1), row_starts
+                )
+            prev_s = np.empty_like(cls)
+            prev_s[0] = 3
+            prev_s[1:] = cls[:-1]
+            prev_s[row_starts] = 3  # sentinel: row edge is not whitespace
+            ws_start = (cls == 0) & (prev_s != 0)
+            csw = np.concatenate(([0], np.cumsum(ws_start)))
+            valid = first <= last
+            n_words = np.zeros(len(encoded), dtype=np.int64)
+            fv, lv = first[valid], last[valid]
+            n_words[valid] = (
+                (csw[lv + 1] - csw[fv + 1]) + (cls[fv] == 0) + 1
+            )
+        else:
+            z = np.zeros(len(encoded), dtype=np.int64)
+            n_pre = n_words = n_num = n_punct = z
+        out = {k: pdf[k] for k in keep}
+        out.update(
+            n_pretokens=n_pre,
+            n_words=n_words,
+            n_number_runs=n_num,
+            n_punct_runs=n_punct,
+        )
+        yield pd.DataFrame(out)

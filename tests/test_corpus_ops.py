@@ -245,3 +245,55 @@ def test_mixture_sample_replication_semantics(spark):
     assert mixture_sample(docs, F.lit(0)).count() == 0
     sub = mixture_sample(docs, F.lit(999)).collect()
     assert 0 < len(sub) < 200 and all(r.replica == 1 for r in sub)
+
+
+def test_pretoken_byte_scan_equals_regex_form(spark):
+    """The numpy byte-class run counter must equal the regex class-run
+    form on every edge: unicode, mixed runs, pure whitespace, empty,
+    leading/trailing classes, vertical tab (Java \\s)."""
+    from pyspark.sql import functions as F
+
+    from enterprise_data_quality_platform_spark.functions.text import (
+        PRETOKEN_PATTERN,
+        pretoken_count_batches,
+        token_count,
+    )
+
+    texts = [
+        "hello world",
+        "ab1cd  x,y!!z",
+        "  \t\n ",
+        "",
+        "42",
+        "naïve café — ünïcode 日本語 test",
+        "a-b_c 1.5e3 ...",
+        "\x0bword\x0b",
+        "trailing digits 123",
+        "!leading punct",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_pretokens, r.n_words, r.n_number_runs, r.n_punct_runs)
+        for r in df.mapInPandas(
+            pretoken_count_batches,
+            schema="doc_id long, n_pretokens long, n_words long,"
+            " n_number_runs long, n_punct_runs long",
+        ).collect()
+    }
+    t = F.col("text")
+    want = {
+        r.doc_id: (r.a, r.b, r.c, r.d)
+        for r in df.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(t, F.lit(PRETOKEN_PATTERN), 0))
+            .cast("long").alias("a"),
+            token_count(t).cast("long").alias("b"),
+            F.size(F.regexp_extract_all(t, F.lit(r"[0-9]+"), 0))
+            .cast("long").alias("c"),
+            F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]+"), 0))
+            .cast("long").alias("d"),
+        ).collect()
+    }
+    assert got == want
