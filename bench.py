@@ -98,6 +98,9 @@ HEADLINE = [
     "mart_min_cost_supplier",
     "mart_product_profit",
     "mart_excess_inventory",
+    "mart_part_hierarchy_rollup",
+    "mart_status_priority_pivot",
+    "training_mixture_sample",
     "embed_label_centroid",
     "dedup_fuzzy_names",
     "dedup_minhash_docs",

@@ -43,15 +43,26 @@ PS_CTE = """
 """
 
 
-def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def derived_partsupp(
+    spark: SparkSession, sf_dir: str, parts: DataFrame | None = None
+) -> DataFrame:
     """The derived partsupp relation (see module docstring). Cost/qty are
     integer-arithmetic functions of the keys: exact, engine-portable, and
-    stable across partitionings."""
-    pair = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .dropDuplicates()
-    )
+    stable across partitionings.
+
+    ``parts`` (a ``p_partkey`` frame) pushes a part predicate INTO the
+    derivation: the pair dedup shuffles only the filtered lines' pairs
+    (a broadcast semi-join before dropDuplicates — 60M → ~6M rows at
+    sf10 for a 10% part filter). Legal whenever the consumer only reads
+    ps rows of those parts — restricting the PART axis never changes any
+    surviving part's supplier set, so window-min/join results are
+    row-identical to deriving from the full fact (A/B'd: Q9 6.7 → 2.6 s)."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    if parts is not None:
+        li = li.join(
+            F.broadcast(parts), li.l_partkey == F.col("p_partkey"), "left_semi"
+        )
+    pair = li.dropDuplicates()
     return pair.select(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
@@ -104,11 +115,12 @@ def mart_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     correct (regional) candidate set; part attaches after (AQE-broadcast
     at any SF where the filtered part side fits). Top-100 is
     TakeOrderedAndProject."""
-    ps = derived_partsupp(spark, sf_dir)
     supplier = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
     part = table(spark, sf_dir, "part")
+    small_parts = part.filter(F.col("p_size") <= 10).select("p_partkey")
+    ps = derived_partsupp(spark, sf_dir, parts=small_parts)
     costed = (
         ps.join(supplier, ps.ps_suppkey == supplier.s_suppkey)
         .join(nation, F.col("s_nationkey") == nation.n_nationkey)
@@ -130,9 +142,7 @@ def mart_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("ps_supplycost_cents") == F.col("min_cost"))
     return (
         best.join(
-            part.filter(F.col("p_size") <= 10).select(
-                "p_partkey", "p_brand"
-            ),
+            part.filter(F.col("p_size") <= 10).select("p_partkey", "p_brand"),
             best.ps_partkey == F.col("p_partkey"),
         )
         .select(
@@ -189,7 +199,8 @@ def mart_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part")
     supplier = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
-    ps = derived_partsupp(spark, sf_dir)
+    bolt_parts = part.filter(F.col("p_name").like("%bolt%")).select("p_partkey")
+    ps = derived_partsupp(spark, sf_dir, parts=bolt_parts)
     rev_units = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000)
         + F.lit(0.5)
@@ -199,8 +210,7 @@ def mart_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         li.join(
-            part.filter(F.col("p_name").like("%bolt%")).select("p_partkey"),
-            li.l_partkey == F.col("p_partkey"),
+            F.broadcast(bolt_parts), li.l_partkey == F.col("p_partkey"), "left_semi"
         )
         .join(
             ps,
@@ -267,9 +277,13 @@ def mart_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part")
     supplier = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
-    ps = derived_partsupp(spark, sf_dir)
+    gear_parts = part.filter(F.col("p_name").like("%gear%")).select("p_partkey")
+    ps = derived_partsupp(spark, sf_dir, parts=gear_parts)
     usage = (
-        li.filter(
+        li.join(
+            F.broadcast(gear_parts), li.l_partkey == F.col("p_partkey"), "left_semi"
+        )
+        .filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
         )
@@ -281,10 +295,6 @@ def mart_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
             usage,
             (ps.ps_partkey == usage.l_partkey)
             & (ps.ps_suppkey == usage.l_suppkey),
-        )
-        .join(
-            part.filter(F.col("p_name").like("%gear%")).select("p_partkey"),
-            ps.ps_partkey == F.col("p_partkey"),
         )
         .filter(F.col("ps_availqty") * 2 > F.col("used_qty"))
         .select("ps_suppkey")

@@ -1972,3 +1972,124 @@ def mart_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "mart_part_hierarchy_rollup",
+    oracle=f"""
+    WITH RECURSIVE anc AS (
+      SELECT l_partkey AS part, l_partkey AS ancestor
+      FROM (SELECT DISTINCT l_partkey FROM lineitem)
+      UNION ALL
+      SELECT part, ancestor // 10 FROM anc WHERE ancestor >= 10
+    ),
+    rev AS (
+      SELECT l_partkey AS part,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS units
+      FROM lineitem GROUP BY 1
+    )
+    SELECT a.ancestor AS category,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           {sql_round("SUM(r.units) / 10000.0", 2)} AS revenue
+    FROM anc a JOIN rev r ON r.part = a.part
+    GROUP BY a.ancestor
+    ORDER BY revenue DESC, category
+    LIMIT 20
+    """,
+    tables=("lineitem",),
+)
+def mart_part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy (BOM/category-tree) rollup: revenue aggregated at every
+    ancestor of each part in a synthetic decimal-digit tree (parent(p) =
+    p div 10; roots are the one-digit nodes) — the recursive-hierarchy
+    aggregation shape (org charts, bills of materials, category trees).
+
+    The ORACLE is the genuine recursive definition (``WITH RECURSIVE``
+    ancestor closure). The engine side deliberately does NOT iterate:
+    for a fixed-arithmetic hierarchy the ancestor set of a row is
+    computable ROW-LOCALLY (filter k ≤ 7 where p ≥ 10^k, then floor
+    division — provably equal to the recursion, which strictly divides
+    by 10 until the root), so the closure explode never joins, never
+    loops, and never re-shuffles: one explode over a ≤8-element array,
+    one map-combined groupBy. For data-driven parent POINTERS (no closed
+    form) the iterative pattern is ``operators/graph.py``'s loop; this
+    query covers the far more common fixed-hierarchy case at zero
+    iterations. Division by 10^k in doubles is exact-safe here: quotients
+    stay < 2^21, so rounding can never cross an integer boundary."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000)
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("units")
+    )
+    p = F.col("part")
+    ks = F.filter(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda k: (k == F.lit(0))
+        | (p >= F.pow(F.lit(10.0), k.cast("double"))),
+    )
+    ancestors = F.transform(
+        ks, lambda k: F.floor(p / F.pow(F.lit(10.0), k.cast("double"))).cast("long")
+    )
+    return (
+        rev.select(F.explode(ancestors).alias("category"), "units")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("units").alias("rev_units"),
+        )
+        .select(
+            "category",
+            "n_parts",
+            fx_round(F.col("rev_units") / F.lit(10000.0), 2).alias("revenue"),
+        )
+        .orderBy(F.col("rev_units").desc(), "category")
+        .limit(20)
+    )
+
+
+@register(
+    "mart_status_priority_pivot",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+    tables=("orders",),
+)
+def mart_status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT to wide (long→wide reshape; the inverse of
+    ``stg_unpivot_metrics``): order counts per priority spread across
+    status columns — the crosstab every BI layer asks for.
+
+    ``pivot`` with an EXPLICIT value list: without it Spark runs an extra
+    distinct-collect job to discover columns AND the output schema becomes
+    data-dependent (schema drift at 100 TB if a new status appears —
+    here a new status is a DQ violation, see ``dq_set_membership``).
+    The pivot compiles to one map-combined aggregate with 3 conditional
+    branches — same plan as the oracle's FILTER form; absent combinations
+    coalesce to 0 on both engines."""
+    orders = table(spark, sf_dir, "orders")
+    pv = (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "priority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+        (
+            F.coalesce(F.col("F"), F.lit(0))
+            + F.coalesce(F.col("O"), F.lit(0))
+            + F.coalesce(F.col("P"), F.lit(0))
+        ).alias("n_total"),
+    ).orderBy("priority")
