@@ -34,8 +34,8 @@ import json
 import time
 import urllib.error
 import urllib.request
-from dataclasses import dataclass, field
-from typing import Callable, Iterable, Mapping, Protocol, Sequence
+from dataclasses import dataclass
+from typing import Callable, Iterable, Mapping, Protocol
 
 #: public API endpoints used by the reference (pager-workflow.py:31,
 #: test-pager-action.py:73); override per-config for proxies/mocks.
