@@ -2093,3 +2093,64 @@ def mart_status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(F.col("P"), F.lit(0))
         ).alias("n_total"),
     ).orderBy("priority")
+
+
+@register(
+    "mart_high_value_range_ma",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num,
+             SUM(CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT)) AS units,
+             CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders WHERE o_totalprice > 400000
+      GROUP BY 1
+    )
+    SELECT day_num,
+           order_count,
+           FLOOR(units / 10000.0 * 100 + 0.5) / 100.0 AS revenue,
+           CAST(SUM(units) OVER w AS BIGINT) AS units_7d,
+           CAST(SUM(order_count) OVER w AS BIGINT) AS orders_7d
+    FROM daily
+    WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY day_num
+    """,
+    tables=("orders",),
+)
+def mart_high_value_range_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 RANGE frames on a GAPPY series: trailing 7-calendar-day totals
+    of high-value orders. The day series is sparse (most days have no
+    order over the threshold), so this is the frame shape ROWS BETWEEN
+    gets WRONG — a ROWS frame would reach back 6 *observations* (weeks of
+    calendar time across gaps); RANGE bounds the frame by the ORDER
+    VALUE, looking back exactly 6 days whether or not they exist
+    (``mart_daily_revenue_ma7`` is the dense-series ROWS twin).
+
+    Plan: aggregate to exact integer units per day first, then one
+    unpartitioned RANGE window over the ≤|days| rows — never raw orders.
+    The frame key is an integer epoch-day on BOTH engines, sidestepping
+    interval-frame dialect differences entirely."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    daily = orders.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_num")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(10000) + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("units"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day_num",
+        "order_count",
+        fx_round(F.col("units") / F.lit(10000.0), 2).alias("revenue"),
+        F.sum("units").over(w).alias("units_7d"),
+        F.sum("order_count").over(w).alias("orders_7d"),
+    ).orderBy("day_num")

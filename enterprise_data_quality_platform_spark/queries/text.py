@@ -607,3 +607,86 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id,
+             md5(substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 64)) AS cluster_fp,
+             CAST(FLOOR(ROUND(
+               least(1.0, (CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(string_split_regex(trim(text), '\s+')) END) / 200.0)
+               * (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                     * 1.0 / greatest(length(text), 1))
+               * (1 - len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                      t -> t IN ('the','and','of','a','to','is','in','that')))
+                     * 1.0 / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)),
+             4) * 10000 + 0.5) AS BIGINT) AS score_e4
+      FROM documents
+    ),
+    clusters AS (
+      SELECT cluster_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             MAX(score_e4 * 1000000000000 + (1000000000000 - doc_id)) AS packed
+      FROM scored GROUP BY cluster_fp
+    )
+    SELECT cluster_fp, n_docs,
+           CAST(1000000000000 - packed % 1000000000000 AS BIGINT) AS kept_doc_id,
+           CAST(packed // 1000000000000 AS BIGINT) AS kept_score_e4
+    FROM clusters
+    WHERE n_docs >= 2
+    ORDER BY n_docs DESC, cluster_fp
+    LIMIT 100
+    """,
+    tables=("documents",),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST dedup resolution: within each near-dup cluster (64-char
+    normalized-prefix fingerprint — the shared-boilerplate tier from
+    ``dedup_cluster_sizes``), keep the HIGHEST-quality document rather
+    than an arbitrary one — the curation policy real training pipelines
+    want ("drop the duplicates, keep the cleanest copy").
+
+    The keep decision is one packed-BIGINT ``max``:
+    ``score_e4·10^12 + (10^12 − doc_id)`` selects max quality with
+    min-doc_id tie-break in a single map-combined aggregate — no window,
+    no self-join, deterministic and engine-exact (the quality score is
+    the oracle-portable composite from ``text_quality_scores``, rounded
+    to 4dp then scaled to an integer). Top-100 clusters by size."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    fp = F.md5(
+        F.substring(
+            F.regexp_replace(F.lower(F.trim(t)), r"\s+", " "), 1, 64
+        )
+    )
+    score_e4 = F.floor(
+        TX.quality_score(t) * F.lit(10000) + F.lit(0.5)
+    ).cast("long")
+    B = F.lit(1000000000000)
+    scored = docs.select(
+        fp.alias("cluster_fp"),
+        (score_e4 * B + (B - F.col("doc_id"))).alias("packed"),
+    )
+    return (
+        scored.groupBy("cluster_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("packed").alias("packed"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "cluster_fp",
+            "n_docs",
+            (F.lit(1000000000000) - F.col("packed") % F.lit(1000000000000))
+            .cast("long")
+            .alias("kept_doc_id"),
+            (F.col("packed") / F.lit(1000000000000))
+            .cast("long")
+            .alias("kept_score_e4"),
+        )
+        .orderBy(F.col("n_docs").desc(), "cluster_fp")
+        .limit(100)
+    )
