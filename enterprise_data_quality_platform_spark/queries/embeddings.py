@@ -364,3 +364,56 @@ def embed_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine_sim", 4).alias("cosine_sim"),
         "sim_rank",
     )
+
+
+@register(
+    "embed_decontaminate",
+    oracle="""
+    WITH bench AS (
+      SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS bvec
+      FROM embeddings WHERE vec_id % 101 = 0
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id % 101 <> 0
+    )
+    SELECT c.vec_id AS corpus_id, b.bench_id,
+           ROUND(list_cosine_similarity(c.cvec, b.bvec), 4) AS cosine_sim
+    FROM corpus c, bench b
+    WHERE list_cosine_similarity(c.cvec, b.bvec) >= 0.30
+    ORDER BY corpus_id, bench_id
+    """,
+    tables=("embeddings",),
+)
+def embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination: corpus vectors semantically close
+    to a held-out benchmark slice (vec_id % 101 == 0, the same eval-split
+    convention as ``training_decontaminate``) — the SEMANTIC leakage
+    sweep that catches paraphrased eval items the n-gram sweep misses.
+
+    Scale posture mirrors n-gram decontamination: the bench side is an
+    eval suite — small by nature at ANY corpus scale — so it broadcasts,
+    and the corpus side is ONE scan with Arrow-vectorized cosine (numpy
+    matrix op per batch); the ≥τ filter collapses output to the flagged
+    pairs. No LSH needed: exactness matters for a release gate, and the
+    broadcast-probe product is |corpus|·|bench| multiply-adds, embarrass-
+    ingly parallel. τ=0.30 sits in the corpus's contamination tail (max
+    cross-pair cosine 0.44 on the synthetic near-orthogonal vectors)."""
+    emb = table(spark, sf_dir, "embeddings")
+    vec = V.to_double(F.col("embedding"))
+    bench = emb.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("bench_id"), vec.alias("bvec")
+    )
+    corpus = emb.filter(F.col("vec_id") % 101 != 0).select(
+        F.col("vec_id").alias("corpus_id"), vec.alias("cvec")
+    )
+    sim = V.cosine_batch(F.col("cvec"), F.col("bvec"))
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("corpus_id", "bench_id", sim.alias("raw_sim"))
+        .filter(F.col("raw_sim") >= 0.30)
+        .select(
+            "corpus_id", "bench_id", F.round("raw_sim", 4).alias("cosine_sim")
+        )
+        .orderBy("corpus_id", "bench_id")
+    )
