@@ -770,3 +770,88 @@ def test_streaming_upsert_sink_tie_breaks_on_event_id(spark, tmp_path):
     streaming_upsert_sink(stream, spark, out, keys=["user_id"])
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1 and rows[0].value == 111.0  # event_id 9 wins
+
+
+def test_append_mode_emits_only_watermark_finalized_windows(spark):
+    """T5 emission timing: append mode must emit a window ONLY after the
+    watermark passes its end — never in the batch where its rows arrive —
+    and exactly once; update mode (the contrast case) emits running
+    aggregates including never-finalized windows."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    def write(path, ids, tss):
+        pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": pd.to_datetime(tss),
+                "user_id": [1] * len(ids),
+                "event_type": ["view"] * len(ids),
+                "value": [1.0] * len(ids),
+                "props": ["{}"] * len(ids),
+            }
+        ).astype({"ts": "datetime64[us]"}).to_parquet(path)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def run(mode):
+        with tempfile.TemporaryDirectory(prefix="edqp-emit-") as src:
+            write(f"{src}/a.parquet", [1, 2], ["2024-06-01 10:15:00", "2024-06-01 10:20:00"])
+            write(f"{src}/b.parquet", [3], ["2024-06-01 12:00:00"])
+            write(f"{src}/c.parquet", [4], ["2024-06-01 13:05:00"])
+            now = _time.time()
+            for i, f in enumerate(["a.parquet", "b.parquet", "c.parquet"]):
+                os.utime(f"{src}/{f}", (now - 60 + i * 20, now - 60 + i * 20))
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            agg = (
+                stream.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour"))
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            emitted = []  # (batch_id, window_start_hour, n)
+
+            def sink(batch_df, batch_id):
+                for r in batch_df.collect():
+                    emitted.append((batch_id, r.window.start.hour, r.n))
+
+            q = (
+                agg.writeStream.foreachBatch(sink)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="edqp-ck-"))
+                .start()
+            )
+            q.awaitTermination()
+            return emitted
+
+    append = run("append")
+    # the 10:00 window (rows in batch 0) must be emitted once, in a LATER
+    # batch (only after the 12:00 row pushed the watermark past 11:00)
+    tens = [(b, n) for b, h, n in append if h == 10]
+    assert len(tens) == 1 and tens[0][1] == 2
+    assert tens[0][0] > 0, "append emitted a window in its own arrival batch"
+    # the last window (13:00) is never finalized -> never emitted
+    assert all(h != 13 for _, h, _ in append)
+
+    update = run("update")
+    # update mode emits running aggregates: the 10:00 window appears in
+    # batch 0 and the never-finalized 13:00 window IS emitted
+    assert any(b == 0 and h == 10 for b, h, _ in update)
+    assert any(h == 13 for _, h, _ in update)
