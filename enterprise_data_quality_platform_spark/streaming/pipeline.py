@@ -505,3 +505,55 @@ def streaming_upsert_sink(
     )
     query.awaitTermination()
     return query
+
+
+def streaming_click_conversion_outer(
+    stream: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """T9b (stream-stream LEFT OUTER): every click, matched to a purchase
+    within ``max_gap`` — or emitted with NULL purchase once the watermark
+    proves no match can still arrive. The outer side is what funnels
+    actually need: the UNconverted clicks are the product signal.
+
+    Semantics under the hood (pinned by test): matched pairs emit as soon
+    as both rows are buffered, but a null-extended click can only emit
+    when the PURCHASE-side watermark passes ``click_ts + max_gap`` —
+    until then Spark must hold the click in state because a matching
+    purchase may still arrive. So unmatched emission lags by watermark
+    delay + one batch, and a click near the end of a finite run stays
+    unemitted: correct, not a bug — the stream hasn't proven the
+    negative yet. State stays bounded exactly as the inner variant."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "c_user_id = p_user_id AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + interval {max_gap}"
+        ),
+        "leftOuter",
+    )
+    return pairs.select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("purchase_ts").isNotNull().alias("converted"),
+    )

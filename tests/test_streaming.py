@@ -855,3 +855,85 @@ def test_append_mode_emits_only_watermark_finalized_windows(spark):
     # batch 0 and the never-finalized 13:00 window IS emitted
     assert any(b == 0 and h == 10 for b, h, _ in update)
     assert any(h == 13 for _, h, _ in update)
+
+
+def test_stream_stream_left_outer_null_emission(spark):
+    """T9b: matched clicks pair immediately; an UNmatched click emits with
+    NULL purchase only after the watermark proves no match can arrive; a
+    click near the stream end stays unemitted (the negative is unproven)."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from enterprise_data_quality_platform_spark.streaming import (
+        streaming_click_conversion_outer,
+    )
+
+    def write(path, rows):  # rows: (event_id, ts, type)
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]),
+                "user_id": [1] * len(rows),
+                "event_type": [r[2] for r in rows],
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).astype({"ts": "datetime64[us]"}).to_parquet(path)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    with tempfile.TemporaryDirectory(prefix="edqp-outer-") as src:
+        # batch 0: converted click + its purchase; and an orphan click
+        write(
+            f"{src}/a.parquet",
+            [
+                (1, "2024-06-01 10:00:00", "click"),
+                (2, "2024-06-01 10:10:00", "purchase"),
+                # 09:00 click: the 10:10 purchase is outside its 30-min
+                # window -> never converts
+                (3, "2024-06-01 09:00:00", "click"),
+            ],
+        )
+        # batch 1: far-future click pushes BOTH watermarks way past
+        # click#3's join window (10:05 + 30min), enabling its null row
+        write(f"{src}/b.parquet", [(4, "2024-06-01 23:00:00", "click")])
+        # batch 2: nudge once more (outer emission lags one batch)
+        write(f"{src}/c.parquet", [(5, "2024-06-01 23:30:00", "click")])
+        now = _time.time()
+        for i, f in enumerate(["a.parquet", "b.parquet", "c.parquet"]):
+            os.utime(f"{src}/{f}", (now - 60 + i * 20, now - 60 + i * 20))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_click_conversion_outer(
+            stream, max_gap="30 minutes", watermark="10 minutes"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("outer_pairs")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="edqp-ck-"))
+            .start()
+        )
+        q.awaitTermination()
+        rows = {r.click_id: r for r in spark.table("outer_pairs").collect()}
+        assert rows[1].purchase_id == 2 and rows[1].converted
+        assert rows[3].purchase_id is None and not rows[3].converted
+        # the stream-end clicks (4, 5): no watermark ever passed their
+        # windows -> withheld, not emitted as unconverted
+        assert 5 not in rows
