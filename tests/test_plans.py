@@ -356,3 +356,28 @@ def test_pii_scan_is_one_fused_jvm_pass(spark):
     # in the detail section, so a single scan yields exactly one Location
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (directory pruning — zero IO for excluded partitions), not a row
+    filter: the difference between scanning one day and scanning 100 TB."""
+    from enterprise_data_quality_platform_spark.catalog import table
+
+    orders = table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_by_year")
+    (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .write.partitionBy("order_year")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path).filter(F.col("order_year") == 1996)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "= 1996)" in pf  # attribute ids vary (order_year#N)
+    # and the pruned read returns exactly the partition's rows
+    want = orders.filter(F.year("o_orderdate") == 1996).count()
+    assert df.count() == want
