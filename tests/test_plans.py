@@ -381,3 +381,47 @@ def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
     # and the pruned read returns exactly the partition's rows
     want = orders.filter(F.year("o_orderdate") == 1996).count()
     assert df.count() == want
+
+
+def test_dynamic_partition_pruning_on_fact_dim_join(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact to a FILTERED dim must inject a runtime
+    pruning subquery (DPP): the fact directories to scan are decided by
+    the dim filter's result at execution, not statically — the mechanism
+    that keeps a 100 TB star join from scanning every date partition."""
+    from enterprise_data_quality_platform_spark.catalog import table
+
+    orders = table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_part")
+    (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .write.partitionBy("order_year")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    # Two gotchas pinned here: (1) the dim filter must be on a NON-join
+    # column — a literal filter on the key itself gets propagated
+    # STATICALLY by Catalyst into a plain PartitionFilter (better than
+    # DPP, asserted by the sibling test above); (2) it must be a shape
+    # Catalyst's isLikelySelective accepts (equality/IN/LIKE) — a bare
+    # boolean attribute predicate does NOT qualify and silently disables
+    # DPP.
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(y, "on" if y == 1997 else "off") for y in range(1994, 2002)],
+        "y int, flag string",
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("flag") == "on")
+    old = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try:
+        joined = fact.join(dim, fact.order_year == dim.y)
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "dynamicpruning" in plan.lower(), "no DPP subquery injected"
+        want = orders.filter(F.year("o_orderdate") == 1997).count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", old
+        )
