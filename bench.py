@@ -101,6 +101,9 @@ HEADLINE = [
     "mart_part_hierarchy_rollup",
     "mart_status_priority_pivot",
     "training_mixture_sample",
+    "dedup_keep_best_quality",
+    "mart_high_value_range_ma",
+    "embed_decontaminate",
     "embed_label_centroid",
     "dedup_fuzzy_names",
     "dedup_minhash_docs",
