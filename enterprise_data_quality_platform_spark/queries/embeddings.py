@@ -392,26 +392,50 @@ def embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep that catches paraphrased eval items the n-gram sweep misses.
 
     Scale posture mirrors n-gram decontamination: the bench side is an
-    eval suite — small by nature at ANY corpus scale — so it broadcasts,
-    and the corpus side is ONE scan with Arrow-vectorized cosine (numpy
-    matrix op per batch); the ≥τ filter collapses output to the flagged
-    pairs. No LSH needed: exactness matters for a release gate, and the
-    broadcast-probe product is |corpus|·|bench| multiply-adds, embarrass-
-    ingly parallel. τ=0.30 sits in the corpus's contamination tail (max
-    cross-pair cosine 0.44 on the synthetic near-orthogonal vectors)."""
+    eval suite — small by nature at ANY corpus scale — so its vectors
+    ship to every task as ONE numpy matrix inside a mapInPandas closure,
+    and the corpus flows through ONCE: each Arrow batch computes a
+    (batch × bench) matrix product and emits only the ≥τ pairs. The
+    all-pairs cross join is deliberately avoided — materializing
+    |corpus|·|bench| pair ROWS (each carrying both vectors) before the
+    filter is a 400 GB explosion at sf10; the matrix form moves each
+    side exactly once. No LSH needed: exactness matters for a release
+    gate. τ=0.30 sits in the corpus's contamination tail (max cross-pair
+    cosine 0.44 on the synthetic near-orthogonal vectors)."""
+    import numpy as np
+    import pandas as pd
+
     emb = table(spark, sf_dir, "embeddings")
-    vec = V.to_double(F.col("embedding"))
-    bench = emb.filter(F.col("vec_id") % 101 == 0).select(
-        F.col("vec_id").alias("bench_id"), vec.alias("bvec")
+    bench_rows = (
+        emb.filter(F.col("vec_id") % 101 == 0)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    corpus = emb.filter(F.col("vec_id") % 101 != 0).select(
-        F.col("vec_id").alias("corpus_id"), vec.alias("cvec")
-    )
-    sim = V.cosine_batch(F.col("cvec"), F.col("bvec"))
+    bench_ids = np.array([r.vec_id for r in bench_rows], dtype=np.int64)
+    bench_mat = np.array([r.embedding for r in bench_rows], dtype=np.float64)
+    bench_norm = np.linalg.norm(bench_mat, axis=1)
+
+    def flag_batches(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sims = (mat @ bench_mat.T) / (
+                np.linalg.norm(mat, axis=1)[:, None] * bench_norm[None, :]
+            )
+            ci, bi = np.nonzero(sims >= 0.30)
+            yield pd.DataFrame(
+                {
+                    "corpus_id": ids[ci],
+                    "bench_id": bench_ids[bi],
+                    "raw_sim": sims[ci, bi],
+                }
+            )
+
+    corpus = emb.filter(F.col("vec_id") % 101 != 0).select("vec_id", "embedding")
     return (
-        corpus.crossJoin(F.broadcast(bench))
-        .select("corpus_id", "bench_id", sim.alias("raw_sim"))
-        .filter(F.col("raw_sim") >= 0.30)
+        corpus.mapInPandas(
+            flag_batches, schema="corpus_id long, bench_id long, raw_sim double"
+        )
         .select(
             "corpus_id", "bench_id", F.round("raw_sim", 4).alias("cosine_sim")
         )
