@@ -26,11 +26,12 @@ from bench import HEADLINE, HEAVY  # noqa: E402
 #: timed runs per tier — larger tiers amortize the floor, need fewer medians
 RUNS_BY_TIER = {"0.1": 5, "1": 3, "10": 2}
 
-#: quadratic-ish shapes (blocked Levenshtein self-join) measured only at
-#: the base tier: their DuckDB twin scales superlinearly and would
-#: dominate the sweep wall-clock at sf1/sf10. Recorded in the JSON so the
-#: cap is not silent.
-DEEP_EXCLUDE = {"dedup_fuzzy_names"}
+#: quadratic-ish shapes measured only at the base tier: their DuckDB twin
+#: scales superlinearly (blocked Levenshtein self-join; |corpus|·|bench|
+#: brute-force cosine — 400M list_cosine_similarity calls at sf10) and
+#: would dominate the sweep wall-clock at sf1/sf10. Recorded in the JSON
+#: so the cap is not silent.
+DEEP_EXCLUDE = {"dedup_fuzzy_names", "embed_decontaminate"}
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
