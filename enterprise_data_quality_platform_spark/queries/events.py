@@ -980,10 +980,12 @@ def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     hod AS (
       SELECT CAST(EXTRACT(hour FROM h) AS BIGINT) AS hour_of_day,
              CAST(COUNT(*) AS BIGINT) AS n_hours,
-             SUM(n) AS total_events
+             -- bare SUM binds HUGEINT in DuckDB (decimal128 in Arrow) while
+             -- Spark emits bigint -> value-hash mismatch; cast explicitly
+             CAST(SUM(n) AS BIGINT) AS total_events
       FROM hourly GROUP BY 1
     ),
-    tot AS (SELECT SUM(total_events) AS all_events FROM hod)
+    tot AS (SELECT CAST(SUM(total_events) AS BIGINT) AS all_events FROM hod)
     SELECT h.hour_of_day, h.n_hours, h.total_events,
            {sql_round("CAST(h.total_events AS DOUBLE) / h.n_hours", 4)} AS avg_per_hour,
            {sql_round("CAST(h.total_events AS DOUBLE) / t.all_events", 6)} AS share

@@ -107,7 +107,9 @@ def events_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         (epoch_us(ts) // 3600000000) % 256 AS hb
       FROM events
     )
-    SELECT zval // 1024 AS z_bucket,
+    -- zval is a SUM -> HUGEINT in DuckDB; cast so the output column binds
+    -- int64 like Spark's long, or the driver's value hash mismatches
+    SELECT CAST(zval // 1024 AS BIGINT) AS z_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(DISTINCT ub) AS BIGINT) AS distinct_user_buckets,
            CAST(COUNT(DISTINCT hb) AS BIGINT) AS distinct_hour_buckets,
@@ -212,7 +214,7 @@ def source_duckdb_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE event_type <> 'purchase'
     ),
     flagged AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              CASE WHEN event_type IS DISTINCT FROM
                        LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   THEN 1 ELSE 0 END AS is_new
@@ -221,8 +223,10 @@ def source_duckdb_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     episodes AS (
       SELECT user_id, event_type AS state_type, MIN(ts) AS started_at
       FROM (
+        -- event_id tiebreak keeps episode numbering deterministic under
+        -- duplicate (user_id, ts) rows; must match the lag window's order
         SELECT user_id, event_type, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS seq
         FROM flagged
       )
@@ -236,9 +240,9 @@ def source_duckdb_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COALESCE(state_type, 'none') AS state_type,
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
-           SUM(CASE WHEN started_at IS NULL THEN 0
+           CAST(SUM(CASE WHEN started_at IS NULL THEN 0
                     ELSE epoch_us(ts) // 1000000
-                         - epoch_us(started_at) // 1000000 END)
+                         - epoch_us(started_at) // 1000000 END) AS BIGINT)
              AS total_state_age_sec
     FROM pit
     GROUP BY 1 ORDER BY 1
@@ -268,15 +272,18 @@ def events_pit_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "ts",
+        "event_id",
         F.when(
             ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
         )
         .otherwise(0)
         .alias("is_new"),
     )
+    # event_id tiebreak: under duplicate (user_id, ts) the running episode
+    # number is otherwise tie-order dependent (must mirror the lag window)
     wsum = (
         W.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     episodes = (

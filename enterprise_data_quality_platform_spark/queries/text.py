@@ -549,7 +549,7 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM vocab
     )
     SELECT t.doc_id,
-           SUM(t.tf) AS n_toks,
+           CAST(SUM(t.tf) AS BIGINT) AS n_toks,
            FLOOR(CAST(SUM(t.tf * s.nll_micro) AS DOUBLE)
                  / SUM(t.tf) / 1000000 * 10000 + 0.5) / 10000.0 AS avg_nll
     FROM tf t JOIN scored s USING (token)

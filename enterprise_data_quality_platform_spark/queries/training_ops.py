@@ -63,7 +63,7 @@ scored AS (
 cur AS (SELECT * FROM scored WHERE quality_score >= 0.05)
 SELECT pred_lang,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        {sql_avg("quality_score")} AS avg_quality
 FROM cur
 GROUP BY pred_lang
@@ -124,7 +124,7 @@ def _gram_sql(n: int) -> str:
                 WHEN b < 900 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS min_doc,
            MAX(doc_id) AS max_doc
     FROM s GROUP BY 1 ORDER BY 1
@@ -211,7 +211,7 @@ def training_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT shard,
            CAST(CEIL(SUM(n_tokens) / 2048.0) AS BIGINT) AS n_seqs,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            COUNT(*) FILTER (
              WHERE n_tokens > 0
                AND FLOOR((start + n_tokens - 1) / 2048.0) <> FLOOR(start / 2048.0)

@@ -1,6 +1,7 @@
 """__spark_entry__ rotation: the driver's correctness gate samples the
-first ~50 entries of queries(), so ordering must put least-driver-verified
-names first and keep rotating as CORRECTNESS_r*.json files accumulate."""
+first ~50 entries of queries(), so ordering must put recently-FAILED names
+first (fixes re-verify next round), then least-green-verified names, and
+keep rotating as CORRECTNESS_r*.json files accumulate."""
 
 from __future__ import annotations
 
@@ -11,26 +12,55 @@ import os
 import __spark_entry__ as entry
 
 
-def _verified_counts():
-    counts = {}
-    for path in sorted(glob.glob(os.path.join(entry._REPO_DIR, "CORRECTNESS_r*.json"))):
-        for name in json.load(open(path)):
-            counts[name] = counts.get(name, 0) + 1
-    return counts
+def _green_counts_and_failed():
+    counts, failed = {}, set()
+    for path in sorted(
+        glob.glob(os.path.join(entry._REPO_DIR, "CORRECTNESS_r*.json"))
+    ):
+        for name, row in json.load(open(path)).items():
+            row = row if isinstance(row, dict) else {}
+            if bool(row.get("hash_match")) or row.get("err") == "no_oracle":
+                counts[name] = counts.get(name, 0) + 1
+                failed.discard(name)
+            else:
+                failed.add(name)
+    return counts, failed
 
 
-def test_window_is_least_verified_first():
+def test_window_prioritizes_failures_then_least_verified():
     names = list(entry.queries())
-    counts = _verified_counts()
-    seen = [counts.get(n, 0) for n in names]
-    # ordering is non-decreasing in verification count
-    assert seen == sorted(seen)
-    # with 3+ rounds committed, a 50-query window must be all minimum-count
-    if counts:
-        min_count = min(
-            counts.get(n, 0) for n in names
+    counts, failed = _green_counts_and_failed()
+    keys = [(n not in failed, counts.get(n, 0), n) for n in names]
+    # the full ordering IS the sort by (not-failed, green-count, name); the
+    # first-50 window is therefore a prefix of that order by construction
+    assert keys == sorted(keys)
+    # every recently-failed name sits at the very front — a red driver row
+    # can never rotate out of the verification window before going green
+    n_failed = len(failed & set(names))
+    assert set(names[:n_failed]) == (failed & set(names))
+
+
+def test_failed_rows_do_not_count_as_verified(monkeypatch, tmp_path):
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "aaa_green": {"hash_match": True, "err": None},
+                "bbb_failed": {"hash_match": False, "err": None},
+                "ccc_rowsonly": {"hash_match": None, "err": "no_oracle"},
+            }
         )
-        assert all(c == min_count for c in seen[:50])
+    )
+    monkeypatch.setattr(entry, "_REPO_DIR", str(tmp_path))
+    counts, failed = entry._driver_verification_counts()
+    assert counts == {"aaa_green": 1, "ccc_rowsonly": 1}
+    assert failed == {"bbb_failed"}
+    # a later green row clears the failed flag
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"bbb_failed": {"hash_match": True, "err": None}})
+    )
+    counts, failed = entry._driver_verification_counts()
+    assert counts == {"aaa_green": 1, "ccc_rowsonly": 1, "bbb_failed": 1}
+    assert failed == set()
 
 
 def test_queries_and_oracles_consistent():

@@ -36,6 +36,34 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+# DuckDB output types that serialize differently from Spark's integral/float
+# Arrow types in the driver's value hash. Bare SUM(int) binds HUGEINT
+# (Arrow decimal128(38,0)) while Spark emits int64 — values equal, hashes
+# differ. canonicalize() coerces both to Int64 and CANNOT see this, so the
+# bound relation types must be checked BEFORE dtype coercion (r4 lesson:
+# 3 driver failures the local gate certified green).
+_DRIVER_UNSAFE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def type_fidelity_issues(
+    name: str, con: "duckdb.DuckDBPyConnection", oracle: str, spark_pdf: pd.DataFrame
+) -> list[str]:
+    """Flag oracle output columns whose bound DuckDB type would hash
+    differently from the Spark result's Arrow type under the driver."""
+    rel = con.sql(oracle)
+    issues = []
+    for col, dtype in zip(rel.columns, rel.types):
+        ts = str(dtype).upper()
+        if any(bad in ts for bad in _DRIVER_UNSAFE_TYPES):
+            spark_dtype = spark_pdf[col].dtype if col in spark_pdf.columns else None
+            issues.append(
+                f"col {col}: oracle binds {ts} (Arrow decimal128) but Spark "
+                f"emits {spark_dtype} — driver value-hash WILL mismatch; "
+                f"CAST the oracle expression to BIGINT/DOUBLE"
+            )
+    return issues
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     issues = []
     if len(spark_pdf) != len(duck_pdf):
@@ -110,7 +138,8 @@ def main() -> int:
             print(f"FAIL {name}: oracle raised\n{traceback.format_exc()}")
             failed.append(name)
             continue
-        issues = compare(name, sdf, ddf)
+        issues = type_fidelity_issues(name, con, oracles[name], sdf)
+        issues += compare(name, sdf, ddf)
         if issues:
             print(f"FAIL {name} ({time.time()-t0:.1f}s):")
             for i in issues:
