@@ -166,7 +166,11 @@ def run_suite(
                     (
                         df.agg(*exprs),
                         [
-                            _agg_member(i, c, lambda c=c: solo_frame(c))
+                            # bind solo_frame at definition: it is redefined
+                            # per table iteration, and the isolation retry
+                            # runs LATER (after the loop) — a late-bound name
+                            # would aggregate against the last table's frame
+                            _agg_member(i, c, lambda c=c, sf=solo_frame: sf(c))
                             for i, c in expr_group
                         ],
                     )

@@ -88,6 +88,9 @@ class HttpTransport:
                         out = json.loads(text)
                     except ValueError:
                         out = {"raw": text}
+                    # a valid JSON array/scalar body is still a 2xx success
+                    if not isinstance(out, dict):
+                        out = {"raw": out}
                     out["_status"] = resp.status
                     return out
             except urllib.error.HTTPError as exc:

@@ -239,21 +239,34 @@ def exact_group_quantiles(
         needed[g] = ks
     values: dict[object, dict[int, float]] = {g: {} for g in stats}
     if needed:
+        from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+        # schema comes from the input column's actual type (not an
+        # isinstance guess) so date/decimal/bool keys round-trip, and the
+        # joins are null-safe so a NULL group key still gets its quantiles
+        gtype = base.schema["__g"].dataType
         stats_rows = [
             (g, float(stats[g]["mn"]), buckets / (stats[g]["mx"] - stats[g]["mn"]))
             for g in needed
         ]
         stats_df = F.broadcast(
-            spark.createDataFrame(stats_rows, "__g string, __mn double, __scale double")
-            if isinstance(next(iter(needed)), str)
-            else spark.createDataFrame(stats_rows, "__g bigint, __mn double, __scale double")
-        )
+            spark.createDataFrame(
+                stats_rows,
+                StructType(
+                    [
+                        StructField("__g", gtype),
+                        StructField("__mn", DoubleType()),
+                        StructField("__scale", DoubleType()),
+                    ]
+                ),
+            )
+        ).withColumnRenamed("__g", "__gs")
         b = F.least(
             F.lit(buckets - 1),
             F.floor((F.col("__v") - F.col("__mn")) * F.col("__scale")).cast("long"),
         )
         hist_df = (
-            vals.join(stats_df, on="__g")
+            vals.join(stats_df, on=F.col("__g").eqNullSafe(F.col("__gs")))
             .groupBy("__g", b.alias("__b"))
             .agg(F.count("*").alias("cnt"))
         )
@@ -278,13 +291,19 @@ def exact_group_quantiles(
         cand_df = F.broadcast(
             spark.createDataFrame(
                 cand_rows,
-                ("__g string, __b bigint" if isinstance(cand_rows[0][0], str) else "__g bigint, __b bigint"),
+                StructType(
+                    [StructField("__gc", gtype), StructField("__bc", LongType())]
+                ),
             )
         )
         det = (
-            vals.join(stats_df, on="__g")
+            vals.join(stats_df, on=F.col("__g").eqNullSafe(F.col("__gs")))
             .withColumn("__b", b)
-            .join(cand_df, on=["__g", "__b"])
+            .join(
+                cand_df,
+                on=F.col("__g").eqNullSafe(F.col("__gc"))
+                & (F.col("__b") == F.col("__bc")),
+            )
             .groupBy("__g", "__b", "__v")
             .agg(F.count("*").alias("cnt"))
             .collect()

@@ -683,9 +683,10 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1000000000000) - F.col("packed") % F.lit(1000000000000))
             .cast("long")
             .alias("kept_doc_id"),
-            (F.col("packed") / F.lit(1000000000000))
-            .cast("long")
-            .alias("kept_score_e4"),
+            # exact integer division: packed can exceed 2^53, where the
+            # float quotient of `/` rounds differently than the oracle's
+            # integer `//` (score 9999 + small doc_id would read as 10000)
+            F.expr("packed div 1000000000000").alias("kept_score_e4"),
         )
         .orderBy(F.col("n_docs").desc(), "cluster_fp")
         .limit(100)
