@@ -338,6 +338,48 @@ def compile_agg_check(check: Check, prefix: str) -> CompiledAggCheck:
         # Expands the scan the way a fused count_distinct would.
         nn_cond = F.expr(" AND ".join(f"`{x}` IS NOT NULL" for x in cols))
 
+        if p.get("approx", False):
+            # 100 TB path: HLL sketch instead of the per-key shuffle. The
+            # estimate can't certify EXACT uniqueness (rsd ~2-5%), so the
+            # pass rule is "estimated duplicate share <= tolerance"
+            # (default 3*rsd) — it catches gross duplication in the fused
+            # single-pass scan; exact mode stays for certification runs
+            # and oracle parity.
+            rsd = float(p.get("rsd", 0.05))
+            tol = float(p.get("tolerance", 3.0 * rsd))
+            key = F.col(cols[0]) if len(cols) == 1 else F.struct(*cols)
+            exprs[f"{prefix}__distinct_est"] = F.approx_count_distinct(
+                F.when(nn_cond, key), rsd
+            )
+            exprs[f"{prefix}__nn_total"] = F.count(F.when(nn_cond, F.lit(1)))
+            exprs[f"{prefix}__total"] = total
+
+            def ev_approx(row: Mapping[str, Any], pfx: str) -> CheckResult:
+                est = int(row[f"{pfx}__distinct_est"] or 0)
+                nn = int(row[f"{pfx}__nn_total"] or 0)
+                tot = int(row[f"{pfx}__total"] or 0)
+                excess = max(0, nn - est)
+                ok = excess <= tol * nn
+                return _result(
+                    check,
+                    "pass" if ok else "fail",
+                    excess or None,
+                    tot,
+                    {
+                        "distinct_estimate": est,
+                        "non_null_rows": nn,
+                        "estimated_duplicate_share": round(
+                            excess / nn, 6
+                        )
+                        if nn
+                        else 0.0,
+                        "tolerance": tol,
+                        "approx": True,
+                    },
+                )
+
+            return CompiledAggCheck(check, exprs, ev_approx, prefix)
+
         def build_unique(df: DataFrame) -> DataFrame:
             per = df.groupBy(*[F.col(x) for x in cols]).agg(
                 F.count(F.lit(1)).alias("__c")

@@ -109,3 +109,50 @@ def test_http_transport_accepts_json_array_body():
         urllib.request.urlopen = orig
     assert out["_status"] == 200
     assert out["raw"] == [{"id": 1}, {"id": 2}]
+
+
+def test_approx_unique_check_fuses_and_detects_duplication(spark):
+    """approx=True unique: an HLL expression in the FUSED aggregate (no
+    frame_builder / per-key shuffle), passing on key-like data and failing
+    on gross duplication — the 100 TB suite posture."""
+    from enterprise_data_quality_platform_spark.checks.compiler import (
+        compile_agg_check,
+    )
+
+    chk = Check("k unique", "unique", "t", column="k", params={"approx": True})
+    compiled = compile_agg_check(chk, prefix="c0")
+    assert compiled.frame_builder is None and compiled.exprs  # fuses
+
+    unique_df = spark.range(5000).withColumnRenamed("id", "k")
+    dup_df = spark.range(5000).select((F.col("id") % 10).alias("k"))
+    ok = run_suite({"t": unique_df}, [chk])[0]
+    bad = run_suite({"t": dup_df}, [chk])[0]
+    assert ok.status == "pass", ok.observed
+    assert bad.status == "fail" and bad.violations > 4000
+    assert str(bad.observed["approx"]) == "True"  # observed is stringified
+
+
+def test_suite_report_approx_agrees_with_exact(spark):
+    """dq_suite_report_approx: same check names, same pass/fail verdicts as
+    the exact suite on clean data (the sketch path must not flag phantom
+    duplicates at 3*rsd tolerance)."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf):
+        import pytest as _pytest
+
+        _pytest.skip("testdata missing")
+    from enterprise_data_quality_platform_spark.queries import query_fns
+
+    fns = query_fns()
+    exact = {
+        r["check_name"]: r["status"]
+        for r in fns["dq_suite_report"](spark, sf).collect()
+    }
+    approx = {
+        r["check_name"]: r["status"]
+        for r in fns["dq_suite_report_approx"](spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    assert exact == approx
