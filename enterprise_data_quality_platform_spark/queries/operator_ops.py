@@ -181,16 +181,27 @@ def source_duckdb_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     custom ``duckdb_table`` connector (sources/duckdb_source.py) with
     JDBC-style range partitioning on o_orderkey, then aggregated. Proves
     the connector inside the correctness gate — Arrow-batched transfer,
-    4-way parallel range reads, no driver-side rows."""
+    8-way parallel range reads, no driver-side rows.
+
+    Scale posture: the ``query`` option projects only the 3 needed columns
+    WAREHOUSE-side (the API has no automatic column pruning for Python
+    sources, so projection rides the query — the BigQuery-connector
+    pattern); comparison predicates push down via ``pushFilters``. The
+    residual cost vs the engine reading its own file is the Python↔JVM
+    Arrow hop — inherent to any out-of-process connector."""
     from ..functions.numeric import fx_sum
     from ..sources.duckdb_source import register_duckdb_source
 
     register_duckdb_source(spark)
     df = (
         spark.read.format("duckdb_table")
-        .option("path", f"{sf_dir.rstrip('/')}/orders.parquet")
+        .option(
+            "query",
+            "SELECT o_orderkey, o_orderstatus, o_totalprice "
+            f"FROM read_parquet('{sf_dir.rstrip('/')}/orders.parquet')",
+        )
         .option("partitionColumn", "o_orderkey")
-        .option("numPartitions", "4")
+        .option("numPartitions", "8")
         .load()
     )
     return (

@@ -50,6 +50,17 @@ class RangePartition(InputPartition):
         self.lo, self.hi = lo, hi
 
 
+def _sql_literal(v) -> str | None:
+    """SQL-literal encoding for pushable filter values; None = unsupported."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return None
+
+
 class DuckDBTableReader(DataSourceReader):
     def __init__(self, schema, options):
         self.schema_ddl = ", ".join(
@@ -57,6 +68,66 @@ class DuckDBTableReader(DataSourceReader):
         )
         self.options = options
         self.cols = ", ".join(f.name for f in schema.fields)
+        self.col_names = {f.name for f in schema.fields}
+        self.pushed_where: list[str] = []
+
+    def pushFilters(self, filters):
+        """Predicate pushdown (Spark 4.1 Python Data Source API): translate
+        comparison/IN/NULL filters into WHERE fragments the warehouse
+        evaluates, so only matching rows ever cross the Arrow boundary —
+        the JDBC-source behavior, and the part of the 100 TB story a
+        Python connector usually loses. Unsupported shapes are yielded
+        back for Spark to evaluate post-scan."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+            StringContains,
+            StringEndsWith,
+            StringStartsWith,
+        )
+
+        ops = {
+            EqualTo: "=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        for f in filters:
+            frag = None
+            # Not/compound filters carry no .attribute — residual by shape
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr is not None and len(attr) == 1 else None
+            if col is not None and col in self.col_names:
+                qc = f'"{col}"'
+                if type(f) in ops:
+                    lit = _sql_literal(f.value)
+                    if lit is not None:
+                        frag = f"{qc} {ops[type(f)]} {lit}"
+                elif isinstance(f, In):
+                    lits = [_sql_literal(v) for v in f.value]
+                    if lits and all(x is not None for x in lits):
+                        frag = f"{qc} IN ({', '.join(lits)})"
+                elif isinstance(f, IsNull):
+                    frag = f"{qc} IS NULL"
+                elif isinstance(f, IsNotNull):
+                    frag = f"{qc} IS NOT NULL"
+                elif isinstance(f, StringStartsWith):
+                    frag = f"starts_with({qc}, {_sql_literal(f.value)})"
+                elif isinstance(f, StringEndsWith):
+                    frag = f"suffix({qc}, {_sql_literal(f.value)})"
+                elif isinstance(f, StringContains):
+                    frag = f"contains({qc}, {_sql_literal(f.value)})"
+            if frag is None:
+                yield f  # Spark evaluates it after the scan
+            else:
+                self.pushed_where.append(frag)
 
     def partitions(self):
         import duckdb
@@ -66,8 +137,11 @@ class DuckDBTableReader(DataSourceReader):
         if not pc or n <= 1:
             return [RangePartition(None, None)]
         rel = _relation_sql(self.options)
+        stats_where = (
+            f" WHERE {' AND '.join(self.pushed_where)}" if self.pushed_where else ""
+        )
         lo, hi = duckdb.connect().execute(
-            f"SELECT MIN({pc}), MAX({pc}) FROM {rel}"
+            f"SELECT MIN({pc}), MAX({pc}) FROM {rel}{stats_where}"
         ).fetchone()
         if lo is None:  # empty table
             return [RangePartition(None, None)]
@@ -84,11 +158,12 @@ class DuckDBTableReader(DataSourceReader):
 
         rel = _relation_sql(self.options)
         pc = self.options.get("partitioncolumn")
-        where = ""
+        conds = list(self.pushed_where)
         if partition.lo is not None:
             # half-open ranges partition exactly; the last one is closed
             # at hi+1 so MAX lands somewhere
-            where = f" WHERE {pc} >= {partition.lo} AND {pc} < {partition.hi}"
+            conds.append(f"{pc} >= {partition.lo} AND {pc} < {partition.hi}")
+        where = f" WHERE {' AND '.join(conds)}" if conds else ""
         cur = duckdb.connect().execute(
             f"SELECT {self.cols} FROM {rel}{where}"
         )
@@ -133,4 +208,8 @@ class DuckDBTableSource(DataSource):
 
 
 def register_duckdb_source(spark) -> None:
+    # runtime conf; without it Spark refuses a reader that implements
+    # pushFilters (DATA_SOURCE_PUSHDOWN_DISABLED) — set at registration so
+    # the connector works on a vanilla session (the driver's situation)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DuckDBTableSource)

@@ -100,3 +100,56 @@ def test_skewed_range_still_complete(ds):
         got.agg(F.sum("event_id")).collect()[0][0]
         == ref.agg(F.sum("event_id")).collect()[0][0]
     )
+
+
+def test_filter_pushdown_correct_and_bookkept(ds):
+    """pushFilters: comparison/IN/null predicates evaluate warehouse-side —
+    results equal the native filtered read, and partition range stats
+    respect the pushed predicates (tighter ranges on filtered keys)."""
+    got = _read(
+        ds,
+        path=f"{SF_SMALL}/orders.parquet",
+        partitionColumn="o_orderkey",
+        numPartitions="4",
+    ).filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000.0))
+    ref = (
+        ds.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000.0))
+    )
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
+def test_push_filters_unit_translation():
+    """Unit-level: supported filters become WHERE fragments, unsupported
+    shapes are yielded back for Spark to evaluate."""
+    from pyspark.sql.datasource import EqualTo, In, IsNotNull, Not, StringStartsWith
+    from pyspark.sql.types import StructType, StructField, StringType, LongType
+
+    from enterprise_data_quality_platform_spark.sources.duckdb_source import (
+        DuckDBTableReader,
+    )
+
+    schema = StructType(
+        [StructField("a", LongType()), StructField("s", StringType())]
+    )
+    r = DuckDBTableReader(schema, {"path": "x.parquet"})
+    residual = list(
+        r.pushFilters(
+            [
+                EqualTo(("a",), 1),
+                In(("s",), ("x", "o'brien")),
+                IsNotNull(("s",)),
+                StringStartsWith(("s",), "pre"),
+                Not(EqualTo(("a",), 2)),  # unsupported -> residual
+                EqualTo(("missing",), 3),  # unknown column -> residual
+            ]
+        )
+    )
+    assert len(residual) == 2
+    assert r.pushed_where == [
+        '"a" = 1',
+        "\"s\" IN ('x', 'o''brien')",
+        '"s" IS NOT NULL',
+        "starts_with(\"s\", 'pre')",
+    ]
