@@ -276,4 +276,6 @@ def sniff_format(payload: bytes) -> str | None:
         return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None

@@ -71,11 +71,13 @@ def attach_fake_payloads(docs: DataFrame) -> DataFrame:
 
 def attach_real_payloads(docs: DataFrame) -> DataFrame:
     """Real-payload twin of ``attach_fake_payloads``: encode each document
-    into an actually-decodable container — a 16×16 grayscale PNG (even
-    doc_id) or an 8 kHz PCM WAV (odd) — built from the content digest via
-    the stdlib codecs. Deterministic per document, Arrow-batched; gives the
-    fake=False decode path real bytes to chew on at any scale."""
+    into an actually-decodable container — a 16×16 grayscale PNG
+    (doc_id % 4 == 0), a baseline JPEG (doc_id % 4 == 2), or an 8 kHz PCM
+    WAV (odd) — built from the content digest via the pure-numpy codecs.
+    Deterministic per document, Arrow-batched; gives the fake=False decode
+    path real bytes for all three formats at any scale."""
     from .codecs import png_encode, wav_encode
+    from .jpeg import jpeg_encode
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -83,7 +85,12 @@ def attach_real_payloads(docs: DataFrame) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 digest = hashlib.sha256((text or "").encode("utf-8")).digest()
                 buf = np.frombuffer((digest * 8)[:256], dtype=np.uint8)
-                if doc_id % 2 == 0:
+                if doc_id % 4 == 2:
+                    payload = jpeg_encode(buf.reshape(16, 16), quality=90)
+                    rows.append(
+                        (doc_id, payload, "image", "image/jpeg", 16, 16, 0)
+                    )
+                elif doc_id % 2 == 0:
                     payload = png_encode(buf.reshape(16, 16))
                     rows.append(
                         (doc_id, payload, "image", "image/png", 16, 16, 0)
@@ -118,12 +125,14 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 def decode_payload(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode a media payload to the fixed feature vector.
 
-    Real path (``fake=False``): route by magic bytes to the stdlib codecs
-    in ``codecs.py`` — full PNG decode (zlib inflate + scanline unfilter +
-    pixel stats) and PCM WAV decode (energy + spectral bands). Formats
-    needing native libraries (JPEG/MP4/...) raise NotImplementedError —
-    in a real deployment that branch dispatches to PIL/ffmpeg; the
-    surrounding Arrow plumbing is unchanged.
+    Real path (``fake=False``): route by magic bytes to the pure-numpy
+    codecs — full PNG decode (zlib inflate + scanline unfilter + pixel
+    stats), PCM WAV decode (energy + spectral bands), and baseline JPEG
+    decode (Huffman entropy decode + dequant + IDCT + chroma upsample;
+    ``jpeg.py``). Video containers (MP4/...) still raise
+    NotImplementedError — frame extraction needs ffmpeg; in a real
+    deployment that branch dispatches to it and the surrounding Arrow
+    plumbing is unchanged.
 
     Fake path (``fake=True``): deterministic content-hash features, kept
     for tests that need payloads without a decodable container."""
@@ -136,9 +145,13 @@ def decode_payload(payload: bytes, fake: bool = False) -> np.ndarray:
         return png_features(payload)
     if fmt == "wav":
         return wav_features(payload)
+    if fmt == "jpeg":
+        from .jpeg import jpeg_features
+
+        return jpeg_features(payload)
     raise NotImplementedError(
-        "no stdlib codec for this payload format; PNG and WAV decode "
-        "natively — other containers need PIL/ffmpeg (not in this "
+        "no stdlib codec for this payload format; PNG, JPEG and WAV "
+        "decode natively — video containers need ffmpeg (not in this "
         "environment)"
     )
 

@@ -165,11 +165,12 @@ def test_sniff_and_decode_payload_routing():
     wav = wav_encode(np.zeros(10))
     assert sniff_format(png) == "png"
     assert sniff_format(wav) == "wav"
-    assert sniff_format(b"\xff\xd8\xff\xe0JFIF") is None  # JPEG: no stdlib codec
+    assert sniff_format(b"\xff\xd8\xff\xe0JFIF") == "jpeg"  # jpeg.py decodes
+    assert sniff_format(b"\x00\x00\x00\x18ftypmp42") is None  # video: no codec
     assert np.array_equal(decode_payload(png), png_features(png))
     assert np.array_equal(decode_payload(wav), wav_features(wav))
     with pytest.raises(NotImplementedError):
-        decode_payload(b"\xff\xd8\xff\xe0JFIF")
+        decode_payload(b"\x00\x00\x00\x18ftypmp42")
 
 
 try:
@@ -237,12 +238,19 @@ def test_extract_features_real_decoders(spark):
     """End-to-end Spark path with fake=False: PNG and WAV rows decode for
     real (values equal the local decoder), unsupported formats become
     error rows instead of failing the stage."""
+    from enterprise_data_quality_platform_spark.multimodal.jpeg import (
+        jpeg_encode,
+        jpeg_features,
+    )
+
     png = png_encode(_img(8, 8, 3))
     wav = wav_encode(np.sin(np.arange(500) / 5), sample_rate=8000)
+    jpg = jpeg_encode(_img(16, 24, 3), quality=90)
     rows = [
         (1, bytearray(png), "image", "image/png", 8, 8, 0),
         (2, bytearray(wav), "audio", "audio/wav", 0, 0, 62),
-        (3, bytearray(b"\xff\xd8\xff\xe0JFIF-ish"), "image", "image/jpeg", 2, 2, 0),
+        (3, bytearray(jpg), "image", "image/jpeg", 24, 16, 0),
+        (4, bytearray(b"\x00\x00\x00\x18ftypmp42-ish"), "video", "video/mp4", 2, 2, 0),
     ]
     media = spark.createDataFrame(
         rows,
@@ -254,4 +262,6 @@ def test_extract_features_real_decoders(spark):
     assert np.allclose(out[1].feature, png_features(png))
     assert out[2].decode_status == "ok"
     assert np.allclose(out[2].feature, wav_features(wav))
-    assert out[3].decode_status == "error: NotImplementedError"
+    assert out[3].decode_status == "ok"
+    assert np.allclose(out[3].feature, jpeg_features(jpg))
+    assert out[4].decode_status == "error: NotImplementedError"
