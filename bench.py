@@ -108,6 +108,14 @@ HEADLINE = [
     "dedup_fuzzy_names",
     "dedup_minhash_docs",
     "embed_ann_lsh",
+    # round-5 additions: the seven check-type queries + approx suite
+    "dq_column_contract",
+    "dq_strftime_validity",
+    "dq_unique_proportion",
+    "dq_multicolumn_sum_audit",
+    "dq_chi_square",
+    "dq_row_condition_scope",
+    "dq_suite_report_approx",
 ]
 
 #: Multi-second LLM-pipeline operators: median of fewer runs so the bench
