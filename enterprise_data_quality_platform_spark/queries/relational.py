@@ -1131,15 +1131,18 @@ def mart_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: per-supplier revenue is ONE map-combined groupBy off the pruned,
     date-filtered lineitem scan (predicate reaches the parquet reader —
-    pushed-down range on l_shipdate). The scalar MAX is an aggregate of
-    that per-supplier frame attached back as a broadcast 1-row crossJoin
-    factor — the per-supplier frame is |suppliers| rows, so re-deriving
-    the max from it costs one narrow exchange, NOT a second fact scan
-    (contrast mart_part_value_share, where the total is provably cheaper
-    straight off the scan). No unpartitioned window ever sees the fact
-    table. Revenue units are exact BIGINT across every shuffle; the one
-    float division is the final reported rounding. The supplier join is
-    broadcast (dim side)."""
+    pushed-down range on l_shipdate). The scalar MAX is a window over
+    that per-supplier frame — |suppliers| bounded rows, the
+    mart_nation_pareto single-Window-node move. The r4 crossJoin-factor
+    form re-derived the max from a SECOND copy of the aggregate subtree,
+    and the broadcast exchange around it defeated AQE reuse: the executed
+    plan scanned lineitem twice (caught round 5 by scan-counting the
+    final plan; now one scan). No unpartitioned window ever sees the
+    fact table — only the aggregated frame. Revenue units are exact
+    BIGINT across every shuffle; the one float division is the final
+    reported rounding. The supplier join is broadcast (dim side)."""
+    from pyspark.sql import Window as W
+
     li = table(spark, sf_dir, "lineitem")
     supplier = table(spark, sf_dir, "supplier")
     units = F.floor(
@@ -1154,9 +1157,8 @@ def mart_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(units).alias("rev_units"))
     )
-    top = rev.agg(F.max("rev_units").alias("max_units"))
     return (
-        rev.crossJoin(F.broadcast(top))
+        rev.withColumn("max_units", F.max("rev_units").over(W.partitionBy()))
         .filter(F.col("rev_units") == F.col("max_units"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
@@ -1924,19 +1926,22 @@ def mart_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q21's receipt-after-commit).
 
     Plan: instead of per-row subqueries, BOTH correlations collapse into
-    one per-order aggregate over the late-flagged lines — n_suppliers
-    (any) and n_late_suppliers per order — then the predicate is
-    ``n_suppliers > 1 AND n_late_suppliers = 1 AND this line is late``:
-    the aggregate frame joins back by orderkey (the Q18 join-back move,
-    applied twice over the same grouped frame instead of two EXISTS
-    scans). The per-order counts come from TWO STACKED exchange-free
-    aggregates — (order, supplier) max(is_late), then per-order counts —
-    never a dual ``count_distinct`` (whose Expand doubles 60M rows
-    through the aggregate; measured 12.3 → 8.5 s at sf10). Both
-    aggregates and the join-back ride the join's orderkey partitioning
-    (hashpartitioning(ok) satisfies the (ok, sk) clustering), so after
-    the initial fact join NOTHING re-shuffles. Supplier names broadcast
-    at the end; exact integer counts."""
+    one per-order aggregate over the late-flagged lines, and the culprit
+    supplier's identity travels INSIDE that aggregate — per (order,
+    supplier): max(is_late) + its late-line count; per order: supplier
+    count, late-supplier count, and ``max(struct(suppkey, n_late_lines))
+    FILTER (late)`` which IS the sole late supplier whenever the Q21
+    predicate (``n_suppliers > 1 AND n_late_suppliers = 1``) holds. No
+    join-back: the r4 join-back form re-derived ``flagged`` in two
+    subtrees whose column pruning differed, so NOTHING reused — the
+    executed plan scanned lineitem AND orders 4× each (caught round 5 by
+    counting scans in the final AQE plan; now plan-asserted 1×). Never a
+    dual ``count_distinct`` either (Expand doubles 60M rows; 12.3 → 8.5 s
+    at sf10). Both stacked aggregates ride the fact join's orderkey
+    partitioning (hashpartitioning(ok) satisfies (ok, sk) clustering);
+    the only later shuffle is the ≤|suppliers| culprit rollup. Late-line
+    multiplicity is preserved: a supplier with two late lines in one
+    order waits twice (EXISTS correlates per outer LINE)."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     supplier = table(spark, sf_dir, "supplier")
@@ -1951,24 +1956,25 @@ def mart_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", late.alias("is_late")
     )
     pair = flagged.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("is_late").alias("supp_late")
+        F.max("is_late").alias("supp_late"),
+        F.sum(F.col("is_late").cast("long")).alias("n_late_lines"),
     )
     per_order = pair.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum(F.col("supp_late").cast("int")).alias("n_late_suppliers"),
+        # with n_late_suppliers == 1 this max is exactly the culprit row
+        F.max(
+            F.when(
+                F.col("supp_late"),
+                F.struct(F.col("l_suppkey"), F.col("n_late_lines")),
+            )
+        ).alias("late_supp"),
     )
-    culprit = (
-        flagged.filter(F.col("is_late"))
-        .join(
-            per_order.filter(
-                (F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1)
-            ).select(per_order.l_orderkey.alias("ok")),
-            F.col("l_orderkey") == F.col("ok"),
-        )
-        .select("l_orderkey", "l_suppkey")
-        # NO distinct: Q21 counts each qualifying l1 LINE — a supplier with
-        # two late lines in one order waits twice (EXISTS correlates per
-        # outer row; it never collapses the outer side)
+    culprit = per_order.filter(
+        (F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1)
+    ).select(
+        F.col("late_supp.l_suppkey").alias("l_suppkey"),
+        F.col("late_supp.n_late_lines").alias("n_waits"),
     )
     return (
         culprit.join(
@@ -1976,7 +1982,7 @@ def mart_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             culprit.l_suppkey == F.col("s_suppkey"),
         )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_waits").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )

@@ -144,9 +144,14 @@ def test_top_supplier_keeps_ties(spark, monkeypatch):
     assert [(r.s_suppkey, r.total_revenue) for r in rows] == [(1, 200.0), (2, 200.0)]
 
 
-def test_top_supplier_no_window_and_pushed_filter(spark):
+def test_top_supplier_single_scan_and_pushed_filter(spark):
+    # scalar MAX via a Window over the aggregated |suppliers| frame: the
+    # r4 broadcast-factor form re-derived the max from a SECOND aggregate
+    # subtree and scanned lineitem twice (plan text prints each actual
+    # scan's path twice — Location + metadata line)
     plan = plan_of(spark, "mart_top_supplier")
-    assert "Window" not in plan  # max via broadcast 1-row factor
+    assert plan.count("lineitem.parquet") <= 2  # ONE fact scan
+    assert "Window" in plan  # over the bounded aggregated frame only
     assert "PushedFilters" in plan and "l_shipdate" in plan
 
 
