@@ -264,7 +264,15 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # df must DEPEND on tf's value or Catalyst eliminates the inner count
+    # from this branch (HashAggregate functions=[]), the two (doc, token)
+    # exchanges stop being canonically equal, and the corpus explodes
+    # TWICE. tf > 0 is always true (tf is a group count), so this IS
+    # count(*) — but the optimizer can't prove it, the subtrees stay
+    # identical, and the explode is exchange-reused (plan-asserted).
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.when(F.col("tf") > 0, 1)).alias("df")
+    )
     from pyspark.sql import Window
 
     scored = tf.join(dfreq, "token").withColumn(

@@ -425,3 +425,16 @@ def test_dynamic_partition_pruning_on_fact_dim_join(spark, sf_dir, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", old
         )
+
+
+def test_tfidf_explodes_corpus_once(spark):
+    """text_tfidf_terms: the tf and df consumers must share ONE exploded
+    (doc, token) exchange. Catalyst eliminates an unreferenced inner count
+    from the df branch (HashAggregate functions=[]), de-canonicalizing the
+    subtrees — the when(tf > 0) guard keeps them identical (round-5 fix:
+    the final plan ran the corpus tokenization twice)."""
+    df = SPECS["text_tfidf_terms"].fn(spark, SF_SMALL)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    assert "ReusedExchange" in final
+    assert final.count("Generate explode") == 1  # ONE tokenization pass
