@@ -192,6 +192,13 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-fill) and emit RSTn — T.81 restart boundary."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n % 8)])
+
 
 class _BitReader:
     """Entropy-stream reader: unstuffs 0xFF00, stops at markers."""
@@ -331,13 +338,18 @@ def _blocks(plane: np.ndarray):
 
 
 def jpeg_encode(
-    pixels: np.ndarray, quality: int = 85, subsample: bool = False
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode (H, W) grayscale or (H, W, 3) RGB uint8 as baseline JPEG.
 
     ``subsample=True`` writes 4:2:0 (2x2 luma per chroma sample) — the
     layout virtually every camera JPEG uses, so the decoder's upsampling
-    path is exercised by our own artifacts."""
+    path is exercised by our own artifacts. ``restart_interval=N`` writes
+    DRI + RSTn markers every N MCUs (camera JPEGs use this for error
+    resilience; exercises the decoder's restart resync)."""
     arr = np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and arr.shape[2] != 3:
@@ -409,6 +421,9 @@ def jpeg_encode(
     if not gray:
         out += dht(0, 1, *_DC_CHROMA) + dht(1, 1, *_AC_CHROMA)
 
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
     sos = struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     sos += bytes([1, 0x00])
     if not gray:
@@ -439,8 +454,15 @@ def jpeg_encode(
             )
             chroma_pads.append(p)
     preds = [0, 0, 0]
+    mcu_count = 0
+    rst_n = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                writer.restart(rst_n)
+                rst_n = (rst_n + 1) % 8
+                preds = [0, 0, 0]
+            mcu_count += 1
             for by in range(vmax):
                 for bx in range(hmax):
                     r0 = my * mcu_h + by * 8
@@ -575,12 +597,17 @@ def _decode_scan(
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                # reader stops AT the marker on its next fill; consume it
-                try:
-                    reader.read_bit()
-                except _RestartMarker:
-                    pass
-                reader.consume_restart()
+                # the encoder byte-aligns (1-fill) before RSTn: drop any
+                # leftover padding bits FIRST, then the marker must sit
+                # right at the byte cursor (probing with read_bit would
+                # consume a padding bit and desync the stream)
+                reader.byte_align()
+                if (
+                    reader.pos + 1 < len(reader.data)
+                    and reader.data[reader.pos] == 0xFF
+                    and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7
+                ):
+                    reader.pos += 2
                 preds = [0] * len(order)
             for idx, (c, dct, act, qt) in enumerate(order):
                 for by in range(c["v"]):

@@ -124,3 +124,20 @@ def test_decode_payload_routes_jpeg():
     payload = jpeg_encode(img, quality=90)
     feat = decode_payload(payload, fake=False)
     assert np.allclose(feat, jpeg_features(payload))
+
+
+def test_restart_markers_roundtrip():
+    """DRI/RSTn: byte-aligned restart boundaries with DC-predictor resets
+    decode identically to the marker-free stream (camera-JPEG layout)."""
+    img = _gradient(32, 48)
+    plain = jpeg_decode(jpeg_encode(img, quality=90))
+    with_rst = jpeg_encode(img, quality=90, restart_interval=2)
+    assert b"\xff\xdd" in with_rst  # DRI present
+    assert any(bytes([0xFF, 0xD0 + n]) in with_rst for n in range(8))
+    dec = jpeg_decode(with_rst)
+    assert np.array_equal(dec, plain)
+    # color + subsampling + restarts together
+    rgb = np.stack([img, img[::-1], img], axis=2)
+    a = jpeg_decode(jpeg_encode(rgb, quality=88, subsample=True))
+    b = jpeg_decode(jpeg_encode(rgb, quality=88, subsample=True, restart_interval=1))
+    assert np.array_equal(a, b)
