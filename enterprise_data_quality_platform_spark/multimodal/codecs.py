@@ -278,4 +278,6 @@ def sniff_format(payload: bytes) -> str | None:
         return "wav"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     return None

@@ -72,10 +72,13 @@ def attach_fake_payloads(docs: DataFrame) -> DataFrame:
 def attach_real_payloads(docs: DataFrame) -> DataFrame:
     """Real-payload twin of ``attach_fake_payloads``: encode each document
     into an actually-decodable container — a 16×16 grayscale PNG
-    (doc_id % 4 == 0), a baseline JPEG (doc_id % 4 == 2), or an 8 kHz PCM
-    WAV (odd) — built from the content digest via the pure-numpy codecs.
-    Deterministic per document, Arrow-batched; gives the fake=False decode
-    path real bytes for all three formats at any scale."""
+    (doc_id % 4 == 0 except the AVI slice), a baseline JPEG
+    (doc_id % 4 == 2), a 3-frame MJPEG AVI video (doc_id % 8 == 4), or an
+    8 kHz PCM WAV (odd) — built from the content digest via the
+    pure-numpy codecs. Deterministic per document, Arrow-batched; gives
+    the fake=False decode path real bytes for all FOUR media types at any
+    scale."""
+    from .avi import avi_encode
     from .codecs import png_encode, wav_encode
     from .jpeg import jpeg_encode
 
@@ -85,7 +88,16 @@ def attach_real_payloads(docs: DataFrame) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 digest = hashlib.sha256((text or "").encode("utf-8")).digest()
                 buf = np.frombuffer((digest * 8)[:256], dtype=np.uint8)
-                if doc_id % 4 == 2:
+                if doc_id % 8 == 4:
+                    frames = [
+                        np.roll(buf, k).reshape(16, 16) for k in range(3)
+                    ]
+                    payload = avi_encode(frames, fps=10, quality=90)
+                    rows.append(
+                        (doc_id, payload, "video", "video/x-msvideo",
+                         16, 16, 300)
+                    )
+                elif doc_id % 4 == 2:
                     payload = jpeg_encode(buf.reshape(16, 16), quality=90)
                     rows.append(
                         (doc_id, payload, "image", "image/jpeg", 16, 16, 0)
@@ -127,10 +139,11 @@ def decode_payload(payload: bytes, fake: bool = False) -> np.ndarray:
 
     Real path (``fake=False``): route by magic bytes to the pure-numpy
     codecs — full PNG decode (zlib inflate + scanline unfilter + pixel
-    stats), PCM WAV decode (energy + spectral bands), and baseline JPEG
+    stats), PCM WAV decode (energy + spectral bands), baseline JPEG
     decode (Huffman entropy decode + dequant + IDCT + chroma upsample;
-    ``jpeg.py``). Video containers (MP4/...) still raise
-    NotImplementedError — frame extraction needs ffmpeg; in a real
+    ``jpeg.py``), and MJPEG-AVI video decode (RIFF chunk walk + per-frame
+    JPEG + motion features; ``avi.py``). Inter-frame video codecs
+    (MP4/H.264) raise NotImplementedError — they need ffmpeg; in a real
     deployment that branch dispatches to it and the surrounding Arrow
     plumbing is unchanged.
 
@@ -149,10 +162,14 @@ def decode_payload(payload: bytes, fake: bool = False) -> np.ndarray:
         from .jpeg import jpeg_features
 
         return jpeg_features(payload)
+    if fmt == "avi":
+        from .avi import avi_features
+
+        return avi_features(payload)
     raise NotImplementedError(
-        "no stdlib codec for this payload format; PNG, JPEG and WAV "
-        "decode natively — video containers need ffmpeg (not in this "
-        "environment)"
+        "no stdlib codec for this payload format; PNG, JPEG, WAV and "
+        "MJPEG-AVI decode natively — inter-frame video codecs (MP4/H.264) "
+        "need ffmpeg (not in this environment)"
     )
 
 

@@ -229,6 +229,7 @@ def test_multimodal_decode_real_query_all_ok(spark):
     assert [(r.media_type, r.decode_status) for r in rows] == [
         ("audio", "ok"),
         ("image", "ok"),
+        ("video", "ok"),
     ]
     n_docs = table(spark, SF_SMALL, "documents").count()
     assert sum(r.n_media for r in rows) == n_docs

@@ -141,3 +141,54 @@ def test_restart_markers_roundtrip():
     a = jpeg_decode(jpeg_encode(rgb, quality=88, subsample=True))
     b = jpeg_decode(jpeg_encode(rgb, quality=88, subsample=True, restart_interval=1))
     assert np.array_equal(a, b)
+
+
+# ------------------------------------------------------------ MJPEG AVI
+
+
+def test_avi_roundtrip_frames_and_fps():
+    from enterprise_data_quality_platform_spark.multimodal.avi import (
+        avi_decode,
+        avi_encode,
+    )
+
+    frames = [_gradient(16, 24), _gradient(16, 24)[::-1].copy(), _gradient(16, 24)]
+    payload = avi_encode(frames, fps=12, quality=92)
+    got, fps = avi_decode(payload)
+    assert len(got) == 3 and abs(fps - 12.0) < 0.2
+    for orig, dec in zip(frames, got):
+        assert dec.shape == (16, 24, 1)
+        assert np.abs(dec[:, :, 0].astype(int) - orig.astype(int)).mean() < 3
+
+
+def test_avi_features_and_routing():
+    from enterprise_data_quality_platform_spark.multimodal.avi import (
+        avi_encode,
+        avi_features,
+    )
+    from enterprise_data_quality_platform_spark.multimodal.codecs import (
+        sniff_format,
+    )
+    from enterprise_data_quality_platform_spark.multimodal.pipeline import (
+        decode_payload,
+    )
+
+    static = avi_encode([_gradient(16, 16)] * 3, fps=10)
+    moving = avi_encode(
+        [np.roll(_gradient(16, 16), k * 37) for k in range(3)], fps=10
+    )
+    assert sniff_format(static) == "avi"
+    f_static, f_moving = avi_features(static), avi_features(moving)
+    assert f_static.shape == (16,)
+    assert f_static[2] == 3.0 and abs(f_static[3] - 10.0) < 0.2  # frames, fps
+    assert f_moving[8] > f_static[8]  # motion signal separates them
+    assert np.allclose(decode_payload(moving, fake=False), f_moving)
+
+
+def test_avi_rejects_garbage():
+    from enterprise_data_quality_platform_spark.multimodal.avi import avi_decode
+
+    with pytest.raises(ValueError):
+        avi_decode(b"RIFF\x00\x00\x00\x00WAVEnot-a-video")
+    with pytest.raises(ValueError):
+        avi_decode(b"not riff at all")
