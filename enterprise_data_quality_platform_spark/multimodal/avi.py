@@ -107,9 +107,18 @@ def avi_features(payload: bytes, dim: int | None = None) -> np.ndarray:
     """Decode + reduce to the fixed feature vector: geometry, frame count,
     fps, per-frame luma stats, and mean inter-frame absolute difference
     (the motion signal frame-dedup and scene-cut detection key on)."""
+    frames, fps = avi_decode(payload)
+    return mjpeg_video_features(frames, fps, dim)
+
+
+def mjpeg_video_features(
+    frames: list[np.ndarray], fps: float, dim: int | None = None
+) -> np.ndarray:
+    """Container-agnostic video feature reduction shared by the AVI and
+    MP4 wrappers: geometry, frame count, fps, per-frame luma stats and
+    mean inter-frame absolute difference (motion)."""
     from .codecs import FEATURE_DIM, _fit
 
-    frames, fps = avi_decode(payload)
     grays = [f.astype(np.float32).mean(axis=2) for f in frames]
     h, w = grays[0].shape
     means = np.array([g.mean() for g in grays])

@@ -280,4 +280,6 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return "avi"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
     return None

@@ -72,15 +72,16 @@ def attach_fake_payloads(docs: DataFrame) -> DataFrame:
 def attach_real_payloads(docs: DataFrame) -> DataFrame:
     """Real-payload twin of ``attach_fake_payloads``: encode each document
     into an actually-decodable container — a 16×16 grayscale PNG
-    (doc_id % 4 == 0 except the AVI slice), a baseline JPEG
-    (doc_id % 4 == 2), a 3-frame MJPEG AVI video (doc_id % 8 == 4), or an
-    8 kHz PCM WAV (odd) — built from the content digest via the
-    pure-numpy codecs. Deterministic per document, Arrow-batched; gives
-    the fake=False decode path real bytes for all FOUR media types at any
-    scale."""
+    (doc_id % 4 == 0 except the video slices), a baseline JPEG
+    (doc_id % 4 == 2), a 3-frame MJPEG video as AVI (doc_id % 16 == 4)
+    or MP4 (doc_id % 16 == 12), or an 8 kHz PCM WAV (odd) — built from
+    the content digest via the pure-numpy codecs. Deterministic per
+    document, Arrow-batched; gives the fake=False decode path real bytes
+    for all four media types (and both video containers) at any scale."""
     from .avi import avi_encode
     from .codecs import png_encode, wav_encode
     from .jpeg import jpeg_encode
+    from .mp4 import mp4_encode
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -92,10 +93,14 @@ def attach_real_payloads(docs: DataFrame) -> DataFrame:
                     frames = [
                         np.roll(buf, k).reshape(16, 16) for k in range(3)
                     ]
-                    payload = avi_encode(frames, fps=10, quality=90)
+                    if doc_id % 16 == 4:
+                        payload = avi_encode(frames, fps=10, quality=90)
+                        mime = "video/x-msvideo"
+                    else:
+                        payload = mp4_encode(frames, fps=10, quality=90)
+                        mime = "video/mp4"
                     rows.append(
-                        (doc_id, payload, "video", "video/x-msvideo",
-                         16, 16, 300)
+                        (doc_id, payload, "video", mime, 16, 16, 300)
                     )
                 elif doc_id % 4 == 2:
                     payload = jpeg_encode(buf.reshape(16, 16), quality=90)
@@ -166,10 +171,16 @@ def decode_payload(payload: bytes, fake: bool = False) -> np.ndarray:
         from .avi import avi_features
 
         return avi_features(payload)
+    if fmt == "mp4":
+        from .mp4 import mp4_features
+
+        # MJPEG samples decode natively; avc1/H.264 sample entries raise
+        # NotImplementedError from here (per-row error status upstream)
+        return mp4_features(payload)
     raise NotImplementedError(
-        "no stdlib codec for this payload format; PNG, JPEG, WAV and "
-        "MJPEG-AVI decode natively — inter-frame video codecs (MP4/H.264) "
-        "need ffmpeg (not in this environment)"
+        "no stdlib codec for this payload format; PNG, JPEG, WAV, "
+        "MJPEG-AVI and MJPEG-MP4 decode natively — inter-frame video "
+        "codecs (H.264/H.265) need ffmpeg (not in this environment)"
     )
 
 

@@ -699,3 +699,58 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "cluster_fp")
         .limit(100)
     )
+
+
+BOILERPLATE_MIN_DF = 3  # a 3-gram in ≥3 distinct docs is shared phrasing,
+# not content, at test scale; production corpora raise this with scale
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=rf"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+      FROM docs WHERE len(toks) >= 3
+    ),
+    ex AS (SELECT doc_id, UNNEST(grams) AS gram FROM sh)
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM ex GROUP BY gram
+    HAVING COUNT(*) >= {BOILERPLATE_MIN_DF}
+    ORDER BY doc_freq DESC, gram
+    LIMIT 50
+    """,
+    tables=("documents",),
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: the word 3-grams shared by the
+    most documents — the corpus-level sibling of ``text_repetition_stats``
+    (within-doc repetition). Shared headers/footers/licence blurbs surface
+    here; the curation action is to strip or down-weight them before
+    training (C4/RefinedWeb both ship this pass).
+
+    Plan: shingle sets are built row-locally (distinct per doc, so a gram
+    repeated inside one doc counts once), explode feeds ONE map-combined
+    groupBy on the gram string, and the top-50 is TakeOrderedAndProject
+    with the gram itself as the deterministic tiebreak — no global sort.
+    At 100 TB the same shape holds: document frequency is a mergeable
+    per-gram count; the known scale knob is pre-aggregating on hashed
+    grams and joining strings back for the survivors, which trades one
+    broadcast join for narrow shuffle keys (kept string-keyed here so the
+    DuckDB twin is byte-identical)."""
+    docs = table(spark, sf_dir, "documents")
+    ex = docs.select(
+        F.explode(TX.shingles(F.col("text"), 3)).alias("gram")
+    )
+    return (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= BOILERPLATE_MIN_DF)
+        .orderBy(F.col("doc_freq").desc(), "gram")
+        .limit(50)
+    )

@@ -39,6 +39,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # build DuckDB picks, without ever hinting a scale-growing table.
     "spark.sql.adaptive.autoBroadcastJoinThreshold": "67108864",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # NOTE on scan splits: spark.sql.files.minPartitionNum already defaults
+    # to leafNodeDefaultParallelism (= core count in local mode), so small
+    # inputs fan out to ≥cores splits out of the box — an explicit 2×cores
+    # override A/B'd at sf10 as pure noise (PERF.md round-5 ledger); the
+    # 128 MiB maxPartitionBytes ceiling is the 100 TB-relevant bound.
     # The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
     # rejects by default; read as long and convert (catalog._fix_events_ts).
     "spark.sql.legacy.parquet.nanosAsLong": "true",

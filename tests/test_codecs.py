@@ -166,11 +166,16 @@ def test_sniff_and_decode_payload_routing():
     assert sniff_format(png) == "png"
     assert sniff_format(wav) == "wav"
     assert sniff_format(b"\xff\xd8\xff\xe0JFIF") == "jpeg"  # jpeg.py decodes
-    assert sniff_format(b"\x00\x00\x00\x18ftypmp42") is None  # video: no codec
+    assert sniff_format(b"\x00\x00\x00\x18ftypmp42") == "mp4"  # mp4.py routes
+    assert sniff_format(b"\x00" * 16) is None  # unknown container
     assert np.array_equal(decode_payload(png), png_features(png))
     assert np.array_equal(decode_payload(wav), wav_features(wav))
-    with pytest.raises(NotImplementedError):
+    # an ftyp header with no sample tables is corrupt, not unsupported
+    with pytest.raises(ValueError):
         decode_payload(b"\x00\x00\x00\x18ftypmp42")
+    # a truly unknown container stays the honest NotImplementedError
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x00" * 16)
 
 
 try:
@@ -251,7 +256,7 @@ def test_extract_features_real_decoders(spark):
         (1, bytearray(png), "image", "image/png", 8, 8, 0),
         (2, bytearray(wav), "audio", "audio/wav", 0, 0, 62),
         (3, bytearray(jpg), "image", "image/jpeg", 24, 16, 0),
-        (4, bytearray(b"\x00\x00\x00\x18ftypmp42-ish"), "video", "video/mp4", 2, 2, 0),
+        (4, bytearray(b"\x00" * 24), "video", "video/raw", 2, 2, 0),
     ]
     media = spark.createDataFrame(
         rows,

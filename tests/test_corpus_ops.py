@@ -297,3 +297,32 @@ def test_pretoken_byte_scan_equals_regex_form(spark):
         ).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------- boilerplate n-grams
+
+
+def test_boilerplate_ngrams_crafted(spark):
+    """Within-doc repetition counts ONCE (distinct grams per doc); the
+    doc-frequency threshold and (df desc, gram) ordering are exact."""
+    from enterprise_data_quality_platform_spark.functions import text as TX
+
+    rows = [
+        (1, "all rights reserved here all rights reserved"),  # dup gram in-doc
+        (2, "all rights reserved elsewhere"),
+        (3, "prefix all rights reserved"),
+        (4, "no shared phrase at all"),
+        (5, "short text"),  # < 3 tokens after split -> no grams
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ex = docs.select(F.explode(TX.shingles(F.col("text"), 3)).alias("gram"))
+    out = (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 3)
+        .orderBy(F.col("doc_freq").desc(), "gram")
+        .collect()
+    )
+    assert [(r["gram"], r["doc_freq"]) for r in out] == [
+        ("all rights reserved", 3)
+    ]
