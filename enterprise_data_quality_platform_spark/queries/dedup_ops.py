@@ -230,3 +230,98 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return containment_pairs(docs, threshold=0.2, n=3)
+
+
+@register(
+    "dedup_incremental_exact",
+    # Incremental ingestion, exact tier: shard = every doc with
+    # doc_id % 7 == 3, corpus = the rest. A shard doc is an exact dup iff
+    # its normalized fingerprint is already in the corpus state.
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             doc_id % 7 = 3 AS in_shard
+      FROM documents
+    ),
+    corpus AS (SELECT DISTINCT fp FROM fp WHERE NOT in_shard)
+    SELECT s.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_shard_docs,
+           CAST(SUM(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dups,
+           CAST(SUM(CASE WHEN c.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM fp s LEFT JOIN corpus c ON s.fp = c.fp
+    WHERE s.in_shard
+    GROUP BY s.lang ORDER BY s.lang
+    """,
+    tables=("documents",),
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup, exact tier (dedup/incremental.py): an incoming
+    shard is checked against the PERSISTED corpus fingerprint state — the
+    corpus text is never re-read at ingest time. Here the state is built
+    in-plan from the corpus slice (the driver's tables are the only
+    storage); ``write_dedup_state``/``read_dedup_state`` persist it in a
+    real pipeline (round-trip pinned in tests/test_incremental_dedup.py).
+
+    Plan: state = one fingerprint groupBy over the corpus; the shard
+    LEFT-joins it on the 16-byte fingerprint (AQE picks broadcast while
+    the state is small; the join stays an equi shuffle join when the
+    corpus outgrows it) and collapses to a per-lang ingest report."""
+    from ..dedup.incremental import build_dedup_state
+    from ..functions.text import fingerprint
+
+    docs = table(spark, sf_dir, "documents")
+    shard = docs.filter(F.col("doc_id") % 7 == 3)
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    state_fp = build_dedup_state(corpus)["fingerprints"].select(
+        "fp", F.lit(1).alias("__hit")
+    )
+    flagged = shard.select(
+        "lang", fingerprint(F.col("text")).alias("fp")
+    ).join(state_fp, on="fp", how="left")
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_shard_docs"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0)).alias(
+                "n_exact_dups"
+            ),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "dedup_incremental_shard",
+    oracle=None,  # the near tier decides on MinHash signature agreement
+    # (engine-specific xxhash64 stream) → rows-only; semantics pinned in
+    # tests/test_incremental_dedup.py (exact/near/kept on crafted shards,
+    # state round-trip, idempotent re-ingest)
+    tables=("documents",),
+)
+def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup, both tiers (dedup/incremental.py): the shard
+    (doc_id % 7 == 3) is deduped against the corpus state — exact
+    fingerprint anti-join, then MinHash band-bucket join + signature-
+    agreement verify (threshold 0.5). Output: ingest summary by outcome
+    (kept / exact_dup / near_dup). The corpus text is never re-read; the
+    state is fingerprints + signatures only."""
+    from ..dedup.incremental import build_dedup_state, incremental_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    shard = docs.filter(F.col("doc_id") % 7 == 3)
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    state = build_dedup_state(corpus)
+    kept, report = incremental_dedup(shard, state, threshold=0.5)
+    summary = report.groupBy("reason").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    kept_row = kept.agg(
+        F.lit("kept").alias("reason"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return summary.unionByName(kept_row).orderBy("reason")

@@ -614,23 +614,30 @@ def mart_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are tiny, so the per-partition hash build is cheap), measured ~10%
     # faster and with far less sort-buffer churn in a long session.
     b = li.alias("b").hint("shuffle_hash")
-    return (
+    # The pair aggregate dominates this query (~13 of 17 s at sf10: ~120M
+    # mostly-distinct keys make the map-side partial a pass-through), so
+    # the pair is packed into ONE 64-bit key (part_a << 32 | part_b) for
+    # the shuffle + hash agg — 13% whole-query win, value-identical:
+    # unpacking is exact for partkeys < 2^32 and the packed ordering is
+    # the (part_a, part_b) lexicographic ordering.
+    packed = F.col("a.l_partkey") * F.lit(4294967296) + F.col("b.l_partkey")
+    agg = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .select(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .groupBy("part_a", "part_b")
+        .select(packed.alias("pk"))
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("together_count"))
-        .orderBy(
-            F.col("together_count").desc(), F.col("part_a"), F.col("part_b")
-        )
+        .orderBy(F.col("together_count").desc(), "pk")
         .limit(20)
     )
+    return agg.select(
+        F.expr("pk div 4294967296").alias("part_a"),
+        (F.col("pk") % F.lit(4294967296)).alias("part_b"),
+        "together_count",
+    ).orderBy(F.col("together_count").desc(), "part_a", "part_b")
 
 
 @register(
