@@ -30,6 +30,34 @@ from ..checks import Check, run_suite
 from ..checks.definitions import CheckResult
 from ..session import configure_session
 
+#: RocksDB-backed streaming state (Spark ≥3.2, rocksdbjni ships with the
+#: distribution). The 100 TB posture for stateful streams: state lives
+#: off-heap/on-disk per executor instead of in the JVM heap (HDFS-backed
+#: provider keeps every key in memory — GC death once sessionization or
+#: dedup state outgrows the executors), and changelog checkpointing ships
+#: per-batch deltas instead of full snapshots. Same results, pinned by
+#: tests/test_streaming.py::test_rocksdb_state_store_parity.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(
+    spark: SparkSession, changelog_checkpointing: bool = True
+) -> SparkSession:
+    """Route stateful streaming queries STARTED AFTER this call to the
+    RocksDB state store provider (the provider is bound per-query at
+    start from the session conf; running queries keep theirs)."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true" if changelog_checkpointing else "false",
+    )
+    return spark
+
+
 def _events_ts_source_type(spark: SparkSession, sf_dir: str):
     """Probe the parquet footer type of ``events.ts`` via a batch schema
     read (footer-only — no data scan). The driver's generator has shipped

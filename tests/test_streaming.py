@@ -937,3 +937,38 @@ def test_stream_stream_left_outer_null_emission(spark):
         # the stream-end clicks (4, 5): no watermark ever passed their
         # windows -> withheld, not emitted as unconverted
         assert 5 not in rows
+
+
+def test_rocksdb_state_store_parity(spark):
+    """Scale path for stateful streams: the RocksDB state store provider
+    (off-heap/on-disk state + changelog checkpointing) produces the SAME
+    tumbling aggregate as the default HDFS-backed provider, and the query
+    really ran on RocksDB (rocksdb* custom metrics in the progress)."""
+    from enterprise_data_quality_platform_spark.streaming.pipeline import (
+        use_rocksdb_state,
+    )
+
+    baseline = {
+        (r.window_start, r.event_type): r.event_count
+        for r in events_tumbling_hourly(spark, SF_SMALL).collect()
+    }
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state(spark)
+    try:
+        stream = streaming_tumbling_counts(events_stream(spark, SF_SMALL))
+        q = _run_to_memory(stream, "rocksdb_tumbling", output_mode="complete")
+        got = {
+            (r.window_start, r.event_type): r.event_count
+            for r in spark.table("rocksdb_tumbling").collect()
+        }
+        assert got == baseline
+        state_ops = (q.lastProgress or {}).get("stateOperators") or []
+        metrics = state_ops[0].get("customMetrics", {}) if state_ops else {}
+        assert any(k.startswith("rocksdb") for k in metrics), metrics
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
