@@ -335,3 +335,64 @@ def events_pit_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state_type")
     )
+
+
+@register(
+    "source_csv_roundtrip",
+    # the roundtrip is the identity on every field, so the oracle is the
+    # direct aggregate over the parquet table — if Spark's CSV writer and
+    # parser disagreed anywhere (quoting, timestamp text, float repr,
+    # NULLs), a value would change and the hash would catch it.
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents,
+           MIN(ts) AS min_ts,
+           MAX(ts) AS max_ts
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tables=("events",),
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV serialization contract, in-plan: every events row is rendered
+    to a CSV line with ``to_csv`` and parsed back with ``from_csv`` under
+    the declared schema (sources/readers.py's no-inference discipline);
+    the aggregate runs on the PARSED fields. Exercises quoting (props is
+    JSON full of commas/quotes), timestamp round-trip text, and double
+    round-trip — the surface a CSV landing zone depends on.
+
+    Plan: both functions are row-local JVM expressions (one projection,
+    no shuffle added); FAILFAST parse mode so a lossy round-trip fails
+    loudly rather than nulling fields. The corrupt-capture PERMISSIVE
+    path for real files is ``sources.readers.read_csv`` (quarantine
+    semantics tested in tests/test_sources.py)."""
+    events = table(spark, sf_dir, "events")
+    schema = "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    # the DEFAULT timestamp text truncates to milliseconds — a silently
+    # lossy round-trip for microsecond data (caught by this query's own
+    # oracle on first run); pin a microsecond format on BOTH directions
+    ts_opts = {"timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
+    line = F.to_csv(
+        F.struct("event_id", "ts", "user_id", "event_type", "value", "props"),
+        ts_opts,
+    )
+    parsed = events.select(line.alias("line")).select(
+        F.from_csv(
+            F.col("line"), F.lit(schema), {"mode": "FAILFAST", **ts_opts}
+        ).alias("r")
+    )
+    cents = F.floor(F.col("r.value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        parsed.groupBy(F.col("r.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("r.event_id").alias("sum_event_id"),
+            F.sum(cents).alias("sum_value_cents"),
+            F.min("r.ts").alias("min_ts"),
+            F.max("r.ts").alias("max_ts"),
+        )
+        .orderBy("event_type")
+    )
