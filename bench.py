@@ -116,6 +116,12 @@ HEADLINE = [
     "dq_chi_square",
     "dq_row_condition_scope",
     "dq_suite_report_approx",
+    # round-5 second-pass additions
+    "text_boilerplate_ngrams",
+    "dedup_incremental_exact",
+    "dedup_incremental_shard",
+    "source_csv_roundtrip",
+    "multimodal_decode_real",
 ]
 
 #: Multi-second LLM-pipeline operators: median of fewer runs so the bench

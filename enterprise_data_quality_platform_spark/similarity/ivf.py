@@ -142,3 +142,94 @@ def ivf_ann_topk(
         ).alias("cosine_sim"),
     )
     return _topk_per_probe(sims, k, probe_id_col, id_col)
+
+
+# --------------------------------------------------------- persisted index
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int = 32,
+    sample_size: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize the IVF index as tables: ``centroids`` (tiny) and
+    ``assignments`` — the corpus PARTITIONED BY ``centroid_id``, which is
+    what turns a probe into a partition-pruned scan (build once, probe
+    many; the docstring's "at scale you'd persist the corpus bucketed by
+    list id", made real). Returns the trained centroids."""
+    centroids = train_centroids(
+        corpus, num_centroids, sample_size, iters, seed, vec_col
+    )
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, c.tolist()) for i, c in enumerate(centroids)],
+        "centroid_id int, centroid array<double>",
+    )
+    cent_df.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(
+            assign_centroids(to_double(F.col(vec_col)), centroids, nprobe=1), 1
+        ).alias("centroid_id"),
+    )
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/assignments"
+    )
+    return centroids
+
+
+def read_ivf_centroids(spark, path: str) -> np.ndarray:
+    rows = (
+        spark.read.parquet(f"{path}/centroids")
+        .orderBy("centroid_id")
+        .collect()
+    )
+    return np.stack([np.asarray(r["centroid"]) for r in rows])
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "pvec",
+) -> DataFrame:
+    """Probe a PERSISTED IVF index: assign each probe to its ``nprobe``
+    nearest stored centroids, then scan ONLY those partitions of the
+    assignments table (static ``IN`` filter over the probed list ids →
+    parquet partition pruning; the probed-id set is bounded by
+    ``num_centroids``, so the driver collect is constant-size). Output
+    schema matches ``ivf_ann_topk``: (probe_id, vec_id, cosine_sim,
+    sim_rank)."""
+    centroids = read_ivf_centroids(spark, path)
+    p = probes.select(
+        F.col(probe_id_col),
+        F.col(probe_vec_col),
+        F.explode(
+            assign_centroids(to_double(F.col(probe_vec_col)), centroids, nprobe)
+        ).alias("centroid_id"),
+    )
+    probed = sorted(
+        r["centroid_id"] for r in p.select("centroid_id").distinct().collect()
+    )
+    corpus = spark.read.parquet(f"{path}/assignments").filter(
+        F.col("centroid_id").isin(probed)
+    )
+    sims = corpus.join(F.broadcast(p), on="centroid_id").select(
+        F.col(probe_id_col),
+        F.col(id_col),
+        cosine_batch(
+            to_double(F.col(vec_col)), to_double(F.col(probe_vec_col))
+        ).alias("cosine_sim"),
+    )
+    return _topk_per_probe(sims, k, probe_id_col, id_col)

@@ -305,3 +305,45 @@ def test_ivf_centroids_deterministic_and_balanced(spark):
     total = sum(counts)
     assert len(counts) >= 8  # most lists populated
     assert max(counts) < total * 0.5  # no single-list collapse
+
+
+def test_ivf_persisted_index_matches_in_memory(spark, tmp_path):
+    """Build-once-probe-many: the parquet-persisted IVF index (centroids +
+    assignments partitioned by list id) returns EXACTLY the in-memory
+    ivf_ann_topk results for the same training parameters, and the probe
+    scan is partition-pruned to the probed lists."""
+    from enterprise_data_quality_platform_spark.similarity.ivf import (
+        ivf_ann_topk,
+        ivf_index_topk,
+        read_ivf_centroids,
+        train_centroids,
+        write_ivf_index,
+    )
+    import numpy as np
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    path = str(tmp_path / "ivf")
+    kw = dict(num_centroids=16, sample_size=500, iters=10, seed=7)
+    written = write_ivf_index(emb, path, **kw)
+    assert np.allclose(read_ivf_centroids(spark, path), written)
+    assert np.allclose(written, train_centroids(emb, 16, 500, 10, 7))
+
+    mem = ivf_ann_topk(emb, probes, k=10, nprobe=6, **kw)
+    idx = ivf_index_topk(spark, path, probes, k=10, nprobe=6)
+    mem_rows = sorted(
+        (r.probe_id, r.vec_id, round(r.cosine_sim, 9), r.sim_rank)
+        for r in mem.collect()
+    )
+    idx_rows = sorted(
+        (r.probe_id, r.vec_id, round(r.cosine_sim, 9), r.sim_rank)
+        for r in idx.collect()
+    )
+    assert mem_rows == idx_rows and len(idx_rows) > 0
+
+    # partition pruning: the assignments scan carries PartitionFilters on
+    # centroid_id (static IN over the probed list ids)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
