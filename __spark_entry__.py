@@ -70,16 +70,36 @@ def _driver_verification_counts() -> tuple[dict[str, int], set[str]]:
     return counts, last_failed
 
 
+#: Queries whose ORACLE TEXT was corrected after their last driver round
+#: (the round-4 HUGEINT re-typing): they must re-verify before any other
+#: never-verified name, or the fix ships without a green row. The boost
+#: applies only while the query has zero green rows — one green row and
+#: it rotates normally (so this list is self-retiring, not a pin).
+VERIFY_FIRST: tuple[str, ...] = (
+    "text_perplexity_proxy",
+    "training_data_curation",
+    "training_split_stats",
+    "training_pack_sequences",
+)
+
+
 def _rotate(mapping: dict) -> dict:
-    """Order entries: recently-failed first, then fewest-green-verifications,
-    ties broken by name (deterministic given the committed result files)."""
+    """Order entries: recently-failed first, then zero-green names whose
+    oracle changed since their last driver run (``VERIFY_FIRST``), then
+    fewest-green-verifications, ties broken by name (deterministic given
+    the committed result files)."""
     try:
         counts, last_failed = _driver_verification_counts()
     except Exception:
         return mapping
     names = sorted(
         mapping,
-        key=lambda n: (n not in last_failed, counts.get(n, 0), n),
+        key=lambda n: (
+            n not in last_failed,
+            not (n in VERIFY_FIRST and counts.get(n, 0) == 0),
+            counts.get(n, 0),
+            n,
+        ),
     )
     return {n: mapping[n] for n in names}
 

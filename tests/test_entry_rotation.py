@@ -30,9 +30,18 @@ def _green_counts_and_failed():
 def test_window_prioritizes_failures_then_least_verified():
     names = list(entry.queries())
     counts, failed = _green_counts_and_failed()
-    keys = [(n not in failed, counts.get(n, 0), n) for n in names]
-    # the full ordering IS the sort by (not-failed, green-count, name); the
-    # first-50 window is therefore a prefix of that order by construction
+    keys = [
+        (
+            n not in failed,
+            not (n in entry.VERIFY_FIRST and counts.get(n, 0) == 0),
+            counts.get(n, 0),
+            n,
+        )
+        for n in names
+    ]
+    # the full ordering IS the sort by (not-failed, verify-first,
+    # green-count, name); the first-50 window is therefore a prefix of
+    # that order by construction
     assert keys == sorted(keys)
     # every recently-failed name sits at the very front — a red driver row
     # can never rotate out of the verification window before going green
@@ -74,5 +83,10 @@ def test_queries_and_oracles_consistent():
 def test_rotation_survives_missing_files(monkeypatch, tmp_path):
     monkeypatch.setattr(entry, "_REPO_DIR", str(tmp_path))  # no CORRECTNESS files
     names = list(entry.queries())
-    assert len(names) > 150  # full registry, alphabetical fallback
-    assert names == sorted(names)
+    assert len(names) > 150  # full registry
+    # with zero history every name has count 0, so the changed-oracle
+    # verify-first tier leads, then the alphabetical fallback
+    vf = [n for n in names if n in entry.VERIFY_FIRST]
+    rest = [n for n in names if n not in entry.VERIFY_FIRST]
+    assert names[: len(vf)] == sorted(vf)
+    assert rest == sorted(rest)
