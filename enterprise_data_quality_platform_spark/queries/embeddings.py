@@ -441,3 +441,42 @@ def embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("corpus_id", "bench_id")
     )
+
+
+@register(
+    "embed_pca_variance",
+    oracle=None,  # eigendecomposition has no SQL twin — rows-only; the
+    # model's layout-independence, orthonormality, variance ordering and
+    # reconstruction behavior are pinned in tests/test_pca.py
+    tables=("embeddings",),
+)
+def embed_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA fit over the embedding corpus (similarity/pca.py):
+    exact-integer moment sums → driver-side d×d eigh → per-component
+    explained-variance report, plus a projection sanity column (mean |c1|
+    of the projected corpus — nonzero iff the projection really ran).
+    The fit is bit-deterministic under any partitioning, so the rows-only
+    driver check is stable across rounds."""
+    from ..similarity.pca import fit_pca, project_pca
+
+    emb = table(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, k=8)
+    proj = project_pca(emb, model)
+    mean_abs_c1 = proj.agg(
+        F.round(F.avg(F.abs(F.element_at("pca", 1))), 6)
+    ).collect()[0][0]
+    rows = [
+        (
+            i + 1,
+            round(float(model["explained_variance"][i]), 9),
+            round(float(model["explained_ratio"][i]), 9),
+            int(model["n"]),
+            float(mean_abs_c1),
+        )
+        for i in range(len(model["explained_variance"]))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "component int, explained_variance double, explained_ratio double,"
+        " n_vectors int, mean_abs_c1 double",
+    ).orderBy("component")

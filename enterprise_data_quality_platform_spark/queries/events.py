@@ -1210,3 +1210,49 @@ def events_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_cumulative_users",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+    ),
+    adds AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first_day GROUP BY day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM adds ORDER BY day
+    """,
+    tables=("events",),
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience growth curve: per-day new users and the cumulative
+    distinct-user count — the "total users ever" metric.
+
+    A running DISTINCT over an event stream is the textbook
+    unscalable-as-written aggregate (per-day distinct state grows without
+    bound); the first-seen rewrite makes it trivially distributed: each
+    user contributes exactly ONE (user, first_day) row (a map-combined
+    min), daily new-user counts are a second mergeable groupBy, and the
+    cumulative sum is a window over the ≤|days| aggregate rows — never
+    over raw events. Same discipline as dq_anomaly_zscore's
+    pre-agg-then-window."""
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events")
+    first_day = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("day")
+    )
+    adds = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return adds.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    ).orderBy("day")

@@ -1,4 +1,5 @@
 from .ivf import ivf_ann_topk, train_centroids
+from .pca import fit_pca, project_pca
 from .knn import brute_force_topk, lsh_ann_topk, near_dup_embeddings
 
 __all__ = [
@@ -7,4 +8,6 @@ __all__ = [
     "near_dup_embeddings",
     "ivf_ann_topk",
     "train_centroids",
+    "fit_pca",
+    "project_pca",
 ]
