@@ -438,3 +438,54 @@ def test_tfidf_explodes_corpus_once(spark):
     final = df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
     assert "ReusedExchange" in final
     assert final.count("Generate explode") == 1  # ONE tokenization pass
+
+
+def _numbered_ops(plan: str) -> list[str]:
+    """Operator names from the formatted plan's details section, in
+    leaves-first order ((1) Scan parquet ... (N) AdaptiveSparkPlan)."""
+    import re
+
+    out = []
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\) (\S+)", line.strip())
+        if m:
+            out.append((int(m.group(1)), m.group(2)))
+    return [name for _, name in sorted(out)]
+
+
+def test_boilerplate_ngrams_topk_no_global_sort(spark):
+    """Cross-doc boilerplate: gram explode collapses into ONE map-combined
+    aggregate; the top-50 is TakeOrderedAndProject (never a global sort of
+    gram counts), and no Python UDF touches the path."""
+    plan = plan_of(spark, "text_boilerplate_ngrams")
+    ops = _numbered_ops(plan)
+    assert "TakeOrderedAndProject" in ops
+    assert ops.count("Exchange") == 1  # the single gram aggregate
+    assert "hashpartitioning(gram" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_csv_roundtrip_is_row_local(spark):
+    """to_csv→from_csv adds NO shuffle: the only exchanges are the
+    aggregate's and the presentation sort's."""
+    plan = plan_of(spark, "source_csv_roundtrip")
+    ops = _numbered_ops(plan)
+    assert ops.count("Exchange") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cumulative_users_windows_over_aggregate_not_raw(spark):
+    """The running sum must see the ≤|days| aggregate rows, never raw
+    events: both aggregates run BELOW the Window in leaves-first order."""
+    ops = _numbered_ops(plan_of(spark, "events_cumulative_users"))
+    assert "Window" in ops
+    aggs_before = [o for o in ops[: ops.index("Window")] if o == "HashAggregate"]
+    assert len(aggs_before) >= 2  # per-user min + per-day count
+
+
+def test_incremental_exact_state_join_prunes_columns(spark):
+    """The shard-vs-state fingerprint probe is an equi join — no nested
+    loop or cartesian anywhere in the plan."""
+    plan = plan_of(spark, "dedup_incremental_exact")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
