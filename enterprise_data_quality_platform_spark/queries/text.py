@@ -613,7 +613,9 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 10000.0
             ).alias("avg_nll"),
         )
-        .orderBy("doc_id")
+        # no presentation orderBy: the per-doc score table is |docs|-sized
+        # and the driver compares order-insensitively — a global sort here
+        # is pure cosmetics (the events_scd2_episodes lesson)
     )
 
 
