@@ -326,3 +326,42 @@ def test_boilerplate_ngrams_crafted(spark):
     assert [(r["gram"], r["doc_freq"]) for r in out] == [
         ("all rights reserved", 3)
     ]
+
+
+# ------------------------------------------------------ grouped top-k
+
+
+def test_topk_per_group_strategies_agree(spark):
+    """Two-level and one-window grouped top-k return identical rows on a
+    skewed input (one hot group), and exactly k per big-enough group with
+    the deterministic tiebreak order."""
+    from enterprise_data_quality_platform_spark.operators.topk import (
+        topk_per_group,
+        topk_per_group_window,
+    )
+
+    rows = [("hot", i % 7, i) for i in range(5000)] + [
+        ("cold", i, 10000 + i) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "score", "uid"]).repartition(16)
+    order = [F.col("score").desc(), F.col("uid")]
+    a = topk_per_group(df, ["grp"], order, k=5)
+    b = topk_per_group_window(df, ["grp"], order, k=5)
+    ra = sorted((r.grp, r.score, r.uid, r.rank) for r in a.collect())
+    rb = sorted((r.grp, r.score, r.uid, r.rank) for r in b.collect())
+    assert ra == rb and len(ra) == 5 + 3
+    hot = [t for t in ra if t[0] == "hot"]
+    # top-5 of the hot group: score 6 rows have uids 6,13,20,27,34 — the
+    # unique-uid tiebreak makes the winners exact
+    assert [t[2] for t in hot] == [6, 13, 20, 27, 34]
+
+
+def test_topk_requires_order_columns(spark):
+    from enterprise_data_quality_platform_spark.operators.topk import (
+        topk_per_group,
+    )
+    import pytest as _pytest
+
+    df = spark.range(5).withColumn("g", F.lit("a"))
+    with _pytest.raises(ValueError):
+        topk_per_group(df, ["g"], [], k=2)
