@@ -108,3 +108,64 @@ def read_table(
     if fmt not in readers:
         raise ValueError(f"unsupported format: {fmt} (use parquet|csv|json)")
     return readers[fmt](spark, path, **kwargs)
+
+
+def read_parquet_evolving(
+    spark: SparkSession,
+    paths: list[str],
+    target: T.StructType,
+    renames: dict[str, str] | None = None,
+    fill_missing: bool = True,
+) -> DataFrame:
+    """Read parquet written across SCHEMA GENERATIONS into one frame with
+    the declared ``target`` schema — the mixed-vintage landing zone
+    reality at scale (an added column, a renamed column, a widened type;
+    never rewrite 100 TB of history to fix old footers).
+
+    Mechanics: each path (= one schema generation) is read separately and
+    CONFORMED to the target — ``renames`` maps legacy names onto current
+    ones (COALESCE when a generation carries both), every column casts to
+    the target type (widenings are exact; ANSI mode still throws on a
+    genuinely lossy cast — by design), ``fill_missing`` manufactures
+    columns a generation predates as typed NULLs — then the conformed
+    frames union by name. Per-generation reads are what make WIDENED
+    types work at all: parquet ``mergeSchema`` hard-fails on INT-vs-BIGINT
+    conflicts (CANNOT_MERGE_SCHEMAS — found by this function's own test),
+    so one mixed-vintage read can never conform; N reads + unionByName is
+    the shape that scales AND survives type evolution. Column order and
+    set match ``target`` exactly; the union is plan-level (no extra
+    shuffle — scans feed the same downstream stage)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    configure_session(spark)
+
+    def conform(df: DataFrame) -> DataFrame:
+        for legacy, current in (renames or {}).items():
+            if legacy in df.columns and current in df.columns:
+                df = df.withColumn(
+                    current, F.coalesce(F.col(current), F.col(legacy))
+                ).drop(legacy)
+            elif legacy in df.columns:
+                df = df.withColumnRenamed(legacy, current)
+        cols = []
+        for field in target.fields:
+            if field.name in df.columns:
+                cols.append(
+                    F.col(field.name).cast(field.dataType).alias(field.name)
+                )
+            elif fill_missing:
+                cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+            else:
+                raise SchemaMismatchError([field.name], [], [])
+        return df.select(*cols)
+
+    # mergeSchema stays on per path: additive evolution WITHIN one
+    # generation directory is fine — only cross-generation type conflicts
+    # need the separate reads
+    frames = [
+        conform(spark.read.option("mergeSchema", "true").parquet(p))
+        for p in paths
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames)
