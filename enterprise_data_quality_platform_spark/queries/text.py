@@ -746,7 +746,13 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join for narrow shuffle keys (kept string-keyed here so the
     DuckDB twin is byte-identical)."""
     docs = table(spark, sf_dir, "documents")
-    ex = docs.select(
+    # repartition BEFORE the shingle build: the documents file is small
+    # enough that the scan stage gets a handful of splits, and without
+    # this the per-doc gram construction (the expensive part) runs in
+    # those few tasks (the minhash/winnowing scan-stage lesson; measured
+    # 8.8 → 1.3 s at sf0.1)
+    parallelism = spark.sparkContext.defaultParallelism
+    ex = docs.repartition(parallelism, "doc_id").select(
         F.explode(TX.shingles(F.col("text"), 3)).alias("gram")
     )
     return (

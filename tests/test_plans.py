@@ -460,7 +460,9 @@ def test_boilerplate_ngrams_topk_no_global_sort(spark):
     plan = plan_of(spark, "text_boilerplate_ngrams")
     ops = _numbered_ops(plan)
     assert "TakeOrderedAndProject" in ops
-    assert ops.count("Exchange") == 1  # the single gram aggregate
+    # two exchanges: the pre-shingle repartition (scan-stage parallelism
+    # guard) + the single gram aggregate
+    assert ops.count("Exchange") == 2
     assert "hashpartitioning(gram" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
