@@ -184,29 +184,50 @@ def decode_payload(payload: bytes, fake: bool = False) -> np.ndarray:
     )
 
 
-def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    fake: bool = True,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Arrow-batched feature extraction via mapInPandas: one Python worker
     per partition, pandas batches in/out — the per-row cost is the decode,
     not serialization. Errors are captured per-row into decode_status
-    (never fail the stage for one corrupt payload — DQ-report them)."""
+    (never fail the stage for one corrupt payload — DQ-report them).
+
+    ``passthrough`` names input columns copied verbatim into the output —
+    the way to keep metadata (media_type, mime) WITHOUT a join back to the
+    media frame, which would re-run whatever produced the payloads (a
+    mapInPandas source can't be column-pruned, so the join side pays the
+    full encode again — measured 2× on the real-decode query)."""
+    schema = T.StructType(
+        list(FEATURE_SCHEMA.fields)
+        + [media.schema[c] for c in passthrough]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            for i, (media_id, payload) in enumerate(
+                zip(pdf["media_id"], pdf["payload"])
+            ):
+                extra = tuple(pdf[c].iloc[i] for c in passthrough)
                 try:
                     feat = decode_payload(bytes(payload), fake=fake)
                     out.append(
-                        (media_id, len(payload), feat.tolist(), "ok")
+                        (media_id, len(payload), feat.tolist(), "ok") + extra
                     )
                 except Exception as exc:  # corrupt payload → report row
-                    out.append((media_id, len(payload or b""), [0.0] * FEATURE_DIM,
-                                f"error: {type(exc).__name__}"))
+                    out.append(
+                        (media_id, len(payload or b""), [0.0] * FEATURE_DIM,
+                         f"error: {type(exc).__name__}") + extra
+                    )
             yield pd.DataFrame(
-                out, columns=["media_id", "n_bytes", "feature", "decode_status"]
+                out,
+                columns=["media_id", "n_bytes", "feature", "decode_status"]
+                + list(passthrough),
             )
 
-    return media.mapInPandas(run, FEATURE_SCHEMA)
+    return media.mapInPandas(run, schema)
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:

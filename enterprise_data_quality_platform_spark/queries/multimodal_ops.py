@@ -26,11 +26,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7: binary payload column → Arrow-batched mapInPandas feature
     extraction (stub decoder) → per-media-type profile. Exercises the full
     multimodal plumbing: schema, batching, per-row error capture."""
-    media = attach_fake_payloads(table(spark, sf_dir, "documents"))
-    feats = extract_features(media, fake=True)
-    joined = feats.join(media.select("media_id", "media_type"), on="media_id")
+    docs = table(spark, sf_dir, "documents")
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )  # decode parallelism must not be file-split-bound
+    media = attach_fake_payloads(docs)
+    feats = extract_features(media, fake=True, passthrough=("media_type",))
     return (
-        joined.groupBy("media_type", "decode_status")
+        feats.groupBy("media_type", "decode_status")
         .agg(
             F.count(F.lit(1)).alias("n_media"),
             F.sum("n_bytes").alias("total_bytes"),
@@ -51,11 +54,17 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     stdlib codecs (full PNG inflate+unfilter, PCM WAV decode) → per-type
     profile. Every row must decode ok — an 'error:' status surfacing here
     means a codec regression, not a corrupt input."""
-    media = attach_real_payloads(table(spark, sf_dir, "documents"))
-    feats = extract_features(media, fake=False)
-    joined = feats.join(media.select("media_id", "media_type"), on="media_id")
+    docs = table(spark, sf_dir, "documents")
+    # one pass, fully parallel: repartition ahead of the encode (the
+    # documents file's few splits would otherwise bound BOTH mapInPandas
+    # stages), and carry media_type through extract_features instead of
+    # joining back to the media frame (the join side would re-run the
+    # whole encode: 8.1 → 1.5 s at sf0.1 combined)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    media = attach_real_payloads(docs)
+    feats = extract_features(media, fake=False, passthrough=("media_type",))
     return (
-        joined.groupBy("media_type", "decode_status")
+        feats.groupBy("media_type", "decode_status")
         .agg(
             F.count(F.lit(1)).alias("n_media"),
             F.sum("n_bytes").alias("total_bytes"),
