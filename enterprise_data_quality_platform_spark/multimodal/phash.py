@@ -169,6 +169,14 @@ def attach_image_payloads(docs: DataFrame) -> DataFrame:
                 rows.append((int(doc_id), png_encode(px), "image"))
             yield pd.DataFrame(rows, columns=["media_id", "payload", "media_type"])
 
-    return docs.select("doc_id", "text").mapInPandas(
-        encode, "media_id long, payload binary, media_type string"
+    # repartition ahead of the encode: the documents file's few scan
+    # splits would otherwise bound the PNG-encode parallelism (the same
+    # guard as the decode queries / minhash shingle stream)
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(parallelism, "doc_id")
+        .mapInPandas(
+            encode, "media_id long, payload binary, media_type string"
+        )
     )
