@@ -373,24 +373,26 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     product warehouse materializes.
 
     Plan: distinct (user, day) FIRST (shrinks the fact before anything
-    else — the distinct and the min-day groupBy then share the user-keyed
-    shuffle), self-join the per-user cohort day back on user_id (AQE
-    decides the strategy; the cohort frame is user-cardinality, i.e.
-    scale-growing, so no broadcast hint per the PERF.md policy), one final
-    groupBy on (cohort_day, day_offset) — a low-cardinality result grid.
-    (user, day) rows are already distinct, so active_users needs no
+    else), then the per-user cohort day as ONE window MIN partitioned by
+    user over the deduped frame — not a groupBy + self-join: the join
+    form computed the distinct subtree twice (inferred-IsNotNull
+    de-canonicalization, caught by the r5 scan-count audit) and let AQE
+    broadcast the user-cardinality cohort frame (fine at test SF, a
+    scale-killer at 100 TB where |users| outgrows any broadcast budget).
+    The window's per-user groups are bounded by active days, then one
+    final groupBy on (cohort_day, day_offset) — a low-cardinality result
+    grid. (user, day) rows are already distinct, so active_users needs no
     count_distinct/Expand."""
     days = (
         table(spark, sf_dir, "events")
         .select("user_id", F.col("ts").cast("date").alias("d"))
         .distinct()
     )
-    first = days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    w = Window.partitionBy("user_id")
     return (
-        days.join(first, "user_id")
-        .select(
-            "cohort_day",
-            F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"),
+        days.select(
+            F.datediff(F.col("d"), F.min("d").over(w)).alias("day_offset"),
+            F.min("d").over(w).alias("cohort_day"),
         )
         .filter(F.col("day_offset") <= 7)
         .groupBy("cohort_day", "day_offset")
@@ -477,11 +479,18 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboards and feature pipelines need before any rolling computation.
 
     Plan at scale: the raw scan collapses to (type, hour) aggregates
-    first; the grid is types x hours — generated from a broadcast 1-row
-    bounds aggregate and exploded `sequence()`, its size INDEPENDENT of
-    the fact row count — and the carry-forward window runs over the grid,
-    never over raw events. The left join keys on (type, hour), both
-    frames already aggregate-sized."""
+    first, and EVERYTHING else happens on that bounded frame: each
+    observed bucket explodes the gap up to the next observed bucket of
+    its type (plus the leading gap down to the global first hour for each
+    type's first bucket), so the dense grid is emitted WITHOUT a grid ⋈
+    hourly join — the earlier join form consumed the hourly subtree three
+    times (grid types, bounds, probe side) and Catalyst's per-consumer
+    aggregate pruning de-canonicalized them into three full event scans
+    (r5 scan-count audit). Global bounds ride an unpartitioned window
+    over hourly — bounded by construction (types × hours), never raw
+    rows — and the carry-forward window runs over the grid as before.
+    One fact scan, one (type, hour) shuffle, explode factor = gap
+    lengths (grid-sized output either way)."""
     ev = table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
@@ -489,38 +498,51 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("event_count"),
         fx_avg(F.col("value"), "avg_value"),
     )
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    wb = Window.partitionBy()  # bounded: hourly bucket rows only
+    wt = Window.partitionBy("event_type").orderBy("hour")
+    hour_step = F.expr("interval 1 hour")
+    spans = hourly.select(
+        "event_type",
+        "hour",
+        "event_count",
+        "avg_value",
+        F.min("hour").over(wb).alias("h0"),
+        F.max("hour").over(wb).alias("h1"),
+        F.lead("hour").over(wt).alias("next_hour"),
+        F.lag("hour").over(wt).alias("prev_hour"),
     )
-    grid = (
-        ev.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
-            ).alias("hour"),
-        )
+    lead_gap = F.when(
+        F.col("prev_hour").isNull() & (F.col("hour") > F.col("h0")),
+        F.sequence(F.col("h0"), F.col("hour") - hour_step, hour_step),
+    ).otherwise(F.array())
+    span = F.sequence(
+        F.col("hour"),
+        F.coalesce(F.col("next_hour") - hour_step, F.col("h1")),
+        hour_step,
     )
+    grid = spans.select(
+        "event_type",
+        "hour",
+        "event_count",
+        "avg_value",
+        F.explode(F.concat(lead_gap, span)).alias("grid_hour"),
+    )
+    observed = F.col("grid_hour") == F.col("hour")
     w = (
         Window.partitionBy("event_type")
-        .orderBy("hour")
+        .orderBy("grid_hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        grid.join(hourly, ["event_type", "hour"], "left")
-        .select(
-            "event_type",
-            "hour",
-            F.coalesce(F.col("event_count"), F.lit(0)).alias("event_count"),
-            F.last("avg_value", ignorenulls=True)
-            .over(w)
-            .alias("avg_value_filled"),
-        )
-        .orderBy("event_type", "hour")
-    )
+    return grid.select(
+        "event_type",
+        F.col("grid_hour").alias("hour"),
+        F.when(observed, F.col("event_count")).otherwise(F.lit(0)).alias(
+            "event_count"
+        ),
+        F.last(F.when(observed, F.col("avg_value")), ignorenulls=True)
+        .over(w)
+        .alias("avg_value_filled"),
+    ).orderBy("event_type", "hour")
 
 
 @register(
@@ -860,10 +882,19 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     range join whose multiplicity is data-dependent), and the final
     distinct is a two-level groupBy keyed by (day, user) — mergeable,
     no window state. The inner join back to observed days drops the
-    lead-out tail the oracle's grid also excludes."""
+    lead-out tail the oracle's grid also excludes.
+
+    The explicit day-IS-NOT-NULL filter is canonicalization, not
+    semantics (the final inner join on day drops NULL days anyway): the
+    join used to infer ``isnotnull(day)`` into ONLY the dau-side scan,
+    de-canonicalizing the two distinct-pairs subtrees so events was
+    scanned twice (the tfidf de-canonicalization lesson; caught by the
+    r5 scan-count audit). With both sides filtered identically the
+    (user, day) exchange is built once and reused."""
     pairs = (
         table(spark, sf_dir, "events")
         .select("user_id", F.col("ts").cast("date").alias("day"))
+        .filter(F.col("day").isNotNull())
         .distinct()
     )
     dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
@@ -1061,13 +1092,16 @@ def events_churn_inactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of per table.
 
     Plan: per-user MAX(ts) is one map-combined groupBy; the corpus
-    frontier is a 1-row broadcast factor; the 7-day rule is exact integer
-    epoch-seconds (floor-epoch on both engines, the attribution
-    precedent) so no timestamp-interval arithmetic differences can leak
-    in; one final 1-row summary."""
+    frontier is a 1-row broadcast factor DERIVED FROM the per-user frame
+    (max over per-user maxes == global max), so the per-user exchange is
+    shared and events is scanned once — the r5 repeated-fact-scan audit
+    found the events-rooted frontier cost a second full scan. The 7-day
+    rule is exact integer epoch-seconds (floor-epoch on both engines, the
+    attribution precedent) so no timestamp-interval arithmetic
+    differences can leak in; one final 1-row summary."""
     events = table(spark, sf_dir, "events")
-    bounds = events.agg(F.max("ts").alias("corpus_max"))
     last_seen = events.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    bounds = last_seen.agg(F.max("last_ts").alias("corpus_max"))
     flags = last_seen.crossJoin(F.broadcast(bounds)).select(
         F.when(
             F.unix_timestamp("corpus_max") - F.unix_timestamp("last_ts")

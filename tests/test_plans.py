@@ -220,16 +220,17 @@ def test_quantize_broadcasts_calibration(spark):
 
 
 def test_gapfill_window_runs_over_grid_not_raw_rows(spark):
-    """The LOCF window must consume the (type, hour) grid join output —
-    i.e. the plan aggregates events to hourly BEFORE any Window node, and
-    the grid side is generated from a broadcast 1-row bounds aggregate."""
+    """The dense grid must be exploded off the hourly aggregate itself —
+    no grid ⋈ hourly join (the join form consumed the hourly subtree three
+    times and per-consumer aggregate pruning de-canonicalized them into
+    three full event scans — r5 scan-count audit), and the LOCF window
+    consumes grid rows, never raw events."""
     plan = plan_of(spark, "events_gapfill_hourly")
     assert "Window" in plan
-    # the window's input is the (grid ⟕ hourly-aggregate) join — hourly
-    # rollup rows broadcast onto the generated grid, never raw events
-    assert "BroadcastHashJoin LeftOuter" in plan
-    assert "BroadcastNestedLoopJoin Cross" in plan  # 1-row bounds crossJoin
-    assert "SortMergeJoin" not in plan
+    assert "Generate" in plan and "explode" in plan  # gap spans per bucket
+    assert "Join" not in plan  # no grid-probe join of any kind
+    # ONE events scan feeds everything (each scan prints one Location line)
+    assert plan.count("Location:") == 1
 
 
 def test_funnel_single_aggregation_no_self_joins(spark):
