@@ -38,6 +38,26 @@ RUNTIME_CONFS: dict[str, str] = {
     # what turns the Q5/Q12/Q17 shapes' filtered-orders side into the hash
     # build DuckDB picks, without ever hinting a scale-growing table.
     "spark.sql.adaptive.autoBroadcastJoinThreshold": "67108864",
+    # Runtime bloom-filter join pruning (InjectRuntimeFilter): build a
+    # bloom over the filtered build side's join keys and push it into the
+    # probe side's scan — cuts the probe-side shuffle write by the build
+    # filter's selectivity (the Q5/Q10/Q7 fact⋈filtered-fact shapes).
+    # Spark enables the rule by default but gates the probe side at 10 GB,
+    # which a 100 TB fact trivially passes while the test tiers never do —
+    # so the local plan silently DIVERGED from the at-scale plan. 128 MB
+    # aligns them (sf10 facts qualify; unit-test SFs still skip it).
+    # Creation side opened to 256 MB (the post-pruning estimate of a
+    # year-filtered orders slice; the bloom itself stays maxNumItems-
+    # bounded, never broadcast-sized). Measured at sf10 (medians of 3,
+    # alternating in-session): local_supplier_volume 5.72→4.04 s,
+    # nation_trade_volume 3.76→3.18, returned_revenue 4.12→3.84,
+    # large_volume_customers 3.29→2.96, pit_state_join/small_qty/
+    # supplier_part_counts −0.1..−0.3 s each; one regression
+    # (sole_late_supplier +0.6 s — its 'F'-status build filter is ~50%
+    # selective, so the bloom prunes little) is far outweighed.
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "134217728b",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "268435456b",
+    "spark.sql.optimizer.runtime.bloomFilter.maxNumItems": "8000000",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # NOTE on scan splits: spark.sql.files.minPartitionNum already defaults
     # to leafNodeDefaultParallelism (= core count in local mode), so small
