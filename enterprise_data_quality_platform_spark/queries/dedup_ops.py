@@ -317,6 +317,15 @@ def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard = docs.filter(F.col("doc_id") % 7 == 3)
     corpus = docs.filter(F.col("doc_id") % 7 != 3)
     state = build_dedup_state(corpus)
+    # Materialize the state ONCE — the in-process stand-in for the real
+    # flow's persisted state (write_dedup_state → read_dedup_state).
+    # Without it, every downstream consumer of the in-plan state frames
+    # re-derived fingerprints AND signatures from the raw corpus text
+    # (the executed plan scanned documents ~11× — r5 scan-count audit);
+    # the whole point of the state is that ingest never re-reads the
+    # corpus. localCheckpoint keeps the query self-contained (no managed
+    # path); a production pipeline uses the parquet round-trip instead.
+    state = {k: df.localCheckpoint(eager=True) for k, df in state.items()}
     kept, report = incremental_dedup(shard, state, threshold=0.5)
     summary = report.groupBy("reason").agg(
         F.count(F.lit(1)).alias("n_docs")
