@@ -736,27 +736,52 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     here; the curation action is to strip or down-weight them before
     training (C4/RefinedWeb both ship this pass).
 
-    Plan: shingle sets are built row-locally (distinct per doc, so a gram
-    repeated inside one doc counts once), explode feeds ONE map-combined
-    groupBy on the gram string, and the top-50 is TakeOrderedAndProject
-    with the gram itself as the deterministic tiebreak — no global sort.
-    At 100 TB the same shape holds: document frequency is a mergeable
-    per-gram count; the known scale knob is pre-aggregating on hashed
-    grams and joining strings back for the survivors, which trades one
-    broadcast join for narrow shuffle keys (kept string-keyed here so the
-    DuckDB twin is byte-identical)."""
+    Plan: grams are built FLAT — slice/arrays_zip/explode then one
+    codegen concat per row — NOT via the ``shingles()`` higher-order
+    transform: nested HOF lambdas evaluate interpreted (round-1 gotcha
+    #8), and at sf10 the per-doc transform+array_distinct alone cost
+    ~48 s of the query's 49 s (profiled; the aggregate was never the
+    problem). Per-doc distinctness comes from a (doc_id, gram) groupBy
+    that rides the doc_id repartition — clustering on a subset of the
+    grouping keys satisfies the distribution, so the dedup adds NO
+    exchange — then document frequency is ONE map-combined groupBy on
+    the gram string and the top-50 is TakeOrderedAndProject with the
+    gram as deterministic tiebreak. At 100 TB the same shape holds:
+    doc-freq is a mergeable per-gram count; the known further knob is
+    pre-aggregating on hashed grams and joining strings back for the
+    survivors (kept string-keyed here so the DuckDB twin is
+    byte-identical)."""
     docs = table(spark, sf_dir, "documents")
-    # repartition BEFORE the shingle build: the documents file is small
+    # repartition BEFORE the gram build: the documents file is small
     # enough that the scan stage gets a handful of splits, and without
     # this the per-doc gram construction (the expensive part) runs in
     # those few tasks (the minhash/winnowing scan-stage lesson; measured
-    # 8.8 → 1.3 s at sf0.1)
+    # 8.8 → 1.3 s at sf0.1). It also co-locates each doc's grams for the
+    # exchange-free dedup below.
     parallelism = spark.sparkContext.defaultParallelism
-    ex = docs.repartition(parallelism, "doc_id").select(
-        F.explode(TX.shingles(F.col("text"), 3)).alias("gram")
+    toks = TX.tokens(F.lower(F.col("text")))
+    k = F.array_size(F.col("toks")) - 2
+    zipped = F.arrays_zip(
+        F.slice(F.col("toks"), 1, k).alias("w0"),
+        F.slice(F.col("toks"), 2, k).alias("w1"),
+        F.slice(F.col("toks"), 3, k).alias("w2"),
+    )
+    per_doc = (
+        docs.repartition(parallelism, "doc_id")
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.array_size(F.col("toks")) >= 3)
+        .select("doc_id", F.explode(zipped).alias("t"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("t.w0"), F.col("t.w1"), F.col("t.w2")
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.lit(1).alias("__one"))
     )
     return (
-        ex.groupBy("gram")
+        per_doc.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .filter(F.col("doc_freq") >= BOILERPLATE_MIN_DF)
         .orderBy(F.col("doc_freq").desc(), "gram")
