@@ -466,6 +466,11 @@ def test_boilerplate_ngrams_topk_no_global_sort(spark):
     assert ops.count("Exchange") == 2
     assert "hashpartitioning(gram" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # gram construction stays FLAT (slice/arrays_zip/concat after the
+    # explode): a higher-order lambda here evaluates interpreted and cost
+    # 48 of the query's 49 s at sf10 (r5 third-session profile) — if a
+    # lambdafunction reappears in this plan, the rewrite regressed
+    assert "lambdafunction" not in plan
 
 
 def test_csv_roundtrip_is_row_local(spark):
