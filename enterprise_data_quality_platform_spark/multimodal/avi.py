@@ -45,7 +45,9 @@ def avi_encode(
     max_bytes = max(len(p) for p in payloads)
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
-        usec_per_frame, max_bytes * fps, 0, 0x10,  # flags: AVIF_HASINDEX off
+        # flags=0: no idx1 chunk is written, so AVIF_HASINDEX (0x10) must
+        # stay off or strict readers would look for an index we lack.
+        usec_per_frame, max_bytes * fps, 0, 0,
         len(payloads), 0, 1, max_bytes, w, h, 0, 0, 0, 0,
     )
     strh = (

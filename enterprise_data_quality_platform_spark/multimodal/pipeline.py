@@ -146,11 +146,13 @@ def decode_payload(payload: bytes, fake: bool = False) -> np.ndarray:
     codecs — full PNG decode (zlib inflate + scanline unfilter + pixel
     stats), PCM WAV decode (energy + spectral bands), baseline JPEG
     decode (Huffman entropy decode + dequant + IDCT + chroma upsample;
-    ``jpeg.py``), and MJPEG-AVI video decode (RIFF chunk walk + per-frame
-    JPEG + motion features; ``avi.py``). Inter-frame video codecs
-    (MP4/H.264) raise NotImplementedError — they need ffmpeg; in a real
-    deployment that branch dispatches to it and the surrounding Arrow
-    plumbing is unchanged.
+    ``jpeg.py``), and MJPEG video decode in BOTH container formats —
+    RIFF/AVI (chunk walk; ``avi.py``) and ISO-BMFF/MP4 (box walk +
+    sample tables; ``mp4.py``) — per-frame JPEG + motion features.
+    Only inter-frame codecs (H.264/avc1 sample entries inside MP4)
+    raise NotImplementedError — they need ffmpeg; in a real deployment
+    that branch dispatches to it and the surrounding Arrow plumbing is
+    unchanged.
 
     Fake path (``fake=True``): deterministic content-hash features, kept
     for tests that need payloads without a decodable container."""

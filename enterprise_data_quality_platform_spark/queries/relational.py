@@ -619,8 +619,24 @@ def mart_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pair is packed into ONE 64-bit key (part_a << 32 | part_b) for
     # the shuffle + hash agg — 13% whole-query win, value-identical:
     # unpacking is exact for partkeys < 2^32 and the packed ordering is
-    # the (part_a, part_b) lexicographic ordering.
-    packed = F.col("a.l_partkey") * F.lit(4294967296) + F.col("b.l_partkey")
+    # the (part_a, part_b) lexicographic ordering. The precondition is
+    # ENFORCED in-plan (not just documented): partkeys at/above 2^31
+    # (pack overflow) or 2^32 (silent key collision) hit the raise_error
+    # branch, so a scale-up fails loudly instead of returning wrong
+    # co-occurrence counts. Two row-local comparisons — no extra pass.
+    pack_ok = (F.col("a.l_partkey") < F.lit(2147483648)) & (
+        F.col("b.l_partkey") < F.lit(4294967296)
+    ) & (F.col("a.l_partkey") >= 0) & (F.col("b.l_partkey") >= 0)
+    packed = F.when(
+        pack_ok, F.col("a.l_partkey") * F.lit(4294967296) + F.col("b.l_partkey")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "mart_part_affinity: l_partkey outside [0, 2^31) pack range;"
+                " use the two-column groupBy form for this key domain"
+            )
+        ).cast("bigint")
+    )
     agg = (
         a.join(
             b,

@@ -48,9 +48,16 @@ def fit_pca(
     explained_ratio (k,), n}."""
     from decimal import Decimal
 
-    d = len(
-        corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0]
-    )
+    # NULL vectors are excluded HERE, before the moment-sum pass — the
+    # dimension probe below shares the same frame, so np.stack in the
+    # partials can never see a None row.
+    vecs = corpus.select(vec_col).filter(F.col(vec_col).isNotNull())
+    probe = vecs.first()
+    if probe is None:
+        raise ValueError(
+            "fit_pca: corpus has no non-null embedding vectors"
+        )
+    d = len(probe[0])
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -70,7 +77,7 @@ def fit_pca(
                     {"vals": [[Decimal(int(v)) for v in vals]]}
                 )
 
-    partials = corpus.select(to_vec(F.col(vec_col))).mapInPandas(
+    partials = vecs.select(to_vec(F.col(vec_col))).mapInPandas(
         partial, "vals array<decimal(38,0)>"
     )
     # ONE element-wise exact reduce of the (1+d+d²)-long partial rows

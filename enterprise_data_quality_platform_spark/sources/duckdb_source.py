@@ -18,6 +18,8 @@ no driver-side collect exists — planning reads only a 1-row MIN/MAX.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 #: duckdb -> Spark DDL type map (the columns our tables use)
@@ -54,7 +56,12 @@ def _sql_literal(v) -> str | None:
     """SQL-literal encoding for pushable filter values; None = unsupported."""
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # NaN/Infinity repr() as bare nan/inf — invalid DuckDB literals
+        # that would fail the warehouse query at scan time. Leave such
+        # filters residual; Spark evaluates them post-scan.
+        return repr(v) if math.isfinite(v) else None
+    if isinstance(v, int):
         return repr(v)
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"

@@ -153,3 +153,29 @@ def test_push_filters_unit_translation():
         '"s" IS NOT NULL',
         "starts_with(\"s\", 'pre')",
     ]
+
+
+def test_nonfinite_float_filters_stay_residual():
+    """ADVICE r5: repr(nan)/repr(inf) are invalid DuckDB literals — a
+    pushed comparison against a non-finite value must be yielded back as
+    a residual filter, not crash the warehouse query at scan time."""
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import StructType, StructField, DoubleType
+
+    from enterprise_data_quality_platform_spark.sources.duckdb_source import (
+        DuckDBTableReader,
+        _sql_literal,
+    )
+
+    assert _sql_literal(float("nan")) is None
+    assert _sql_literal(float("inf")) is None
+    assert _sql_literal(float("-inf")) is None
+    assert _sql_literal(1.5) == "1.5"
+
+    schema = StructType([StructField("x", DoubleType())])
+    r = DuckDBTableReader(schema, {"path": "x.parquet"})
+    residual = list(
+        r.pushFilters([EqualTo(("x",), float("nan")), EqualTo(("x",), 2.0)])
+    )
+    assert len(residual) == 1  # the NaN comparison came back
+    assert r.pushed_where == ['"x" = 2.0']

@@ -85,3 +85,25 @@ def test_full_rank_projection_preserves_total_variance(spark):
         rtol=1e-6,
     )
     assert np.isclose(m["explained_ratio"].sum(), 1.0, atol=1e-9)
+
+
+def test_fit_pca_null_rows_and_empty_corpus(spark):
+    """ADVICE r5: NULL embedding rows must be filtered from the moment-sum
+    pass (not only the dimension probe), and an all-null/empty corpus must
+    raise a clear ValueError instead of a TypeError on None."""
+    import pytest
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 4)]) for i in range(50)]
+    rows += [(100 + i, None) for i in range(5)]  # NULL vectors interleaved
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m = fit_pca(df, k=2, vec_col="embedding")
+    assert m["n"] == 50  # nulls excluded from the count
+    m_clean = fit_pca(
+        df.filter(F.col("embedding").isNotNull()), k=2, vec_col="embedding"
+    )
+    assert np.array_equal(m["mean"], m_clean["mean"])
+
+    empty = df.filter(F.col("embedding").isNull())
+    with pytest.raises(ValueError, match="no non-null embedding"):
+        fit_pca(empty, k=2, vec_col="embedding")

@@ -497,3 +497,36 @@ def test_incremental_exact_state_join_prunes_columns(spark):
     plan = plan_of(spark, "dedup_incremental_exact")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_part_affinity_pack_guard_raises_on_huge_partkey(spark, tmp_path):
+    """ADVICE r5: the packed 64-bit pair key silently collides once
+    l_partkey >= 2^32 — the guard must make a scale-up fail LOUDLY
+    instead of returning wrong co-occurrence counts."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from enterprise_data_quality_platform_spark.queries.relational import (
+        mart_part_affinity,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, 2**32 + 5), (1, 2**32 + 9), (2, 7), (2, 11)],
+        "l_orderkey long, l_partkey long",
+    )
+    bad.write.parquet(str(tmp_path / "lineitem.parquet"))
+    with pytest.raises(Exception) as exc:
+        mart_part_affinity(spark, str(tmp_path)).collect()
+    assert "pack range" in str(exc.value)
+
+    ok = spark.createDataFrame(
+        [(1, 3), (1, 5), (2, 3), (2, 5), (2, 9)],
+        "l_orderkey long, l_partkey long",
+    )
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "lineitem.parquet"))
+    ok.write.parquet(str(tmp_path / "lineitem.parquet"))
+    rows = mart_part_affinity(spark, str(tmp_path)).collect()
+    top = {(r.part_a, r.part_b): r.together_count for r in rows}
+    assert top[(3, 5)] == 2 and top[(3, 9)] == 1 and top[(5, 9)] == 1
