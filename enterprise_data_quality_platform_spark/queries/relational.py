@@ -826,24 +826,97 @@ def mart_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables=("lineitem", "part"),
 )
 def mart_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17-shaped correlated-subquery query: revenue from lineitems
-    whose quantity is below 20% of their part's average quantity.
+    """TPC-H Q17-shaped query: revenue from lineitems whose quantity is
+    below 20% of their part's average quantity — hand-planned.
 
-    The Spark side is written AS the correlated scalar subqueries
-    (``l_quantity*5 < avg over the same part``) and relies on Catalyst's
-    subquery decorrelation: the optimizer rewrites each correlated
-    aggregate into a groupBy(l_partkey) + join — there is NO per-row
-    subquery execution in the physical plan (asserted in
-    tests/test_plans.py), and Spark's MergeScalarSubqueries folds the
-    COUNT and SUM subqueries over the same correlation into one
-    aggregate. The oracle spells the decorrelated form explicitly —
-    same result, hand-planned.
+    Plan (the r6 A/B winner over four alternatives, ledger in PERF.md):
+    the per-part stats collapse to ONE BIGINT threshold before the join —
+    ``qty*5*cnt < qsum  ⇔  qty_units ≤ (qsum-1) div (5·cnt)`` (exact
+    integer division, no float drift) — so the build side carries
+    (partkey, thr) 16-byte rows instead of (partkey, cnt, qsum), and the
+    join becomes a ShuffledHashJoin (hinted: the build partitions are
+    |parts|/32 entries; SMJ would sort all 60M probe rows). Rejected
+    forms, measured at sf10: window-over-partkey (6.8 s — one exchange
+    but a full 60M sort), repartition+ReusedExchange (impossible: column
+    pruning de-canonicalizes the stats subtree and dummy aggregate
+    references are themselves pruned — the r5 cascade lesson), the
+    correlated-subquery form that relies on Catalyst decorrelation
+    (5.0 s; kept as ``mart_small_qty_revenue_subquery`` as the
+    decorrelation demo). This form: 4.3 s.
 
-    Portability: the 20%-of-average predicate is pure BIGINT cross-
-    multiplication (qty_units * 5 * cnt < sum_units) — no float division,
-    no DECIMAL literals in the Spark SQL text (Spark parses ``0.2`` as
-    DECIMAL; gotcha #3 in ROUND_NOTES) — and the revenue sum goes through
-    the fixed-point DataFrame helpers AFTER the SQL stage."""
+    Portability: predicate and threshold are pure BIGINT — no float
+    division, no DECIMAL literals (ROUND_NOTES gotcha #3); revenue goes
+    through the fixed-point helpers."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(FLOOR(l_quantity * 10000 + 0.5) AS BIGINT)").alias(
+            "qty_units"
+        ),
+        F.expr("CAST(FLOOR(l_extendedprice * 10000 + 0.5) AS BIGINT)").alias(
+            "rev_units"
+        ),
+    )
+    part = table(spark, sf_dir, "part")
+    thr = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.expr(
+                "CAST((sum(qty_units) - 1) div (5 * count(1)) AS BIGINT)"
+            ).alias("thr")
+        )
+        .withColumnRenamed("l_partkey", "t_partkey")
+        .hint("shuffle_hash")
+    )
+    flagged = li.join(thr, li.l_partkey == thr.t_partkey).filter(
+        F.col("qty_units") <= F.col("thr")
+    )
+    grouped = (
+        flagged.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("small_qty_lines"),
+            F.sum("rev_units").alias("rev_units"),
+        )
+    )
+    return grouped.select(
+        "p_brand",
+        "small_qty_lines",
+        fx_round(F.col("rev_units") / F.lit(10000.0), 2).alias("small_qty_revenue"),
+    ).orderBy("p_brand")
+
+
+@register(
+    "mart_small_qty_revenue_subquery",
+    oracle=f"""
+    WITH stats AS (
+      SELECT l_partkey, COUNT(*) AS cnt,
+             SUM(CAST(FLOOR(l_quantity * 10000 + 0.5) AS BIGINT)) AS qsum
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS small_qty_lines,
+           {sql_sum("l.l_extendedprice")} AS small_qty_revenue
+    FROM lineitem l
+    JOIN stats s ON s.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE CAST(FLOOR(l.l_quantity * 10000 + 0.5) AS BIGINT) * 5 * s.cnt < s.qsum
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    tables=("lineitem", "part"),
+)
+def mart_small_qty_revenue_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-scalar-subquery form of ``mart_small_qty_revenue``,
+    kept as the Catalyst-decorrelation demo: written AS the correlated
+    subqueries, the optimizer rewrites each correlated aggregate into a
+    groupBy(l_partkey) + join (NO per-row subquery execution —
+    plan-asserted in tests/test_plans.py) and MergeScalarSubqueries folds
+    the COUNT and SUM subqueries over the same correlation into one
+    aggregate. The hand-planned twin above is ~15% faster at sf10; this
+    form shows what you get for free when a user writes the natural SQL."""
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("sqr_lineitem")
     table(spark, sf_dir, "part").createOrReplaceTempView("sqr_part")
     grouped = spark.sql(
@@ -1890,26 +1963,66 @@ def mart_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     link).
 
     Plan: the denylist is a broadcast LEFT ANTI join (NOT IN with a
-    provably non-null key — never a nested loop); the distinct count is
-    the two-level aggregate (groupBy brand,size,suppkey first — the
-    Expand-free dq_uniqueness pattern), then the count per brand,size."""
+    provably non-null key — never a nested loop). The distinct count is a
+    VERTICAL-BITMAP aggregate, not a row dedup: the two-level
+    (brand,size,suppkey)-distinct form shuffled ~60M rows into a ~47M-key
+    hash table whose map-side partial was pure pass-through (measured
+    4.1 s of 6.6 at sf10 — and pre-deduping (partkey,suppkey) edges is
+    useless on this data: 59.1M distinct pairs of 60M lines). Instead
+    each line contributes ONE bit: group key = (gid, suppkey >> 6),
+    value = bit_or(1L << (suppkey & 63)) — a single codegen expression
+    per row — then supplier_cnt = Σ bit_count per gid. The final hash
+    table shrinks to |groups|·|supplier domain|/64 ≈ 2M entries (vs 47M)
+    and the merge is a long OR. sf10: 6.6 → 3.2 s; the residual 1.4 s is
+    the scan + two broadcast probes (profiled), i.e. Spark's join floor,
+    not the aggregate. 100 TB posture: with dense supplier keys the
+    bitmap chunks stay packed; with sparse/random 64-bit keys each chunk
+    degrades to ~1 bit and the plan gracefully equals the row-dedup form
+    — never worse, no precondition. gid is a dense (brand,size) index
+    from a bounded dim (≤ |brands|·|sizes| rows; single-partition window
+    over that dim only, never over facts)."""
+    from pyspark.sql import Window
+
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
     supplier = table(spark, sf_dir, "supplier")
     deny = supplier.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
-    triples = (
+    dim = (
+        part.select("p_brand", "p_size")
+        .distinct()
+        .withColumn(
+            "gid",
+            F.row_number()
+            .over(Window.orderBy("p_brand", "p_size"))
+            .cast("long")
+            - 1,
+        )
+    )
+    part_gid = (
+        part.select("p_partkey", "p_brand", "p_size")
+        .join(F.broadcast(dim), ["p_brand", "p_size"])
+        .select("p_partkey", "gid")
+    )
+    edges = (
         li.select("l_partkey", "l_suppkey")
         .join(F.broadcast(deny), li.l_suppkey == deny.s_suppkey, "left_anti")
-        .join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
-            F.col("l_partkey") == F.col("p_partkey"),
+        .join(F.broadcast(part_gid), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "gid",
+            F.shiftright(F.col("l_suppkey"), 6).alias("chunk"),
+            F.expr("shiftleft(1L, CAST(l_suppkey & 63 AS INT))").alias("bit"),
         )
-        .groupBy("p_brand", "p_size", "l_suppkey")
-        .agg(F.lit(1).alias("_"))
+    )
+    counts = (
+        edges.groupBy("gid", "chunk")
+        .agg(F.bit_or("bit").alias("w"))
+        .select("gid", F.bit_count("w").alias("c"))
+        .groupBy("gid")
+        .agg(F.sum("c").alias("supplier_cnt"))
     )
     return (
-        triples.groupBy("p_brand", "p_size")
-        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+        counts.join(F.broadcast(dim), "gid")
+        .select("p_brand", "p_size", "supplier_cnt")
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
         .limit(50)
     )

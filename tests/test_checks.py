@@ -159,3 +159,20 @@ def test_schema_checks(spark, sample):
         ],
     )
     assert [r.status for r in results] == ["pass", "fail", "pass"]
+
+
+def test_correlation_approx_agrees_with_exact(spark):
+    """dq_correlation_approx (double moments, the scale path) must agree
+    with the exact DECIMAL path to 1e-9 relative on r and slope."""
+    from conftest import SF_SMALL
+
+    from enterprise_data_quality_platform_spark.queries.dq import (
+        dq_correlation,
+        dq_correlation_approx,
+    )
+
+    exact = dq_correlation(spark, SF_SMALL).collect()[0]
+    approx = dq_correlation_approx(spark, SF_SMALL).collect()[0]
+    assert approx.n == exact.n
+    assert abs(approx.pearson_r - exact.pearson_r) <= 1e-9 * abs(exact.pearson_r)
+    assert abs(approx.slope - exact.slope) <= 1e-9 * abs(exact.slope)

@@ -225,8 +225,16 @@ def test_small_qty_revenue_matches_manual(spark, monkeypatch):
 def test_small_qty_revenue_decorrelates(spark):
     """Catalyst must rewrite the correlated scalar subqueries into
     aggregate+join — no per-row subquery execution in the physical plan."""
-    plan = plan_of(spark, "mart_small_qty_revenue")
+    plan = plan_of(spark, "mart_small_qty_revenue_subquery")
     assert "Subquery" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_small_qty_revenue_threshold_plan(spark):
+    """The hand-planned form: one-column integer threshold build side,
+    hash join (no SMJ sort of the 60M probe rows), broadcast brand dim."""
+    plan = plan_of(spark, "mart_small_qty_revenue")
+    assert "ShuffledHashJoin" in plan
     assert "NestedLoop" not in plan
 
 
