@@ -224,6 +224,36 @@ def embed_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embed_knn_rerank",
+    oracle=None,  # stage-1 ADC ranking has no exact SQL twin; the exact
+    # stage-2 scores and recall vs brute force are pytest-pinned
+    tables=("embeddings",),
+)
+def embed_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 exact-rerank tier: two-stage search — int8-ADC shortlist (cheap,
+    full-coverage) → full-precision cosine re-rank of the shortlist only
+    (``similarity/quantize.py::quantized_rerank_topk`` +
+    ``similarity/knn.py::exact_rerank``). The exact-compute budget per
+    probe is the shortlist size, independent of corpus scale; recall
+    ≥0.95 vs brute force and stage-2 score exactness are pinned in
+    tests/test_corpus_ops.py."""
+    from ..similarity.quantize import quantized_rerank_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"),
+        V.to_double(F.col("embedding")).alias("pvec"),
+    )
+    out = quantized_rerank_topk(emb, probes, k=5, shortlist=50)
+    return out.filter(F.col("probe_id") != F.col("vec_id")).select(
+        "probe_id",
+        "vec_id",
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+        "sim_rank",
+    )
+
+
+@register(
     "embed_label_centroid",
     oracle="""
     WITH ex AS (

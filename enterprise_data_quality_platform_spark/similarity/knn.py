@@ -86,6 +86,38 @@ def brute_force_topk(
     return _topk_per_probe(sims, k, probe_id_col, id_col)
 
 
+def exact_rerank(
+    corpus: DataFrame,
+    candidates: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "pvec",
+) -> DataFrame:
+    """Stage 2 of two-stage ANN (the FAISS ``refine`` pattern): re-score
+    candidate (probe, id) pairs — from ANY stage 1: an ADC shortlist, LSH
+    buckets, IVF probed lists — with FULL-precision cosine and keep the
+    top-k. Only candidate ids travel back to the float corpus (an
+    equi-join fetch on the id), so the exact scorer touches |candidates|
+    vectors per probe, never the corpus: the exact-compute budget is the
+    shortlist size, independent of corpus scale. Output schema matches
+    ``brute_force_topk``: (probe_id, vec_id, cosine_sim, sim_rank)."""
+    cand = candidates.select(probe_id_col, id_col).dropDuplicates(
+        [probe_id_col, id_col]
+    )
+    fetched = cand.join(corpus.select(id_col, vec_col), id_col)
+    sims = fetched.join(F.broadcast(probes), on=probe_id_col).select(
+        F.col(probe_id_col),
+        F.col(id_col),
+        cosine_batch(
+            to_double(F.col(vec_col)), to_double(F.col(probe_vec_col))
+        ).alias("cosine_sim"),
+    )
+    return _topk_per_probe(sims, k, probe_id_col, id_col)
+
+
 def _multiprobe_buckets(
     bucket: Column, num_planes: int, multiprobe: int, radius: int = 1
 ) -> Column:

@@ -365,3 +365,58 @@ def test_topk_requires_order_columns(spark):
     df = spark.range(5).withColumn("g", F.lit("a"))
     with _pytest.raises(ValueError):
         topk_per_group(df, ["g"], [], k=2)
+
+
+def test_exact_rerank_recall_and_score_exactness(spark):
+    """The two-stage rerank tier (ADC shortlist -> exact cosine re-rank):
+    (1) recall vs full brute force >= 0.95 over the probe set at a fixed
+    exact-compute budget (shortlist=50 per probe); (2) the re-ranked
+    scores are EXACTLY the brute-force scores for the ids both return
+    (stage 2 is full precision, not an approximation)."""
+    from enterprise_data_quality_platform_spark.functions import vectors as V
+    from enterprise_data_quality_platform_spark.similarity.knn import (
+        brute_force_topk,
+    )
+    from enterprise_data_quality_platform_spark.similarity.quantize import (
+        quantized_rerank_topk,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("probe_id"),
+        V.to_double(F.col("embedding")).alias("pvec"),
+    )
+    exact = {
+        (r["probe_id"], r["vec_id"]): r["cosine_sim"]
+        for r in brute_force_topk(emb, probes, k=10).collect()
+    }
+    rerank = {
+        (r["probe_id"], r["vec_id"]): r["cosine_sim"]
+        for r in quantized_rerank_topk(emb, probes, k=10, shortlist=50).collect()
+    }
+    hits = len(set(exact) & set(rerank))
+    assert hits >= 0.95 * len(exact), (hits, len(exact))
+    for key in set(exact) & set(rerank):
+        assert rerank[key] == exact[key]  # bit-identical full-precision
+
+
+def test_exact_rerank_composes_with_lsh_candidates(spark):
+    """exact_rerank over LSH bucket candidates returns exactly the
+    LSH result (both score full precision) — proving the stage-2 API
+    composes with any stage-1 candidate generator."""
+    from enterprise_data_quality_platform_spark.functions import vectors as V
+    from enterprise_data_quality_platform_spark.similarity.knn import (
+        exact_rerank,
+        lsh_ann_topk,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("probe_id"),
+        V.to_double(F.col("embedding")).alias("pvec"),
+    )
+    lsh = lsh_ann_topk(emb, probes, k=20, num_planes=6, multiprobe=6, radius=2)
+    rr = exact_rerank(emb, lsh.select("probe_id", "vec_id"), probes, k=20)
+    a = {(r["probe_id"], r["vec_id"], r["cosine_sim"]) for r in lsh.collect()}
+    b = {(r["probe_id"], r["vec_id"], r["cosine_sim"]) for r in rr.collect()}
+    assert a == b
