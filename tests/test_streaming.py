@@ -972,3 +972,115 @@ def test_rocksdb_state_store_parity(spark):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def _emission_run(spark, mode, group_cols, window_col_name):
+    """Shared harness for per-mode emission-timing pins: three files
+    triggered one per batch (10:15+10:20, then 12:00, then 13:05),
+    10-minute watermark, returns (batch_id, window_start_hour+minute,
+    n) tuples from a foreachBatch sink."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+
+    def write(path, ids, tss):
+        pd.DataFrame(
+            {"event_id": ids, "ts": pd.to_datetime(tss), "user_id": [1] * len(ids)}
+        ).astype({"ts": "datetime64[us]"}).to_parquet(path)
+
+    with tempfile.TemporaryDirectory(prefix="edqp-emit2-") as src:
+        write(f"{src}/a.parquet", [1, 2], ["2024-06-01 10:15:00", "2024-06-01 10:20:00"])
+        write(f"{src}/b.parquet", [3], ["2024-06-01 12:00:00"])
+        write(f"{src}/c.parquet", [4], ["2024-06-01 13:05:00"])
+        now = _time.time()
+        for i, f in enumerate(["a.parquet", "b.parquet", "c.parquet"]):
+            os.utime(f"{src}/{f}", (now - 60 + i * 20, now - 60 + i * 20))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        emitted = []  # (batch_id, "HH:MM" window start, n)
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                w = r[window_col_name]
+                emitted.append((batch_id, w.start.strftime("%H:%M"), r.n))
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="edqp-ck-"))
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+
+def test_sliding_window_append_vs_update_emission(spark):
+    """T3 emission timing: a sliding window (1h / 30m slide) covers each
+    row twice. Append emits each covered window exactly once, only after
+    the watermark passes its END, never in the arrival batch; update
+    emits running aggregates in the arrival batch including windows the
+    watermark never finalizes."""
+    cols = [F.window("ts", "1 hour", "30 minutes")]
+    append = _emission_run(spark, "append", cols, "window")
+    # rows 10:15/10:20 covered by windows 09:30 and 10:00, both n=2, each
+    # emitted exactly once and only after the 12:00 row advanced the
+    # watermark (arrival batch is 0)
+    for start in ("09:30", "10:00"):
+        hits = [(b, n) for b, s, n in append if s == start]
+        assert len(hits) == 1 and hits[0][1] == 2, (start, append)
+        assert hits[0][0] > 0, f"append emitted {start} in its arrival batch"
+    # the 13:05 row's windows (12:30, 13:00) are never watermark-finalized
+    assert all(s not in ("12:30", "13:00") for _, s, _ in append), append
+
+    update = _emission_run(spark, "update", cols, "window")
+    # update emits the running state of BOTH covering windows in batch 0
+    assert {( b, s) for b, s, _ in update if b == 0} >= {(0, "09:30"), (0, "10:00")}
+    # and the never-finalized windows do appear
+    assert any(s in ("12:30", "13:00") for _, s, _ in update), update
+
+
+def test_session_window_append_emission_and_update_rejected(spark):
+    """T4 emission timing: session windows emit in append mode only after
+    the watermark passes the session END (gap-extended), never in the
+    arrival batch; a stream-end session is withheld forever. Update mode
+    is REJECTED by Spark for session aggregations
+    (STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION) — pinned so an engine
+    upgrade that starts accepting it is noticed."""
+    import pytest
+
+    cols = ["user_id", F.session_window("ts", "30 minutes")]
+    append = _emission_run(spark, "append", cols, "session_window")
+    # 10:15+10:20 merge into one session [10:15, 10:50): emitted once,
+    # n=2, after its arrival batch
+    tens = [(b, n) for b, s, n in append if s == "10:15"]
+    assert len(tens) == 1 and tens[0][1] == 2, append
+    assert tens[0][0] > 0
+    # 12:00's session finalized by the 13:05 watermark advance
+    assert any(s == "12:00" and n == 1 for _, s, n in append), append
+    # 13:05's session: watermark never passes its end -> withheld
+    assert all(s != "13:05" for _, s, _ in append), append
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException, match="STREAMING_OUTPUT_MODE"):
+        _emission_run(spark, "update", cols, "session_window")
