@@ -179,6 +179,40 @@ def _violation_cond(check: Check) -> Column:
     if t == "match_strftime":
         fmt = strftime_to_spark(p["format"])
         return c.isNotNull() & F.try_to_timestamp(c, F.lit(fmt)).isNull()
+    if t == "dateutil_parseable":
+        # GE validates with python-dateutil; the engine twin is the JVM's
+        # permissive parser — parseable iff the value try-casts to
+        # TIMESTAMP or DATE (covers ISO dates, date-times, T separators,
+        # fractional seconds). A format-pinned contract should use
+        # match_strftime instead; this is the "is it date-LIKE at all"
+        # profiling check.
+        return (
+            c.isNotNull()
+            & F.try_to_timestamp(c).isNull()
+            & c.try_cast("date").isNull()
+        )
+    if t == "match_like_pattern":
+        return c.isNotNull() & ~c.like(p["pattern"])
+    if t == "not_match_like_pattern":
+        return c.isNotNull() & c.like(p["pattern"])
+    if t == "match_like_pattern_list":
+        conds = [c.like(x) for x in p["patterns"]]
+        if p.get("match_on", "any") == "all":
+            ok = conds[0]
+            for x in conds[1:]:
+                ok = ok & x
+        else:
+            ok = conds[0]
+            for x in conds[1:]:
+                ok = ok | x
+        return c.isNotNull() & ~ok
+    if t == "pair_in_set":
+        a, b = check.columns
+        ok = F.lit(False)
+        for pair in p["value_pairs"]:
+            va, vb = pair[0], pair[1]
+            ok = ok | ((F.col(a) == F.lit(va)) & (F.col(b) == F.lit(vb)))
+        return F.col(a).isNotNull() & F.col(b).isNotNull() & ~ok
     if t == "expression":
         return ~F.expr(p["condition"])
     if t == "distinct_in_set":
@@ -243,8 +277,13 @@ _ROW_COND_TYPES = frozenset(
         "match_regex",
         "not_match_regex",
         "match_strftime",
+        "dateutil_parseable",
+        "match_like_pattern",
+        "not_match_like_pattern",
+        "match_like_pattern_list",
         "pair_greater_than",
         "pair_equal",
+        "pair_in_set",
         "multicolumn_sum_equal",
         "json_parseable",
         "expression",

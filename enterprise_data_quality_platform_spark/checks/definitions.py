@@ -53,7 +53,12 @@ AGG_CHECK_TYPES = frozenset(
         "quantile_between",  # G12 — percentile() aggregate
         "most_common_in_set",  # G15 — mode() aggregate
         "pair_equal",  # GE expect_column_pair_values_to_be_equal
+        "pair_in_set",  # GE expect_column_pair_values_to_be_in_set
         "multicolumn_sum_equal",  # GE expect_multicolumn_sum_to_equal
+        "dateutil_parseable",  # GE expect_column_values_to_be_dateutil_parseable
+        "match_like_pattern",  # GE expect_column_values_to_match_like_pattern
+        "not_match_like_pattern",  # GE ...to_not_match_like_pattern
+        "match_like_pattern_list",  # GE ...to_match_like_pattern_list
         "json_parseable",  # GE expect_column_values_to_be_json_parseable
         "distinct_contain_set",  # GE expect_column_distinct_values_to_contain_set
         "distinct_equal_set",  # GE expect_column_distinct_values_to_equal_set

@@ -35,6 +35,11 @@ GE_TYPE_MAP = {
     "expect_column_values_to_match_regex": "match_regex",
     "expect_column_values_to_not_match_regex": "not_match_regex",
     "expect_column_values_to_match_strftime_format": "match_strftime",
+    "expect_column_values_to_be_dateutil_parseable": "dateutil_parseable",
+    "expect_column_values_to_match_like_pattern": "match_like_pattern",
+    "expect_column_values_to_not_match_like_pattern": "not_match_like_pattern",
+    "expect_column_values_to_match_like_pattern_list": "match_like_pattern_list",
+    "expect_column_pair_values_to_be_in_set": "pair_in_set",
     "expect_column_mean_to_be_between": "mean_between",
     "expect_column_stdev_to_be_between": "stddev_between",
     "expect_column_min_to_be_between": "min_between",
@@ -75,10 +80,13 @@ _KW_RENAMES = {  # GE kwarg → Check param
     "column_list": "column_list",
     "type_": "type",
     "other_table_name": "other_table",
+    "like_pattern": "pattern",
+    "like_pattern_list": "patterns",
+    "value_pairs_set": "value_pairs",
 }
 
 #: check types whose GE kwargs spell the column pair as column_A/column_B
-_PAIR_TYPES = frozenset({"pair_greater_than", "pair_equal"})
+_PAIR_TYPES = frozenset({"pair_greater_than", "pair_equal", "pair_in_set"})
 
 
 def check_to_dict(check: Check) -> dict:
@@ -126,7 +134,7 @@ def check_from_dict(d: dict) -> Check:
     params = {_KW_RENAMES.get(k, k): v for k, v in kwargs.items()}
     if "values" in params and isinstance(params["values"], list):
         params["values"] = tuple(params["values"])
-    if check_type in ("pair_greater_than", "pair_equal") and column_a and column_b:
+    if check_type in _PAIR_TYPES and column_a and column_b:
         columns = (column_a, column_b)
     else:
         columns = tuple(column_list)

@@ -1877,6 +1877,153 @@ def dq_strftime_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_dateutil_parseable",
+    # same failure-injection trick as dq_strftime_validity: every 97th key
+    # becomes a non-date so the check counts real violations; the three
+    # healthy format branches exercise the permissive parser (bare date,
+    # datetime, ISO-T) — all in the Java-parser ∩ DuckDB-cast agreement set
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN o_orderkey % 97 = 0 THEN 'not-a-date'
+                  WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                  WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y-%m-%d 08:30:00')
+                  ELSE strftime(o_orderdate, '%Y-%m-%dT12:45:09') END AS sval
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS total,
+           CAST(COUNT(*) FILTER (
+             WHERE TRY_CAST(sval AS TIMESTAMP) IS NULL
+               AND TRY_CAST(sval AS DATE) IS NULL
+           ) AS BIGINT) AS parse_violations
+    FROM s
+    """,
+    tables=("orders",),
+)
+def dq_dateutil_parseable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GE expect_column_values_to_be_dateutil_parseable: "is this value
+    date-like at all" — the permissive-parse profiling check (contrast
+    match_strftime, which pins ONE format). The engine twin of
+    python-dateutil is the JVM's permissive parser: parseable iff the
+    value try-casts to TIMESTAMP or DATE — exactly the expression the
+    ``dateutil_parseable`` check type compiles
+    (checks/compiler.py::_violation_cond). Three healthy format branches
+    (bare date / datetime / ISO-T) plus an injected non-date slice give
+    the check real violations to count."""
+    s = (
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("not-a-date"))
+        .when(
+            F.col("o_orderkey") % 3 == 0,
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.date_format("o_orderdate", "yyyy-MM-dd 08:30:00"),
+        )
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd'T'12:45:09"))
+    )
+    sval = F.col("sval")
+    viol = (
+        sval.isNotNull()
+        & F.try_to_timestamp(sval).isNull()
+        & sval.try_cast("date").isNull()
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(s.alias("sval"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(viol, 1).otherwise(0)).alias("parse_violations"),
+        )
+    )
+
+
+@register(
+    "dq_like_pattern",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN c_custkey % 97 = 0
+                  THEN REPLACE(c_name, 'Customer#', 'cust-')
+                  ELSE c_name END AS name
+      FROM customer
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS total,
+           CAST(COUNT(*) FILTER (
+             WHERE name NOT LIKE 'Customer#%'
+           ) AS BIGINT) AS like_violations,
+           CAST(COUNT(*) FILTER (
+             WHERE name NOT LIKE 'Customer#%' AND name NOT LIKE '%0'
+           ) AS BIGINT) AS list_violations
+    FROM s
+    """,
+    tables=("customer",),
+)
+def dq_like_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GE expect_column_values_to_match_like_pattern(+_list): SQL LIKE
+    contracts (%/_ wildcards — the non-regex pattern language analysts
+    actually write). Single-pattern count plus the list form with
+    match_on=any ('Customer#%' OR '%0'), both as one fused conditional
+    aggregate — the expressions the ``match_like_pattern`` /
+    ``match_like_pattern_list`` check types compile. Every 97th customer
+    name is rewritten so both counts are non-zero."""
+    name = F.when(
+        F.col("c_custkey") % 97 == 0,
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("cust-")),
+    ).otherwise(F.col("c_name"))
+    n = F.col("name")
+    single_viol = ~n.like("Customer#%")
+    list_viol = ~(n.like("Customer#%") | n.like("%0"))
+    return (
+        table(spark, sf_dir, "customer")
+        .select(name.alias("name"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(single_viol, 1).otherwise(0)).alias("like_violations"),
+            F.sum(F.when(list_viol, 1).otherwise(0)).alias("list_violations"),
+        )
+    )
+
+
+@register(
+    "dq_pair_in_set",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total,
+           CAST(COUNT(*) FILTER (WHERE NOT (
+             (l_returnflag = 'A' AND l_linestatus = 'F') OR
+             (l_returnflag = 'N' AND l_linestatus = 'F') OR
+             (l_returnflag = 'N' AND l_linestatus = 'O') OR
+             (l_returnflag = 'R' AND l_linestatus = 'F')
+           )) AS BIGINT) AS pair_violations
+    FROM lineitem
+    """,
+    tables=("lineitem",),
+)
+def dq_pair_in_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GE expect_column_pair_values_to_be_in_set: the cross-column domain
+    contract — (returnflag, linestatus) must be one of the four TPC-H-legal
+    combinations (A/F, N/F, N/O, R/F). The synthetic generator emits all
+    six flag×status combos uniformly, so A/O and R/O rows are NATURAL
+    violations — no injection needed. The OR-chain over the allowed pairs
+    is exactly what the ``pair_in_set`` check type compiles: row-local,
+    codegen, fused into the shared scan."""
+    pairs = [("A", "F"), ("N", "F"), ("N", "O"), ("R", "F")]
+    ok = F.lit(False)
+    for va, vb in pairs:
+        ok = ok | (
+            (F.col("l_returnflag") == F.lit(va))
+            & (F.col("l_linestatus") == F.lit(vb))
+        )
+    viol = (
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_linestatus").isNotNull()
+        & ~ok
+    )
+    return table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(viol, 1).otherwise(0)).alias("pair_violations"),
+    )
+
+
+@register(
     "dq_unique_proportion",
     oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS total,

@@ -176,3 +176,124 @@ def test_correlation_approx_agrees_with_exact(spark):
     assert approx.n == exact.n
     assert abs(approx.pearson_r - exact.pearson_r) <= 1e-9 * abs(exact.pearson_r)
     assert abs(approx.slope - exact.slope) <= 1e-9 * abs(exact.slope)
+
+
+# -------------------------------------------- round-6 GE gallery stragglers
+
+
+def test_dateutil_parseable_check(spark):
+    df = spark.createDataFrame(
+        [
+            ("2024-01-02",),
+            ("2024-01-02 08:30:00",),
+            ("2024-01-02T08:30:00.123",),
+            ("not-a-date",),
+            ("2024-13-99",),  # invalid month/day
+            (None,),  # NULLs are skipped (not_null targets them)
+        ],
+        "s string",
+    )
+    results = run_suite(
+        {"t": df},
+        [Check("parse", "dateutil_parseable", "t", column="s")],
+    )
+    r = results[0]
+    assert r.status == "fail" and r.violations == 2
+
+
+def test_like_pattern_checks(spark):
+    df = spark.createDataFrame(
+        [("Customer#001",), ("Customer#002",), ("cust-003",), (None,)],
+        "name string",
+    )
+    results = run_suite(
+        {"t": df},
+        [
+            Check(
+                "like", "match_like_pattern", "t", column="name",
+                params={"pattern": "Customer#%"},
+            ),
+            Check(
+                "not like", "not_match_like_pattern", "t", column="name",
+                params={"pattern": "cust-%"},
+            ),
+            Check(
+                "like any", "match_like_pattern_list", "t", column="name",
+                params={"patterns": ["Customer#%", "%3"], "match_on": "any"},
+            ),
+            Check(
+                "like all", "match_like_pattern_list", "t", column="name",
+                params={"patterns": ["Customer#%", "%2"], "match_on": "all"},
+            ),
+        ],
+    )
+    by = {r.check_name: r for r in results}
+    assert by["like"].violations == 1  # cust-003
+    assert by["not like"].violations == 1  # cust-003 matches the banned shape
+    assert by["like any"].violations == 0  # cust-003 ends with 3
+    assert by["like all"].violations == 2  # only Customer#002 matches both
+
+
+def test_pair_in_set_check(spark):
+    df = spark.createDataFrame(
+        [("A", "F"), ("N", "O"), ("A", "O"), ("R", "O"), (None, "F")],
+        "flag string, status string",
+    )
+    results = run_suite(
+        {"t": df},
+        [
+            Check(
+                "combo", "pair_in_set", "t",
+                columns=("flag", "status"),
+                params={"value_pairs": [["A", "F"], ["N", "O"], ["R", "F"]]},
+            )
+        ],
+    )
+    r = results[0]
+    # (A,O) and (R,O) violate; the NULL-keyed row is skipped
+    assert r.status == "fail" and r.violations == 2
+
+
+def test_new_check_types_ge_round_trip():
+    from enterprise_data_quality_platform_spark.checks.suite_io import (
+        check_from_dict,
+        check_to_dict,
+    )
+
+    checks = [
+        Check("p", "dateutil_parseable", "t", column="s"),
+        Check(
+            "l", "match_like_pattern", "t", column="s",
+            params={"pattern": "X%"},
+        ),
+        Check(
+            "ll", "match_like_pattern_list", "t", column="s",
+            params={"patterns": ["X%", "%Y"], "match_on": "all"},
+        ),
+        Check(
+            "pp", "pair_in_set", "t", columns=("a", "b"),
+            params={"value_pairs": [["x", "y"]]},
+        ),
+    ]
+    expected_types = [
+        "expect_column_values_to_be_dateutil_parseable",
+        "expect_column_values_to_match_like_pattern",
+        "expect_column_values_to_match_like_pattern_list",
+        "expect_column_pair_values_to_be_in_set",
+    ]
+    for check, etype in zip(checks, expected_types):
+        d = check_to_dict(check)
+        assert d["expectation_type"] == etype, d
+        if check.check_type == "pair_in_set":
+            assert d["kwargs"]["column_A"] == "a" and d["kwargs"]["column_B"] == "b"
+            assert d["kwargs"]["value_pairs_set"] == [["x", "y"]]
+        back = check_from_dict(d)
+        assert back.check_type == check.check_type
+        assert back.column == check.column
+        assert back.columns == check.columns
+        for k, v in check.params.items():
+            got = back.params[k]
+            if isinstance(v, list) and v and isinstance(v[0], list):
+                assert [list(x) for x in got] == [list(x) for x in v]
+            else:
+                assert got == v
