@@ -122,6 +122,13 @@ HEADLINE = [
     "dedup_incremental_shard",
     "source_csv_roundtrip",
     "multimodal_decode_real",
+    # round-6 additions
+    "mart_small_qty_revenue_subquery",
+    "dq_correlation_approx",
+    "embed_knn_rerank",
+    "dq_dateutil_parseable",
+    "dq_like_pattern",
+    "dq_pair_in_set",
 ]
 
 #: Multi-second LLM-pipeline operators: median of fewer runs so the bench

@@ -1979,24 +1979,22 @@ def mart_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap chunks stay packed; with sparse/random 64-bit keys each chunk
     degrades to ~1 bit and the plan gracefully equals the row-dedup form
     — never worse, no precondition. gid is a dense (brand,size) index
-    from a bounded dim (≤ |brands|·|sizes| rows; single-partition window
-    over that dim only, never over facts)."""
-    from pyspark.sql import Window
-
+    assigned on the driver from the distinct dim — a BOUNDED fetch
+    (≤ |brands|·|sizes| rows, the same boundedness the bit-pack already
+    requires; the quantiles-bucket precedent), deterministic by sort, and
+    cheaper than a single-partition window (whose WindowExec WARN would
+    also dirty the bench-tail cleanliness gate)."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
     supplier = table(spark, sf_dir, "supplier")
     deny = supplier.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
-    dim = (
-        part.select("p_brand", "p_size")
-        .distinct()
-        .withColumn(
-            "gid",
-            F.row_number()
-            .over(Window.orderBy("p_brand", "p_size"))
-            .cast("long")
-            - 1,
-        )
+    dim_rows = sorted(
+        (r["p_brand"], r["p_size"])
+        for r in part.select("p_brand", "p_size").distinct().collect()
+    )
+    dim = spark.createDataFrame(
+        [(b, s, i) for i, (b, s) in enumerate(dim_rows)],
+        "p_brand string, p_size int, gid long",
     )
     part_gid = (
         part.select("p_partkey", "p_brand", "p_size")
