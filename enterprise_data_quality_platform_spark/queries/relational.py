@@ -857,6 +857,10 @@ def mart_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     part = table(spark, sf_dir, "part")
+    # qty*5*cnt < qsum  ⇔  qty ≤ floor((qsum-1)/(5·cnt)) holds for
+    # qsum ≥ 1 (guaranteed: quantities are positive). With truncating
+    # `div` a qsum ≤ 0 part would flip the boundary — not reachable here,
+    # but don't lift this rewrite onto signed measures.
     thr = (
         li.groupBy("l_partkey")
         .agg(
