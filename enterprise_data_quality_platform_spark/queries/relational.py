@@ -620,22 +620,32 @@ def mart_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shuffle + hash agg — 13% whole-query win, value-identical:
     # unpacking is exact for partkeys < 2^32 and the packed ordering is
     # the (part_a, part_b) lexicographic ordering. The precondition is
-    # ENFORCED in-plan (not just documented): partkeys at/above 2^31
-    # (pack overflow) or 2^32 (silent key collision) hit the raise_error
-    # branch, so a scale-up fails loudly instead of returning wrong
-    # co-occurrence counts. Two row-local comparisons — no extra pass.
-    pack_ok = (F.col("a.l_partkey") < F.lit(2147483648)) & (
-        F.col("b.l_partkey") < F.lit(4294967296)
-    ) & (F.col("a.l_partkey") >= 0) & (F.col("b.l_partkey") >= 0)
-    packed = F.when(
-        pack_ok, F.col("a.l_partkey") * F.lit(4294967296) + F.col("b.l_partkey")
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                "mart_part_affinity: l_partkey outside [0, 2^31) pack range;"
-                " use the two-column groupBy form for this key domain"
+    # ENFORCED in-plan, but NOT per pair row: a raise_error branch inside
+    # this projection makes the whole 120M-row stage fall out of codegen
+    # (measured 17.4 → 28.3 s at sf10 — the r6 first attempt); instead a
+    # 1-row min/max aggregate of the key domain guards via a FILTER whose
+    # violation branch raises, cross-joined after the top-20 (20×1 rows).
+    # One extra column-pruned scan (~0.3 s), hot path stays codegen, and
+    # a scale-up with partkeys outside [0, 2^31) still fails loudly at
+    # action time instead of returning wrong co-occurrence counts.
+    packed = F.col("a.l_partkey") * F.lit(4294967296) + F.col("b.l_partkey")
+    pack_guard = (
+        li.agg(
+            F.min("l_partkey").alias("_mn"), F.max("l_partkey").alias("_mx")
+        ).filter(
+            F.when(
+                (F.col("_mn") >= 0) & (F.col("_mx") < F.lit(2147483648)),
+                F.lit(True),
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "mart_part_affinity: l_partkey outside [0, 2^31)"
+                        " pack range; use the two-column groupBy form for"
+                        " this key domain"
+                    )
+                ).cast("boolean")
             )
-        ).cast("bigint")
+        )
     )
     agg = (
         a.join(
@@ -649,6 +659,7 @@ def mart_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("together_count").desc(), "pk")
         .limit(20)
     )
+    agg = agg.crossJoin(F.broadcast(pack_guard))  # 20 × 1 rows; see guard note
     return agg.select(
         F.expr("pk div 4294967296").alias("part_a"),
         (F.col("pk") % F.lit(4294967296)).alias("part_b"),
