@@ -421,3 +421,48 @@ def mixture_sample(
         )
         .drop("__n_rep")
     )
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/embedding prep
+    step (RAG indexing, long-document embedding) between curation and
+    vectorization: each document becomes ceil(n/stride) chunks of up to
+    ``window`` whitespace tokens, consecutive chunks overlapping by
+    ``window - stride`` tokens so no boundary-spanning passage is lost.
+
+    Row-local end to end: split → explode(sequence of starts) → slice —
+    no shuffle, no UDF; the chunk blow-up is bounded by tokens/stride per
+    row, so the operator streams at scan speed at any scale. Output:
+    (id, chunk_id, n_tokens, chunk_text); trailing chunks may be shorter
+    than ``window`` (kept — dropping them silently loses document tails).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col),
+        words.alias("_words"),
+        F.greatest(F.size(words), F.lit(1)).alias("_n"),
+    )
+    exploded = base.select(
+        id_col,
+        "_words",
+        "_n",
+        F.explode(
+            F.sequence(F.lit(1), F.col("_n"), F.lit(stride))
+        ).alias("_start"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.expr(f"CAST((_start - 1) div {stride} AS BIGINT)").alias("chunk_id"),
+        F.least(
+            F.lit(window), F.col("_n") - F.col("_start") + 1
+        ).cast("bigint").alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("_words"), F.col("_start"), F.lit(window))
+        ).alias("chunk_text"),
+    )

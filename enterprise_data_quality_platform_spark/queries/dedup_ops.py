@@ -146,6 +146,42 @@ def embed_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic_docs",
+    oracle=None,  # seeded k-means clustering → rows-only; semantics pinned
+    # on crafted vectors in tests/test_dedup_similarity.py
+    tables=("embeddings",),
+)
+def dedup_semantic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 semantic tier (SemDeDup, arXiv:2303.09540): k-means-cluster the
+    embedding space, find cosine near-dup pairs WITHIN clusters only,
+    keep the min-id member of each dup group (``dedup/semantic.py``).
+    Output: one summary row (corpus size, dup pairs, dropped, kept) —
+    deterministic under the seeded quantizer. Same low threshold as
+    ``embed_dedup_near`` (synthetic vectors are near-orthogonal) so the
+    operator has real pairs to resolve at every SF."""
+    from ..dedup.semantic import semantic_dedup, semantic_dup_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = semantic_dup_pairs(
+        emb, threshold=0.35, num_centroids=8, nprobe=2
+    )
+    kept = semantic_dedup(emb, threshold=0.35, num_centroids=8, nprobe=2)
+    n_all = emb.agg(F.count(F.lit(1)).alias("n")).withColumn("k", F.lit(1))
+    n_pairs = pairs.agg(F.count(F.lit(1)).alias("p")).withColumn("k", F.lit(1))
+    n_kept = kept.agg(F.count(F.lit(1)).alias("s")).withColumn("k", F.lit(1))
+    return (
+        n_all.join(n_pairs, "k")
+        .join(n_kept, "k")
+        .select(
+            F.col("n").alias("n_vectors"),
+            F.col("p").alias("n_dup_pairs"),
+            (F.col("n") - F.col("s")).alias("n_dropped"),
+            F.col("s").alias("n_kept"),
+        )
+    )
+
+
+@register(
     "embed_ann_lsh",
     oracle=None,  # approximate by construction → rows-only
     tables=("embeddings",),

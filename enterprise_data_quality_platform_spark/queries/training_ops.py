@@ -502,3 +502,45 @@ def training_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "training_chunk_overlap",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, words,
+             UNNEST(generate_series(1, GREATEST(len(words), 1), 48)) AS start
+      FROM w
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+           CAST(LEAST(64, len(words) - start + 1) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_slice(words, start, start + 63), ' ')) AS chunk_md5
+    FROM s
+    ORDER BY doc_id, chunk_id
+    """,
+    tables=("documents",),
+)
+def training_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 64, stride 48 — 16-token
+    overlap), the RAG/embedding prep step
+    (``plans.training_data.chunk_tokens``). Fully oracle-checked: chunk
+    boundaries are integer arithmetic, the chunk text itself crosses the
+    compare as md5 (both engines hash the identical reassembled string —
+    the split/trim tokenizer parity the text_* family already pins).
+    Row-local plan: split → explode(sequence) → slice; no shuffle until
+    the presentation sort."""
+    from ..plans.training_data import chunk_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_tokens(docs, window=64, stride=48)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        F.md5(F.encode(F.col("chunk_text"), "UTF-8")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")

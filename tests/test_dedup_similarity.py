@@ -347,3 +347,84 @@ def test_ivf_persisted_index_matches_in_memory(spark, tmp_path):
     # centroid_id (static IN over the probed list ids)
     plan = idx._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan
+
+
+# ------------------------------------------------- semantic dedup (SemDeDup)
+
+
+def test_semantic_dedup_crafted_groups(spark):
+    """Three planted near-identical groups along different axes + two
+    singletons: pairs form only within groups, keep-one keeps the min id
+    of each group plus every singleton, and the pass is idempotent."""
+    import numpy as np
+
+    from enterprise_data_quality_platform_spark.dedup.semantic import (
+        semantic_dedup,
+        semantic_dup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    base = np.eye(8)
+    # groups on axes 0,1,2: 3 members each, tiny noise -> cosine ~1
+    for g in range(3):
+        for m in range(3):
+            v = base[g] + rng.normal(0, 0.01, 8)
+            rows.append((g * 10 + m, [float(x) for x in v]))
+    rows.append((100, [float(x) for x in base[5]]))  # singleton
+    rows.append((101, [float(x) for x in base[6]]))  # singleton
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = semantic_dup_pairs(
+        df, threshold=0.95, num_centroids=6, nprobe=2, sample_size=100
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expected = {
+        (a, b)
+        for g in range(3)
+        for a in (g * 10, g * 10 + 1, g * 10 + 2)
+        for b in (g * 10, g * 10 + 1, g * 10 + 2)
+        if a < b
+    }
+    assert got == expected  # all within-group pairs, nothing cross-group
+
+    kept = semantic_dedup(
+        df, threshold=0.95, num_centroids=6, nprobe=2, sample_size=100
+    )
+    ids = sorted(r.vec_id for r in kept.collect())
+    assert ids == [0, 10, 20, 100, 101]  # min of each group + singletons
+
+    again = semantic_dedup(
+        kept, threshold=0.95, num_centroids=6, nprobe=2, sample_size=100
+    )
+    assert sorted(r.vec_id for r in again.collect()) == ids  # idempotent
+
+
+def test_semantic_dedup_hot_cluster_guard(spark):
+    """A cluster larger than max_cluster_size is excluded from pair
+    generation (the MinHash max_bucket_size policy) instead of going
+    quadratic."""
+    import numpy as np
+
+    from enterprise_data_quality_platform_spark.dedup.semantic import (
+        semantic_dup_pairs,
+    )
+
+    rng = np.random.default_rng(4)
+    rows = [
+        (i, [float(x) for x in (np.eye(8)[0] + rng.normal(0, 0.01, 8))])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # every vector lands in one cluster of 20 > cap 10 -> no pairs emitted
+    pairs = semantic_dup_pairs(
+        df, threshold=0.95, num_centroids=1, nprobe=1,
+        sample_size=100, max_cluster_size=10,
+    )
+    assert pairs.count() == 0
+    # with the cap lifted the same cluster yields all C(20,2) pairs
+    uncapped = semantic_dup_pairs(
+        df, threshold=0.95, num_centroids=1, nprobe=1,
+        sample_size=100, max_cluster_size=None,
+    )
+    assert uncapped.count() == 190

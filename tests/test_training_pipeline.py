@@ -169,3 +169,32 @@ def test_decontaminate_crafted(spark):
     got = {r.doc_id: r.shared_grams for r in decontaminate(corpus, bench, ngram=4).collect()}
     assert set(got) == {2}
     assert got[2] >= 4  # several shared 4-grams in the leaked span
+
+
+def test_chunk_tokens_boundaries(spark):
+    """Window/stride arithmetic: overlap preserved, trailing short chunk
+    kept, single-word and empty-ish docs produce exactly one chunk."""
+    from enterprise_data_quality_platform_spark.plans.training_data import (
+        chunk_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+            (2, "only"),  # 1 token
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_tokens(docs, window=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    # starts 1,4,7,10 -> 4 chunks; lengths 4,4,4,1
+    assert [r.n_tokens for r in c1] == [4, 4, 4, 1]
+    assert c1[0].chunk_text == "w0 w1 w2 w3"
+    assert c1[1].chunk_text == "w3 w4 w5 w6"  # 1-token overlap (4-3)
+    assert c1[3].chunk_text == "w9"  # trailing tail kept
+    assert [r.chunk_id for r in c1] == [0, 1, 2, 3]
+    c2 = by_doc[2]
+    assert len(c2) == 1 and c2[0].n_tokens == 1 and c2[0].chunk_text == "only"
