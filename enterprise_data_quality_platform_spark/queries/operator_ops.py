@@ -396,3 +396,55 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    # identity round-trip through the ORC columnar format: the oracle is
+    # the direct aggregate over the parquet table — any type-mapping loss
+    # in the ORC writer/reader (timestamp precision, double bits, string
+    # encoding) changes a value and fails the hash.
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents,
+           MIN(ts) AS min_ts,
+           MAX(ts) AS max_ts
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tables=("events",),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC serialization contract: events written to ORC (zlib, Spark's
+    native writer — the orc-core jars ship with the distribution) and
+    read back under the declared schema; the aggregate runs on the
+    RE-READ frame, so timestamp_ntz precision, double bits and string
+    round-trip are all on the hook. The second columnar format next to
+    parquet — an exchange/landing format a warehouse migration actually
+    uses. (Avro's external datasource module is NOT deployed in this
+    environment — same documented boundary as Delta/Iceberg.)
+
+    The write lands in a per-session temp dir (bounded: one copy of the
+    events table at the gate SF); a production pipeline points
+    ``write_orc``-style paths at the lake instead."""
+    import tempfile
+
+    events = table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="edqp-orc-") + "/events.orc"
+    events.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_event_id"),
+            F.sum(cents).alias("sum_value_cents"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("event_type")
+    )
