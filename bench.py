@@ -129,6 +129,9 @@ HEADLINE = [
     "dq_dateutil_parseable",
     "dq_like_pattern",
     "dq_pair_in_set",
+    "dedup_semantic_docs",
+    "training_chunk_overlap",
+    "source_orc_roundtrip",
 ]
 
 #: Multi-second LLM-pipeline operators: median of fewer runs so the bench
