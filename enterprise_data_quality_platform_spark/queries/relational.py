@@ -631,10 +631,14 @@ def mart_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = F.col("a.l_partkey") * F.lit(4294967296) + F.col("b.l_partkey")
     pack_guard = (
         li.agg(
-            F.min("l_partkey").alias("_mn"), F.max("l_partkey").alias("_mx")
+            F.min("l_partkey").alias("_mn"),
+            F.max("l_partkey").alias("_mx"),
         ).filter(
             F.when(
-                (F.col("_mn") >= 0) & (F.col("_mx") < F.lit(2147483648)),
+                # NULL bounds = empty input: vacuously in range (no pairs
+                # exist to mis-pack), must not trip the raise
+                F.col("_mn").isNull()
+                | ((F.col("_mn") >= 0) & (F.col("_mx") < F.lit(2147483648))),
                 F.lit(True),
             ).otherwise(
                 F.raise_error(
@@ -659,7 +663,13 @@ def mart_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("together_count").desc(), "pk")
         .limit(20)
     )
-    agg = agg.crossJoin(F.broadcast(pack_guard))  # 20 × 1 rows; see guard note
+    # attach the 1-row guard: a broadcast cross join of 20 × 1 rows. This
+    # IS a BroadcastNestedLoopJoin in the plan — deliberately: any equi
+    # key we synthesize constant-folds away (verified: count*0+1 folds,
+    # the condition is pushed into the guard side, BNLJ anyway). The plan
+    # test pins that the ONLY nested loop is this guard attach and the
+    # pair self-join stays an equi hash join.
+    agg = agg.crossJoin(F.broadcast(pack_guard.select(F.lit(1).alias("_g"))))
     return agg.select(
         F.expr("pk div 4294967296").alias("part_a"),
         (F.col("pk") % F.lit(4294967296)).alias("part_b"),

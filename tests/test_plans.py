@@ -257,8 +257,16 @@ def test_part_affinity_no_nested_loop(spark):
     and the two identical fact subtrees must share ONE exchange (the
     long-session-safe form: no ObjectHashAggregate basket state)."""
     plan = plan_of(spark, "mart_part_affinity")
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly ONE nested loop is allowed: the 20×1 broadcast attach of the
+    # pack-range guard (identified by its raise_error branch); the pair
+    # self-join itself must stay an equi hash/merge join on the order key
+    # formatted explain lists each node twice (tree + detail section);
+    # count the detail headers, which appear once per node
+    assert plan.count(") BroadcastNestedLoopJoin") == 1
+    assert "raise_error" in plan  # the guard is present in-plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Left keys [1]: [l_orderkey" in plan  # equi self-join on the basket key
     assert "ObjectHashAggregate" not in plan  # no collect_list state
     assert "TakeOrderedAndProject" in plan  # top-20 without global sort
     # exchange reuse is an AQE runtime decision: execute, then read the
@@ -530,3 +538,15 @@ def test_part_affinity_pack_guard_raises_on_huge_partkey(spark, tmp_path):
     rows = mart_part_affinity(spark, str(tmp_path)).collect()
     top = {(r.part_a, r.part_b): r.together_count for r in rows}
     assert top[(3, 5)] == 2 and top[(3, 9)] == 1 and top[(5, 9)] == 1
+
+
+def test_part_affinity_empty_input_returns_empty(spark, tmp_path):
+    """An empty lineitem yields an empty result — the pack-range guard's
+    NULL min/max (no rows) must not trip the raise."""
+    from enterprise_data_quality_platform_spark.queries.relational import (
+        mart_part_affinity,
+    )
+
+    empty = spark.createDataFrame([], "l_orderkey long, l_partkey long")
+    empty.write.parquet(str(tmp_path / "lineitem.parquet"))
+    assert mart_part_affinity(spark, str(tmp_path)).collect() == []
