@@ -90,6 +90,26 @@ def semantic_dup_pairs(
     )
 
 
+def greedy_drop(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup's own keep policy: drop every id that appears as the
+    GREATER side of any near-dup pair — one distinct + one anti-join, no
+    iteration. On a dup CHAIN (a~b, b~c but a≁c) this drops b AND c where
+    exact component resolution keeps one per component (a) and would also
+    keep c's information only via b — greedy over-drops on chains, which
+    for dedup is the conservative direction (never keeps two near-dups).
+    Survivors are pair-free by construction: any surviving y of a pair
+    (x, y) would have been dropped, so a re-run over survivors finds no
+    pairs — idempotent without the O(diameter) label-propagation loop
+    (each iteration of which is a fixed multi-job cost that dominates
+    small graphs)."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(losers, on=id_col, how="left_anti")
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -100,10 +120,13 @@ def semantic_dedup(
     max_cluster_size: int | None = 50_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    policy: str = "components",
 ) -> DataFrame:
-    """Drop all but the canonical (min-id) member of every semantic
-    near-dup group; vectors in no group pass through untouched.
-    Idempotent: survivors re-deduplicate to themselves."""
+    """Drop semantic near-duplicates; vectors in no pair pass through
+    untouched. ``policy="components"`` keeps the canonical (min-id)
+    member of every CONNECTED near-dup group (exact, iterative —
+    ``dedup.clusters``); ``policy="greedy"`` is SemDeDup's single-pass
+    drop-the-greater-side rule (see ``greedy_drop``). Both idempotent."""
     pairs = semantic_dup_pairs(
         corpus,
         threshold=threshold,
@@ -115,4 +138,6 @@ def semantic_dedup(
         id_col=id_col,
         vec_col=vec_col,
     )
+    if policy == "greedy":
+        return greedy_drop(corpus, pairs, id_col=id_col)
     return keep_one_per_cluster(corpus, pairs, id_col=id_col)

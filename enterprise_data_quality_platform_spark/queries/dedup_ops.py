@@ -159,13 +159,23 @@ def dedup_semantic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic under the seeded quantizer. Same low threshold as
     ``embed_dedup_near`` (synthetic vectors are near-orthogonal) so the
     operator has real pairs to resolve at every SF."""
-    from ..dedup.semantic import semantic_dedup, semantic_dup_pairs
+    from ..dedup.semantic import greedy_drop, semantic_dup_pairs
 
     emb = table(spark, sf_dir, "embeddings")
+    # SemDeDup sizing: cluster count scales with the corpus (k ≈ n/100,
+    # the paper's many-small-clusters regime) so within-cluster pair
+    # blow-up stays ~O(n·cluster_size). A fixed small k made clusters
+    # thousands wide — 21 s at sf0.1 on the first bench run (ledger).
+    # The keep policy here is the paper's GREEDY single-pass rule; the
+    # exact component resolver (policy="components") pays a multi-job
+    # label-propagation iteration per graph-diameter hop — right for the
+    # curation funnel, wrong for a per-round benched query.
+    n = emb.count()
+    k = max(16, min(4096, n // 100))
     pairs = semantic_dup_pairs(
-        emb, threshold=0.35, num_centroids=8, nprobe=2
-    )
-    kept = semantic_dedup(emb, threshold=0.35, num_centroids=8, nprobe=2)
+        emb, threshold=0.40, num_centroids=k, nprobe=2
+    ).localCheckpoint(eager=True)  # reused by the count AND the keep pass
+    kept = greedy_drop(emb, pairs, id_col="vec_id")
     n_all = emb.agg(F.count(F.lit(1)).alias("n")).withColumn("k", F.lit(1))
     n_pairs = pairs.agg(F.count(F.lit(1)).alias("p")).withColumn("k", F.lit(1))
     n_kept = kept.agg(F.count(F.lit(1)).alias("s")).withColumn("k", F.lit(1))

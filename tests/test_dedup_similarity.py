@@ -428,3 +428,34 @@ def test_semantic_dedup_hot_cluster_guard(spark):
         sample_size=100, max_cluster_size=None,
     )
     assert uncapped.count() == 190
+
+
+def test_semantic_dedup_greedy_policy(spark):
+    """Greedy (SemDeDup's single-pass rule) drops every greater pair side;
+    on clean groups it equals component resolution; it is idempotent."""
+    import numpy as np
+
+    from enterprise_data_quality_platform_spark.dedup.semantic import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(5)
+    base = np.eye(8)
+    rows = []
+    for g in range(2):
+        for m in range(3):
+            v = base[g] + rng.normal(0, 0.01, 8)
+            rows.append((g * 10 + m, [float(x) for x in v]))
+    rows.append((100, [float(x) for x in base[4]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = semantic_dedup(
+        df, threshold=0.95, num_centroids=4, nprobe=2,
+        sample_size=100, policy="greedy",
+    )
+    ids = sorted(r.vec_id for r in kept.collect())
+    assert ids == [0, 10, 100]
+    again = semantic_dedup(
+        kept, threshold=0.95, num_centroids=4, nprobe=2,
+        sample_size=100, policy="greedy",
+    )
+    assert sorted(r.vec_id for r in again.collect()) == ids
