@@ -897,7 +897,10 @@ def mart_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grouped = (
         flagged.join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
+            # part is SCALE-GROWING: no explicit broadcast (policy). AQE
+            # converts to BHJ at local sizes (measured equal to the hint,
+            # r6 A/B) and correctly keeps a shuffle join at 100 TB.
+            part.select("p_partkey", "p_brand"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_brand")
@@ -1495,8 +1498,10 @@ def mart_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000)
         + F.lit(0.5)
     ).cast("long")
+    # part is scale-growing: AQE-decided join (r6 A/B: equal to the
+    # explicit broadcast locally, correct at 100 TB)
     joined = li.join(
-        F.broadcast(part.select("p_partkey", "p_type")),
+        part.select("p_partkey", "p_type"),
         li.l_partkey == F.col("p_partkey"),
     )
     return (
@@ -1547,8 +1552,9 @@ def mart_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan test asserts no BroadcastNestedLoopJoin appears."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
+    # part is scale-growing: AQE-decided join (broadcast-hint policy)
     j = li.join(
-        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        part.select("p_partkey", "p_brand", "p_size"),
         li.l_partkey == F.col("p_partkey"),
     )
     band = (
@@ -2028,6 +2034,13 @@ def mart_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = (
         li.select("l_partkey", "l_suppkey")
+        # deny and part_gid keep their broadcast hints as the DOCUMENTED
+        # exception to the hint-only-size-constant policy: unhinted, the
+        # initial-plan SMJ shuffles the 60M edge side before AQE can
+        # convert (measured +2 s at sf10, r6 A/B — unlike the promo/
+        # disjunctive shapes where AQE-decided is free). deny is a ~1%
+        # dim filter (8-byte keys); part_gid is 16 B/row — both remain
+        # broadcastable well past sf1000; re-evaluate at true 100 TB.
         .join(F.broadcast(deny), li.l_suppkey == deny.s_suppkey, "left_anti")
         .join(F.broadcast(part_gid), F.col("l_partkey") == F.col("p_partkey"))
         .select(
