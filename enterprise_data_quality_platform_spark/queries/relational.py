@@ -944,7 +944,12 @@ def mart_small_qty_revenue_subquery(spark: SparkSession, sf_dir: str) -> DataFra
     plan-asserted in tests/test_plans.py) and MergeScalarSubqueries folds
     the COUNT and SUM subqueries over the same correlation into one
     aggregate. The hand-planned twin above is ~15% faster at sf10; this
-    form shows what you get for free when a user writes the natural SQL."""
+    form shows what you get for free when a user writes the natural SQL.
+    (Scan-count note: the executed plan still reads lineitem 3× — the
+    merge folds the two subqueries into one aggregate but that aggregate
+    scans separately from the outer fact read, and the join-inferred
+    IsNotNull de-canonicalizes the third subtree. That residual is the
+    point of keeping the demo next to the hand-planned form.)"""
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("sqr_lineitem")
     table(spark, sf_dir, "part").createOrReplaceTempView("sqr_part")
     grouped = spark.sql(
