@@ -183,19 +183,37 @@ def _violation_cond(check: Check) -> Column:
         # GE validates with python-dateutil; the engine twin is the JVM's
         # permissive parser — parseable iff the value try-casts to
         # TIMESTAMP or DATE (covers ISO dates, date-times, T separators,
-        # fractional seconds). A format-pinned contract should use
-        # match_strftime instead; this is the "is it date-LIKE at all"
-        # profiling check.
-        return (
-            c.isNotNull()
-            & F.try_to_timestamp(c).isNull()
-            & c.try_cast("date").isNull()
+        # fractional seconds) — ORed with a bounded set of common non-ISO
+        # dateutil formats (US slash dates, 'Mar 5 2024', 'March 5, 2024',
+        # '05-Mar-2024', bare year) to narrow the dateutil gap. Still a
+        # documented approximation: dateutil's full fuzzy grammar (e.g.
+        # 'today', '4th of July') is NOT matched. A format-pinned contract
+        # should use match_strftime instead; this is the "is it date-LIKE
+        # at all" profiling check.
+        extra_fmts = (
+            "MM/dd/yyyy",
+            "M/d/yyyy",
+            "MM/dd/yy",
+            "MMM d yyyy",
+            "MMMM d yyyy",
+            "MMM d, yyyy",
+            "MMMM d, yyyy",
+            "d-MMM-yyyy",
+            "yyyy",
         )
+        unparseable = F.try_to_timestamp(c).isNull() & c.try_cast("date").isNull()
+        for fmt in extra_fmts:
+            unparseable = unparseable & F.try_to_timestamp(c, F.lit(fmt)).isNull()
+        return c.isNotNull() & unparseable
     if t == "match_like_pattern":
         return c.isNotNull() & ~c.like(p["pattern"])
     if t == "not_match_like_pattern":
         return c.isNotNull() & c.like(p["pattern"])
     if t == "match_like_pattern_list":
+        if not p["patterns"]:
+            raise ValueError(
+                "match_like_pattern_list requires at least one pattern"
+            )
         conds = [c.like(x) for x in p["patterns"]]
         if p.get("match_on", "any") == "all":
             ok = conds[0]
@@ -207,12 +225,35 @@ def _violation_cond(check: Check) -> Column:
                 ok = ok | x
         return c.isNotNull() & ~ok
     if t == "pair_in_set":
+        # NULL handling follows GE's ignore_row_if kwarg. The repo default
+        # is "either_value_is_missing" (skip a row if EITHER column is
+        # NULL — consistent with pair_equal / pair_greater_than here).
+        # GE's own default is "both_values_are_missing": a one-NULL row IS
+        # evaluated and counts as a violation (a half-NULL pair can never
+        # be in the set) — pass ignore_row_if explicitly on ported suites.
         a, b = check.columns
-        ok = F.lit(False)
-        for pair in p["value_pairs"]:
-            va, vb = pair[0], pair[1]
-            ok = ok | ((F.col(a) == F.lit(va)) & (F.col(b) == F.lit(vb)))
-        return F.col(a).isNotNull() & F.col(b).isNotNull() & ~ok
+        mode = p.get("ignore_row_if", "either_value_is_missing")
+        if mode == "either_value_is_missing":
+            ok = F.lit(False)
+            for pair in p["value_pairs"]:
+                ok = ok | (
+                    (F.col(a) == F.lit(pair[0])) & (F.col(b) == F.lit(pair[1]))
+                )
+            return F.col(a).isNotNull() & F.col(b).isNotNull() & ~ok
+        if mode in ("both_values_are_missing", "neither"):
+            # null-safe comparisons so a one-NULL row yields ok=False
+            # (a definite violation), never NULL (silently skipped)
+            ok = F.lit(False)
+            for pair in p["value_pairs"]:
+                ok = ok | (
+                    F.col(a).eqNullSafe(F.lit(pair[0]))
+                    & F.col(b).eqNullSafe(F.lit(pair[1]))
+                )
+            both_null = F.col(a).isNull() & F.col(b).isNull()
+            if mode == "both_values_are_missing":
+                return ~both_null & ~ok
+            return ~ok
+        raise ValueError(f"pair_in_set: unknown ignore_row_if {mode!r}")
     if t == "expression":
         return ~F.expr(p["condition"])
     if t == "distinct_in_set":

@@ -101,11 +101,16 @@ def greedy_drop(
     exact component resolution keeps one per component (a) and would also
     keep c's information only via b — greedy over-drops on chains, which
     for dedup is the conservative direction (never keeps two near-dups).
-    Survivors are pair-free by construction: any surviving y of a pair
-    (x, y) would have been dropped, so a re-run over survivors finds no
-    pairs — idempotent without the O(diameter) label-propagation loop
-    (each iteration of which is a fixed multi-job cost that dominates
-    small graphs)."""
+    Survivors are pair-free WITH RESPECT TO THE DETECTED PAIR SET: any
+    surviving y of a detected pair (x, y) would have been dropped.
+    Re-running the full pipeline over survivors retrains the k-means
+    centroids on the reduced corpus, so a near-dup pair missed in run 1
+    (never co-clustered) can be co-clustered and detected in run 2 —
+    idempotence holds only under an identical clustering (same centroids
+    + assignments); raise ``nprobe`` to shrink the cross-cluster miss
+    rate instead of chaining runs. The win here is avoiding the
+    O(diameter) label-propagation loop (each iteration of which is a
+    fixed multi-job cost that dominates small graphs)."""
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return corpus.join(losers, on=id_col, how="left_anti")
 
@@ -126,7 +131,10 @@ def semantic_dedup(
     untouched. ``policy="components"`` keeps the canonical (min-id)
     member of every CONNECTED near-dup group (exact, iterative —
     ``dedup.clusters``); ``policy="greedy"`` is SemDeDup's single-pass
-    drop-the-greater-side rule (see ``greedy_drop``). Both idempotent."""
+    drop-the-greater-side rule (see ``greedy_drop``). Both leave
+    survivors pair-free w.r.t. the pairs DETECTED under this run's
+    clustering; a fresh re-run re-clusters and may surface pairs the
+    first pass never co-clustered (see ``greedy_drop`` docstring)."""
     pairs = semantic_dup_pairs(
         corpus,
         threshold=threshold,

@@ -427,13 +427,20 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses. (Avro's external datasource module is NOT deployed in this
     environment — same documented boundary as Delta/Iceberg.)
 
-    The write lands in a per-session temp dir (bounded: one copy of the
-    events table at the gate SF); a production pipeline points
+    The write lands under ONE fixed per-session temp path (keyed by the
+    Spark applicationId, ``mode("overwrite")``), so repeated invocations
+    within a bench session reuse the same directory instead of
+    accumulating copies; a production pipeline points
     ``write_orc``-style paths at the lake instead."""
+    import os
     import tempfile
 
     events = table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="edqp-orc-") + "/events.orc"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"edqp-orc-{spark.sparkContext.applicationId}",
+        "events.orc",
+    )
     events.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")

@@ -297,3 +297,96 @@ def test_new_check_types_ge_round_trip():
                 assert [list(x) for x in got] == [list(x) for x in v]
             else:
                 assert got == v
+
+
+# ------------------------------------------------- round-7 ADVICE hardening
+
+
+def test_like_pattern_list_empty_patterns_is_clear_error(spark):
+    """ADVICE r6: an empty patterns list must fail with a clear
+    ValueError, not an opaque IndexError. The runner's per-check
+    isolation surfaces it as an error result carrying the message."""
+    df = spark.createDataFrame([("x",)], "s string")
+    results = run_suite(
+        {"t": df},
+        [
+            Check(
+                "ll", "match_like_pattern_list", "t", column="s",
+                params={"patterns": [], "match_on": "any"},
+            )
+        ],
+    )
+    r = results[0]
+    assert r.status == "error"
+    assert "at least one pattern" in (r.error_message or "")
+    assert "IndexError" not in (r.error_message or "")
+
+
+def test_pair_in_set_ignore_row_if_modes(spark):
+    """ADVICE r6: GE's default ignore_row_if='both_values_are_missing'
+    EVALUATES one-NULL rows (they violate — a half-NULL pair is never in
+    the set); the repo default 'either_value_is_missing' skips them."""
+    df = spark.createDataFrame(
+        [("A", "F"), ("A", "O"), (None, "F"), ("A", None), (None, None)],
+        "flag string, status string",
+    )
+    pairs = {"value_pairs": [["A", "F"]]}
+
+    def violations(extra):
+        results = run_suite(
+            {"t": df},
+            [
+                Check(
+                    "combo", "pair_in_set", "t",
+                    columns=("flag", "status"),
+                    params={**pairs, **extra},
+                )
+            ],
+        )
+        return results[0].violations
+
+    # default: skip any row with a NULL → only (A,O) violates
+    assert violations({}) == 1
+    assert violations({"ignore_row_if": "either_value_is_missing"}) == 1
+    # GE default: the two one-NULL rows violate too; both-NULL skipped
+    assert violations({"ignore_row_if": "both_values_are_missing"}) == 3
+    # neither: every row evaluated — both-NULL also violates
+    assert violations({"ignore_row_if": "neither"}) == 4
+
+    # unknown mode → clear error result via the runner's isolation
+    results = run_suite(
+        {"t": df},
+        [
+            Check(
+                "combo", "pair_in_set", "t",
+                columns=("flag", "status"),
+                params={**pairs, "ignore_row_if": "bogus"},
+            )
+        ],
+    )
+    assert results[0].status == "error"
+    assert "ignore_row_if" in (results[0].error_message or "")
+
+
+def test_dateutil_parseable_non_iso_formats(spark):
+    """ADVICE r6: common non-ISO dateutil formats (US slash dates, month
+    names, bare year) now parse; genuinely non-date strings still fail."""
+    df = spark.createDataFrame(
+        [
+            ("03/15/2024",),
+            ("3/5/2024",),
+            ("Mar 5 2024",),
+            ("March 5, 2024",),
+            ("5-Mar-2024",),
+            ("2024",),
+            ("not-a-date",),
+            ("99/99/9999",),
+        ],
+        "s string",
+    )
+    results = run_suite(
+        {"t": df},
+        [Check("parse", "dateutil_parseable", "t", column="s")],
+    )
+    r = results[0]
+    assert r.status == "fail" and r.violations == 2
