@@ -355,6 +355,7 @@ def events_pit_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type ORDER BY event_type
     """,
     tables=("events",),
+    demo=True,
 )
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV serialization contract, in-plan: every events row is rendered
@@ -416,6 +417,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type ORDER BY event_type
     """,
     tables=("events",),
+    demo=True,
 )
 def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC serialization contract: events written to ORC (zlib, Spark's

@@ -19,15 +19,28 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL twin; None -> rows-only check
     tables: tuple[str, ...]  # inputs, for docs/bench
     doc: str = ""
+    #: demo/roundtrip twin: the Spark side deliberately does work the
+    #: oracle skips (a pedagogical decorrelation demo, a write+read
+    #: round-trip whose oracle reads the original table). Still a real
+    #: correctness-gated query, but EXCLUDED from the headline
+    #: Spark-vs-DuckDB comparable aggregate — the ratio is not
+    #: apples-to-apples by construction (VERDICT r6 item 3).
+    demo: bool = False
 
 
 def register(
-    name: str, oracle: str | None, tables: tuple[str, ...], doc: str = ""
+    name: str,
+    oracle: str | None,
+    tables: tuple[str, ...],
+    doc: str = "",
+    demo: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, tables, doc or (fn.__doc__ or ""))
+        _REGISTRY[name] = QuerySpec(
+            name, fn, oracle, tables, doc or (fn.__doc__ or ""), demo
+        )
         return fn
 
     return deco

@@ -935,6 +935,7 @@ def mart_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY p.p_brand
     """,
     tables=("lineitem", "part"),
+    demo=True,
 )
 def mart_small_qty_revenue_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The correlated-scalar-subquery form of ``mart_small_qty_revenue``,

@@ -459,3 +459,48 @@ def test_semantic_dedup_greedy_policy(spark):
         sample_size=100, policy="greedy",
     )
     assert sorted(r.vec_id for r in again.collect()) == ids
+
+
+def test_semantic_dedup_recall_vs_brute_force(spark):
+    """VERDICT r6 item 7: recall pin on the real synthetic corpus. Ground
+    truth = numpy all-pairs cosine at the benched threshold (0.40); the
+    clustered pass must (a) return ONLY true pairs (precision 1.0 — every
+    candidate is verified with the exact cosine), (b) reach recall >= 0.9
+    at the benched settings (k = max(16, n/100), nprobe=3), and (c) be
+    monotone in nprobe (each extra probe list only ADDS candidate
+    co-clusterings)."""
+    import numpy as np
+
+    from enterprise_data_quality_platform_spark.dedup.semantic import (
+        semantic_dup_pairs,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+    iu = np.triu_indices(len(ids), k=1)
+    hit = sims[iu] >= 0.40
+    truth = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(iu[0][hit], iu[1][hit])
+    }
+    assert len(truth) >= 20  # the corpus has real pairs to find
+
+    n = len(ids)
+    k = max(16, min(4096, n // 100))
+    recalls = {}
+    for nprobe in (1, 2, 3):
+        got = {
+            (r.id_a, r.id_b)
+            for r in semantic_dup_pairs(
+                emb, threshold=0.40, num_centroids=k, nprobe=nprobe
+            ).collect()
+        }
+        assert got <= truth  # precision 1.0: exact-cosine verification
+        recalls[nprobe] = len(got & truth) / len(truth)
+    assert recalls[1] <= recalls[2] <= recalls[3]
+    assert recalls[3] >= 0.9  # the benched setting (dedup_semantic_docs)
+    assert recalls[3] > recalls[1]  # multiprobe genuinely buys recall

@@ -69,18 +69,25 @@ def main() -> None:
     ]
 
     import __spark_entry__ as entrymod
-    from enterprise_data_quality_platform_spark.queries import query_fns
+    from enterprise_data_quality_platform_spark.queries import all_queries, query_fns
     from enterprise_data_quality_platform_spark.session import get_spark
 
     spark = get_spark("edqp-multiscale")
     fns, oracles = query_fns(), entrymod.oracle_sql()
     names = [n for n in HEADLINE if n in fns and n in oracles]
+    # demo/roundtrip twins (QuerySpec.demo): Spark deliberately does work
+    # the oracle skips — still timed + recorded per query, but reported in
+    # a SEPARATE aggregate so the comparable ratio stays apples-to-apples
+    demo_names = sorted(
+        n for n, spec in all_queries().items() if spec.demo and n in names
+    )
 
     doc: dict = {
         "metric": "headline_query_medians_by_scale",
         "unit": "sec",
         "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "queries": names,
+        "demo_queries": demo_names,
         "tiers": {},
     }
     for spec in tier_args:
@@ -117,6 +124,8 @@ def main() -> None:
             n: round(spark_t[n] / duck_t[n], 2) if duck_t[n] > 0 else None
             for n in tier_names
         }
+        comparable = [n for n in tier_names if n not in demo_names]
+        demo_here = [n for n in tier_names if n in demo_names]
         doc["tiers"][tier] = {
             "sf_dir": sf_dir,
             "runs": runs,
@@ -124,16 +133,26 @@ def main() -> None:
             "spark": spark_t,
             "duckdb": duck_t,
             "ratio": ratio,
-            "spark_total": round(sum(spark_t.values()), 4),
-            "duckdb_total": round(sum(duck_t.values()), 4),
+            # comparable aggregate: demo twins excluded (listed above in
+            # demo_queries — nothing silently dropped)
+            "comparable_count": len(comparable),
+            "spark_total": round(sum(spark_t[n] for n in comparable), 4),
+            "duckdb_total": round(sum(duck_t[n] for n in comparable), 4),
             "aggregate_ratio": round(
-                sum(spark_t.values()) / sum(duck_t.values()), 2
+                sum(spark_t[n] for n in comparable)
+                / sum(duck_t[n] for n in comparable),
+                2,
             ),
+            "demo_count": len(demo_here),
+            "demo_spark_total": round(sum(spark_t[n] for n in demo_here), 4),
+            "demo_duckdb_total": round(sum(duck_t[n] for n in demo_here), 4),
         }
         print(
             f"tier sf{tier}: spark {doc['tiers'][tier]['spark_total']} s, "
             f"duckdb {doc['tiers'][tier]['duckdb_total']} s, "
-            f"ratio {doc['tiers'][tier]['aggregate_ratio']}x"
+            f"ratio {doc['tiers'][tier]['aggregate_ratio']}x "
+            f"over {len(comparable)} comparable "
+            f"(+{len(demo_here)} demo twins reported separately)"
         )
 
     Path(out_path).write_text(json.dumps(doc, indent=1))
