@@ -113,11 +113,37 @@ def merge_upsert(
 
     The staging write keeps Spark's "cannot overwrite a path being read
     from" invariant intact (the output path differs from the input path)
-    and makes the swap near-atomic per partition (FS rename)."""
+    and makes the swap near-atomic per partition (FS rename).
+
+    Crash consistency (tested in tests/test_writers.py): a crash BEFORE
+    the swap leaves the target untouched (the stale ``__stage`` dir is
+    overwritten on retry). The un-partitioned swap is rename-out →
+    rename-in → cleanup (never delete-then-write): a crash between the
+    renames leaves the full old table in ``__old`` AND the new one in
+    ``__stage``, and the recovery pass below restores ``__old`` on the
+    next call; a crash after rename-in leaves a stale ``__old`` that the
+    recovery pass deletes. The partitioned path has PARTITION-level
+    atomicity (each touched partition swaps via one rename — a crash
+    mid-loop leaves some partitions updated and others old, each
+    internally consistent; the same contract as Hive dynamic-partition
+    INSERT OVERWRITE). True multi-partition atomicity needs a
+    transactional format (Delta/Iceberg/Hudi) — this is the documented
+    stand-in boundary."""
     fs, jvm = _hadoop_fs(spark, path)
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     stage = path.rstrip("/") + "__stage"
     jstage = jvm.org.apache.hadoop.fs.Path(stage)
+    jold = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+
+    # recovery from a previous crashed swap (un-partitioned path):
+    # target missing but __old present -> the crash hit between the two
+    # renames; restore the old table. Target present AND __old present ->
+    # the crash hit after rename-in; __old is stale, drop it.
+    if fs.exists(jold):
+        if not fs.exists(jpath):
+            fs.rename(jold, jpath)
+        else:
+            fs.delete(jold, True)
 
     if date_col is not None:
         updates = updates.withColumn("p_date", F.to_date(F.col(date_col)))
@@ -151,8 +177,11 @@ def merge_upsert(
         kept = target.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
         merged = kept.unionByName(updates.select(*kept.columns))
         merged.write.mode("overwrite").parquet(stage)
-        fs.delete(jpath, True)
+        # swap via rename-out/rename-in: the old table is never deleted
+        # until the new one is in place (see crash-consistency docstring)
+        fs.rename(jpath, jold)
         fs.rename(jstage, jpath)
+        fs.delete(jold, True)
     return spark.read.parquet(path)
 
 
