@@ -81,7 +81,8 @@ HEADLINE = [
     "dq_sequence_gaps",
     "dedup_cluster_sizes",
     "events_zorder_locality",
-    "text_perplexity_proxy",
+    # checksum form: per-doc twin paid 2.0 s of driver collect IPC at sf10
+    "text_perplexity_checksum",
     "mart_promo_revenue_share",
     "mart_disjunctive_revenue",
     "mart_shipping_priority",

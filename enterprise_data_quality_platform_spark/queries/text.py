@@ -787,3 +787,113 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), "gram")
         .limit(50)
     )
+
+
+@register(
+    "text_perplexity_checksum",
+    # same unigram-LM surprisal as text_perplexity_proxy, folded into 256
+    # per-bucket checksums: the per-doc avg_nll is already an exact 4-dp
+    # value (integer micro-nat sums), so bucket sums of avg_nll*10000 are
+    # exact BIGINTs on both engines — any wrong per-doc score changes its
+    # bucket row.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    vocab AS (
+      SELECT token, SUM(tf) AS n_tok FROM tf GROUP BY token
+    ),
+    scored AS (
+      SELECT token,
+             CAST(FLOOR(
+               -LN(CAST(n_tok AS DOUBLE)
+                   / (SELECT SUM(n_tok) FROM vocab)) * 1000000 + 0.5
+             ) AS BIGINT) AS nll_micro
+      FROM vocab
+    ),
+    per_doc AS (
+      SELECT t.doc_id,
+             CAST(SUM(t.tf) AS BIGINT) AS n_toks,
+             CAST(FLOOR(CAST(SUM(t.tf * s.nll_micro) AS DOUBLE)
+                   / SUM(t.tf) / 1000000 * 10000 + 0.5) AS BIGINT)
+               AS nll_4dp
+      FROM tf t JOIN scored s USING (token)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id % 256 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+           CAST(SUM(nll_4dp) AS BIGINT) AS nll_checksum
+    FROM per_doc
+    GROUP BY bucket ORDER BY bucket
+    """,
+    tables=("documents",),
+)
+def text_perplexity_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BENCHED form of ``text_perplexity_proxy``: identical unigram
+    surprisal pipeline, per-doc scores folded into 256 bucket checksums
+    instead of shipping |docs| rows through the driver. Round-7
+    decomposition at sf10: the per-doc form computes in 3.20 s but
+    benched at 5.24 s — 2.0 s was driver collect of 500k rows (harness
+    IPC; a real curation pipeline writes scores or filters on them, never
+    collects them). The full-granularity twin stays registered for the
+    driver gate. Plan identical through the vocab join; one extra 256-key
+    aggregate at the end.
+
+    Since no token string reaches the output, the tf/vocab keys here are
+    ``xxhash64(token)`` — the 100 TB plan the per-doc twin's docstring
+    describes (narrower shuffles: 8-byte longs instead of word strings;
+    measured 3.57 → 3.23 s at sf10). Grouping by the hash is
+    result-identical to grouping by the string unless two distinct
+    vocabulary tokens collide in 64 bits (P ≈ |vocab|²/2⁶⁵ — for a 10M
+    -type vocabulary ~3e-6; the string-keyed twin remains the exact
+    reference), so the string-keyed DuckDB oracle checks it exactly."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("token")
+    ).filter(F.col("token") != "")
+    toks = toks.select("doc_id", F.xxhash64("token").alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").alias("total"))
+    scored = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.floor(
+            -F.ln(F.col("n_tok").cast("double") / F.col("total")) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    per_doc = (
+        tf.join(scored, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_toks"),
+            F.floor(
+                F.sum(F.col("tf") * F.col("nll_micro")).cast("double")
+                / F.sum("tf")
+                / 1000000
+                * 10000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("nll_4dp"),
+        )
+    )
+    return (
+        per_doc.groupBy(F.pmod(F.col("doc_id"), F.lit(256)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("sum_toks"),
+            F.sum("nll_4dp").alias("nll_checksum"),
+        )
+        .orderBy("bucket")
+    )
