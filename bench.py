@@ -67,7 +67,7 @@ HEADLINE = [
     "events_user_transitions",
     "events_attribution",
     "events_rate_anomaly",
-    "events_scd2_episodes",
+    "events_scd2_checksum",  # bounded-output twin (r7: 0.8 s was collect IPC)
     "mart_customer_rfm",
     "events_top_paths",
     "events_dau_wau",
@@ -98,7 +98,7 @@ HEADLINE = [
     "mart_discount_effect",
     "mart_min_cost_supplier",
     "mart_product_profit",
-    "mart_excess_inventory",
+    "mart_excess_inventory_checksum",  # bounded-output twin (r7)
     "mart_part_hierarchy_rollup",
     "mart_status_priority_pivot",
     "training_mixture_sample",

@@ -309,3 +309,84 @@ def mart_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supplier_name")
     )
+
+
+@register(
+    "mart_excess_inventory_checksum",
+    # the BENCHED twin of mart_excess_inventory: identical Q20 pipeline,
+    # the 100k eligible-supplier rows folded into per-nation counts plus a
+    # 28-bit-md5-prefix name checksum (r7 decomposition: 0.7 s of the
+    # 3.0 s sf10 bench was driver collect IPC). Any supplier appearing or
+    # vanishing changes its nation's count AND checksum.
+    oracle=f"""
+    WITH {PS_CTE.strip()},
+    usage AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS used_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    eligible AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM ps
+      JOIN usage u
+        ON u.l_partkey = ps.ps_partkey AND u.l_suppkey = ps.ps_suppkey
+      JOIN part p ON p.p_partkey = ps.ps_partkey
+      WHERE p.p_name LIKE '%gear%'
+        AND ps.ps_availqty * 2 > u.used_qty
+    )
+    SELECT n.n_name AS nation_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(('0x' || substr(md5(s.s_name), 1, 7)) AS BIGINT))
+             AS BIGINT) AS name_checksum
+    FROM eligible e
+    JOIN supplier s ON s.s_suppkey = e.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY nation_name
+    ORDER BY nation_name
+    """,
+    tables=("lineitem", "part", "supplier", "nation"),
+)
+def mart_excess_inventory_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-output benched form of ``mart_excess_inventory`` (see that
+    docstring for the Q20 decorrelation); the per-supplier twin stays
+    registered for the driver's full-granularity gate."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    gear_parts = part.filter(F.col("p_name").like("%gear%")).select("p_partkey")
+    ps = derived_partsupp(spark, sf_dir, parts=gear_parts)
+    usage = (
+        li.join(
+            F.broadcast(gear_parts), li.l_partkey == F.col("p_partkey"), "left_semi"
+        )
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("used_qty"))
+    )
+    eligible = (
+        ps.join(
+            usage,
+            (ps.ps_partkey == usage.l_partkey)
+            & (ps.ps_suppkey == usage.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("used_qty"))
+        .select("ps_suppkey")
+        .dropDuplicates()
+    )
+    name_term = F.conv(F.substring(F.md5(F.encode(F.col("s_name"), "UTF-8")), 1, 7), 16, 10).cast("long")
+    return (
+        eligible.join(supplier, eligible.ps_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(name_term).alias("name_checksum"),
+        )
+        .orderBy("nation_name")
+    )
