@@ -628,7 +628,17 @@ def mart_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One extra column-pruned scan (~0.3 s), hot path stays codegen, and
     # a scale-up with partkeys outside [0, 2^31) still fails loudly at
     # action time instead of returning wrong co-occurrence counts.
-    packed = F.col("a.l_partkey") * F.lit(4294967296) + F.col("b.l_partkey")
+    # The pack itself is shiftleft|OR, NOT an ANSI multiply+add: for the
+    # guarded domain they are value-identical (low 32 bits of the shifted
+    # side are zero), but bit ops can never throw ARITHMETIC_OVERFLOW —
+    # with the multiply form, an out-of-range partkey made the 120M-row
+    # pair stage itself throw, RACING the guard stage for which error
+    # reaches the driver first (the r6→r7 test flake: ~1 in 8 full-file
+    # runs surfaced the overflow instead of the guard message). The guard
+    # must be the ONLY failure path.
+    packed = F.shiftleft(F.col("a.l_partkey"), 32).bitwiseOR(
+        F.col("b.l_partkey")
+    )
     pack_guard = (
         li.agg(
             F.min("l_partkey").alias("_mn"),
