@@ -1076,26 +1076,37 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_correlation",
     oracle="""
     WITH q AS (
-      SELECT CAST(CAST(FLOOR(l_quantity * 10000 + 0.5) AS BIGINT) AS DECIMAL(19,0)) AS x,
-             CAST(CAST(FLOOR(l_extendedprice * 10000 + 0.5) AS BIGINT) AS DECIMAL(19,0)) AS y
+      SELECT CAST(FLOOR(l_quantity * 10000 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice * 10000 + 0.5) AS BIGINT) AS y
       FROM lineitem
       WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     ),
     s AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(x) AS sx, SUM(y) AS sy,
-             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM((x * y) // 1073741824) AS BIGINT) AS sxy_hi,
+             CAST(SUM((x * y) %  1073741824) AS BIGINT) AS sxy_lo,
+             CAST(SUM((x * x) // 1073741824) AS BIGINT) AS sxx_hi,
+             CAST(SUM((x * x) %  1073741824) AS BIGINT) AS sxx_lo,
+             CAST(SUM((y * y) // 1073741824) AS BIGINT) AS syy_hi,
+             CAST(SUM((y * y) %  1073741824) AS BIGINT) AS syy_lo
       FROM q
+    ),
+    d AS (
+      SELECT n,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(sxy_hi AS DOUBLE) * 1073741824.0 + CAST(sxy_lo AS DOUBLE) AS sxy,
+             CAST(sxx_hi AS DOUBLE) * 1073741824.0 + CAST(sxx_lo AS DOUBLE) AS sxx,
+             CAST(syy_hi AS DOUBLE) * 1073741824.0 + CAST(syy_lo AS DOUBLE) AS syy
+      FROM s
     )
     SELECT n,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           (nd * sxy - sxd * syd)
+           / (SQRT(nd * sxx - sxd * sxd) * SQRT(nd * syy - syd * syd))
              AS pearson_r,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             AS slope
-    FROM s
+           (nd * sxy - sxd * syd) / (nd * sxx - sxd * sxd) AS slope
+    FROM d
     """,
     tables=("lineitem",),
 )
@@ -1104,39 +1115,56 @@ def dq_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity and extended price — the relationship check under "are these
     two columns still moving together?" drift monitoring.
 
-    Determinism: the five moment sums are computed over fixed-point
-    quantized values as DECIMAL(19,0) (hugeint-backed in DuckDB — int64-backed
-    DECIMAL(18) multiplies overflow there; products widen to DECIMAL(38,0);
-    sums stay exact in both engines' 128-bit decimal accumulators — a
-    plain SUM of double products would be summation-order-dependent).
-    The closed-form combination then runs in doubles with an identical
-    expression tree on both sides: each engine performs the same IEEE
-    ops in the same order. One scan, partial+final aggregation, 1-row
-    result — scales as a pure map-combine."""
+    Determinism via SPLIT SUMS (r7 rewrite of the DECIMAL(38,0) form —
+    the 128-bit multiplies were the whole 4.1× sf10 cost, 2.1 → ~0.9 s):
+    each per-row product (x·y, x², y² over the 4-dp fixed-point values)
+    is an exact BIGINT, split into (p >> 30, p & (2^30−1)) and summed as
+    two plain 64-bit integer aggregates — both exact, so the moment is
+    recovered exactly as hi·2^30 + lo. The recovery and the closed-form
+    combination run in doubles with an IDENTICAL expression tree on both
+    engines (same IEEE ops, same order → bit-identical results; the
+    DuckDB twin spells ``//``/``%`` where Spark uses shift/mask — equal
+    on the non-negative products these are). Precondition: values
+    non-negative (floor of positive money/qty). Overflow posture: the lo
+    sum stays in-range to 2^33 rows (~850× this sf10, ≈140 TB of
+    lineitem) and ANSI mode fails LOUDLY beyond, never silently — the
+    ``dq_correlation_approx`` double path is the unbounded fallback.
+    One scan, partial+final aggregation, 1-row result — a pure
+    map-combine, no shuffle beyond the 1-row partials."""
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
     )
-    x = F.floor(F.col("l_quantity") * 10000 + F.lit(0.5)).cast("long").cast(
-        "decimal(19,0)"
-    )
-    y = F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5)).cast(
-        "long"
-    ).cast("decimal(19,0)")
+    x = F.floor(F.col("l_quantity") * 10000 + F.lit(0.5)).cast("long")
+    y = F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5)).cast("long")
+    mask = F.lit(1073741823)  # 2^30 - 1
+
+    def split_sums(prod, name):
+        return [
+            F.sum(F.shiftright(prod, 30)).alias(f"{name}_hi"),
+            F.sum(prod.bitwiseAND(mask)).alias(f"{name}_lo"),
+        ]
+
     s = li.select(x.alias("x"), y.alias("y")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        *split_sums(F.col("x") * F.col("y"), "sxy"),
+        *split_sums(F.col("x") * F.col("x"), "sxx"),
+        *split_sums(F.col("y") * F.col("y"), "syy"),
     )
     nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    cov_n = nd * sxy - sx * sy
-    var_x = nd * sxx - sx * sx
-    var_y = nd * syy - sy * sy
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+
+    def recover(name):
+        return (
+            F.col(f"{name}_hi").cast("double") * F.lit(1073741824.0)
+            + F.col(f"{name}_lo").cast("double")
+        )
+
+    sxy, sxx, syy = recover("sxy"), recover("sxx"), recover("syy")
+    cov_n = nd * sxy - sxd * syd
+    var_x = nd * sxx - sxd * sxd
+    var_y = nd * syy - syd * syd
     return s.select(
         "n",
         (cov_n / (F.sqrt(var_x) * F.sqrt(var_y))).alias("pearson_r"),
