@@ -162,8 +162,9 @@ def test_schema_checks(spark, sample):
 
 
 def test_correlation_approx_agrees_with_exact(spark):
-    """dq_correlation_approx (double moments, the scale path) must agree
-    with the exact DECIMAL path to 1e-9 relative on r and slope."""
+    """dq_correlation_approx (double moments, the unbounded-n fallback)
+    must agree with the exact split-sum path to 1e-9 relative on r and
+    slope."""
     from conftest import SF_SMALL
 
     from enterprise_data_quality_platform_spark.queries.dq import (
@@ -390,3 +391,56 @@ def test_dateutil_parseable_non_iso_formats(spark):
     )
     r = results[0]
     assert r.status == "fail" and r.violations == 2
+
+
+def test_correlation_split_sums_match_numpy(spark, tmp_path):
+    """Property pin for the r7 split-sum rewrite: on randomized money/qty
+    frames the split-sum Pearson r and slope match numpy's float64
+    computation to 1e-9 relative — the exactness of the BIGINT moment
+    sums is what makes the closed form engine-portable."""
+    import numpy as np
+
+    from enterprise_data_quality_platform_spark.queries.dq import dq_correlation
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    qty = np.round(rng.uniform(1, 50, n), 2)
+    price = np.round(qty * 1000 + rng.normal(0, 5000, n) + 10000, 2)
+    price = np.maximum(price, 1.0)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(qty, price)],
+        "l_quantity double, l_extendedprice double",
+    )
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = dq_correlation(spark, str(tmp_path)).collect()[0]
+
+    x = np.floor(qty * 10000 + 0.5)
+    y = np.floor(price * 10000 + 0.5)
+    r_np = np.corrcoef(x, y)[0, 1]
+    slope_np = ((n * (x * y).sum() - x.sum() * y.sum())
+                / (n * (x * x).sum() - x.sum() ** 2))
+    assert got.n == n
+    assert abs(got.pearson_r - r_np) <= 1e-9 * abs(r_np)
+    assert abs(got.slope - slope_np) <= 1e-9 * abs(slope_np)
+
+
+def test_pair_in_set_ignore_row_if_ge_round_trip():
+    """The ignore_row_if kwarg survives the GE JSON round-trip untouched
+    (suite_io passes unknown kwargs through), so a ported suite keeps its
+    NULL semantics."""
+    from enterprise_data_quality_platform_spark.checks.suite_io import (
+        check_from_dict,
+        check_to_dict,
+    )
+
+    check = Check(
+        "combo", "pair_in_set", "t", columns=("a", "b"),
+        params={
+            "value_pairs": [["x", "y"]],
+            "ignore_row_if": "both_values_are_missing",
+        },
+    )
+    d = check_to_dict(check)
+    assert d["kwargs"]["ignore_row_if"] == "both_values_are_missing"
+    back = check_from_dict(d)
+    assert back.params["ignore_row_if"] == "both_values_are_missing"

@@ -198,3 +198,50 @@ def test_chunk_tokens_boundaries(spark):
     assert [r.chunk_id for r in c1] == [0, 1, 2, 3]
     c2 = by_doc[2]
     assert len(c2) == 1 and c2[0].n_tokens == 1 and c2[0].chunk_text == "only"
+
+
+def test_chunk_tokens_property_coverage_and_overlap(spark):
+    """Property pin (seeded generator, one Spark round-trip for all
+    cases): for random docs and several (window, stride) settings, the
+    chunks exactly tile the token sequence — concatenating each chunk's
+    first `stride` tokens (all tokens for the last chunk) reconstructs
+    the document; consecutive chunks overlap by exactly window-stride
+    tokens; n_tokens matches the slice arithmetic."""
+    import random
+
+    from enterprise_data_quality_platform_spark.plans.training_data import (
+        chunk_tokens,
+    )
+
+    rng = random.Random(7)
+    docs, expected_words = [], {}
+    did = 0
+    for n_words in [1, 2, 5, 47, 48, 49, 63, 64, 65, 100, 257]:
+        words = [f"w{rng.randrange(1000)}" for _ in range(n_words)]
+        docs.append((did, " ".join(words)))
+        expected_words[did] = words
+        did += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    for window, stride in [(64, 48), (8, 8), (10, 3)]:
+        out = chunk_tokens(df, window=window, stride=stride).collect()
+        by_doc: dict[int, list] = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert set(by_doc) == set(expected_words)
+        for d, rows in by_doc.items():
+            rows.sort(key=lambda r: r.chunk_id)
+            words = expected_words[d]
+            # chunk_ids are dense 0..k-1 with starts at stride boundaries
+            assert [r.chunk_id for r in rows] == list(range(len(rows)))
+            recon: list[str] = []
+            for i, r in enumerate(rows):
+                toks = r.chunk_text.split(" ") if r.chunk_text else []
+                start = i * stride
+                assert toks == words[start : start + window]
+                assert r.n_tokens == len(toks)
+                if i + 1 < len(rows) and window > stride:
+                    nxt = rows[i + 1].chunk_text.split(" ")
+                    assert toks[stride:] == nxt[: window - stride]
+                recon.extend(toks if i == len(rows) - 1 else toks[:stride])
+            assert recon == words
