@@ -86,6 +86,9 @@ HEADLINE = [
     "mart_promo_revenue_share",
     "mart_disjunctive_revenue",
     "mart_shipping_priority",
+    # demo twin: bucketed steady state (2.46 -> 1.50 s sf10; one-time bucketize
+    # absorbed by the warm run) — reported in the demo aggregate
+    "mart_shipping_priority_bucketed",
     "mart_local_supplier_volume",
     "mart_brand_market_share",
     "mart_large_volume_customers",

@@ -2356,3 +2356,152 @@ def mart_high_value_range_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("units").over(w).alias("units_7d"),
         F.sum("order_count").over(w).alias("orders_7d"),
     ).orderBy("day_num")
+
+
+def _bucketed_fact(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    cols: list,
+    key: str,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Session-scoped bucketed materialization of one fact projection:
+    writes ``<name>`` bucketed+sorted on ``key`` into a warehouse DB
+    (ONCE per session+sf — later calls hit the catalog), returns the
+    catalog table. The bucket spec lives in table metadata, so reads
+    expose outputPartitioning = HashPartitioning(key, n) and every
+    equi-join/groupBy on ``key`` plans WITHOUT an Exchange. 32 buckets
+    matches the local shuffle-partition count; a 100 TB deployment picks
+    thousands (bucket count is the parallelism floor for bucket-local
+    stages)."""
+    import os
+    import tempfile
+
+    from ..catalog import table as _table
+    from ..sources.writers import write_bucketed
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    # Spark 3+ stopped reporting bucketed-scan sort order by default
+    # because MULTI-file buckets broke it; write_bucketed guarantees the
+    # invariant the conf requires (repartition-aligned → exactly one
+    # sorted file per bucket), so enabling it here is sound for every
+    # table this helper creates — it is what lets the merge join skip
+    # both bucket-local sorts. Do NOT set this globally for sessions
+    # reading externally-written bucketed tables.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    # session-scoped DB location: the in-memory catalog dies with the
+    # session but a static warehouse LOCATION would survive it, and
+    # saveAsTable refuses a managed table whose location already exists
+    # (LOCATION_ALREADY_EXISTS on the next session). Keying the DB dir by
+    # applicationId gives each session a fresh, self-consistent namespace
+    # — one write per session, absorbed by the bench warm-up; a real
+    # deployment uses a persistent metastore and writes ONCE ever.
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        f"edqp-bucketmart-{spark.sparkContext.applicationId}",
+    )
+    if not os.path.exists(loc):
+        # housekeeping: earlier sessions' bucketmart dirs are dead weight
+        # (their catalogs died with them — ~0.7 GB each at sf10). One
+        # session at a time is the repo's execution contract, so stale
+        # dirs are safe to drop; best-effort, never fails the query.
+        import glob
+        import shutil
+
+        for stale in glob.glob(
+            os.path.join(tempfile.gettempdir(), "edqp-bucketmart-*")
+        ):
+            try:
+                shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                pass
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketmart LOCATION '{loc}'")
+    tbl = f"bucketmart.{name}_{tag}"
+    if not spark.catalog.tableExists(tbl):
+        write_bucketed(
+            _table(spark, sf_dir, name).select(*cols),
+            tbl,
+            [key],
+            num_buckets,
+            sort_cols=[key],
+        )
+    return spark.table(tbl)
+
+
+@register(
+    "mart_shipping_priority_bucketed",
+    # identical result contract to mart_shipping_priority — the oracle is
+    # the same Q3 SQL over the raw parquet; only Spark's physical layout
+    # differs (bucketed facts -> zero-exchange join AND aggregate).
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_sum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000
+                     + 0.5) AS BIGINT)) DESC,
+             o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+    tables=("customer", "orders", "lineitem"),
+    demo=True,  # Spark side includes a one-time bucketize the oracle skips
+)
+def mart_shipping_priority_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 over BUCKETED facts — the declared 100 TB answer to the
+    fact-join family floor (PERF.md r7 entry): both facts live bucketed+
+    sorted on orderkey, so the orderkey join has NO shuffle and NO sort
+    on either side, and the (l_orderkey, …) aggregate rides the same
+    bucket partitioning — the steady-state plan is EXCHANGE-FREE up to
+    the final top-10 (plan-asserted in tests/test_plans.py). The shuffle
+    the un-bucketed twin pays per query is paid once at write time; a
+    warehouse that joins lineitem⋈orders daily amortizes it in two runs.
+
+    Registered demo=True: the first call per session materializes the
+    bucketed tables (the oracle reads raw parquet and skips that), so
+    the comparable aggregate excludes it; the per-query timing after
+    warm-up measures the steady state a deployed warehouse actually
+    runs. Results are value-identical to ``mart_shipping_priority``
+    (same oracle, hash-compared)."""
+    customer = table(spark, sf_dir, "customer")
+    o_b = _bucketed_fact(
+        spark, sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        "o_orderkey",
+    )
+    l_b = _bucketed_fact(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        "l_orderkey",
+    )
+    units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000)
+        + F.lit(0.5)
+    ).cast("long")
+    cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = o_b.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    l = l_b.filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(units).alias("rev_units"))
+        .orderBy(F.col("rev_units").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            fx_round(F.col("rev_units") / F.lit(10000.0), 2).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )

@@ -253,8 +253,21 @@ def write_bucketed(
     fact join pays its shuffle once at write time, then never again.
     Bucketing requires a catalog table (``saveAsTable``), not a bare path —
     the bucket spec lives in table metadata. ``sort_cols`` additionally
-    sorts within buckets so merge joins skip their sort."""
-    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    sorts within buckets so merge joins skip their sort.
+
+    The pre-write ``repartition(num_buckets, *bucket_cols)`` is
+    load-bearing: repartition and the bucket spec share the same
+    Murmur3-pmod placement, so it lands each bucket in exactly one task →
+    ONE file per bucket. Without it every task writes a file per bucket
+    (tasks × buckets small files) AND the reader only trusts the
+    bucket-sort metadata for single-file buckets — multi-file buckets
+    silently re-Sort under every merge join (caught by
+    tests/test_plans.py::test_shipping_priority_bucketed_is_exchange_free)."""
+    w = (
+        df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table_name)

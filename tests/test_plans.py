@@ -573,3 +573,39 @@ def test_part_affinity_empty_input_returns_empty(spark, tmp_path):
     empty = spark.createDataFrame([], "l_orderkey long, l_partkey long")
     empty.write.parquet(str(tmp_path / "lineitem.parquet"))
     assert mart_part_affinity(spark, str(tmp_path)).collect() == []
+
+
+def test_shipping_priority_bucketed_is_exchange_free(spark):
+    """The bucketed Q3 twin's steady state: with broadcast conversion off
+    (forcing the join shape a 100 TB run would see), the orderkey join
+    rides the bucket partitioning — NO shuffle Exchange and NO Sort
+    anywhere in the final plan (buckets are pre-sorted on the key); the
+    only broadcast is the explicitly-hinted customer dim, and the
+    aggregate reuses the same partitioning. The top-10 is
+    TakeOrderedAndProject (never a global sort)."""
+    from enterprise_data_quality_platform_spark.queries.relational import (
+        mart_shipping_priority_bucketed,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = mart_shipping_priority_bucketed(spark, SF_SMALL)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        shuffle_exchanges = final.count("Exchange hashpartitioning") + \
+            final.count("Exchange rangepartitioning") + \
+            final.count("Exchange SinglePartition")
+        assert shuffle_exchanges == 0, final
+        assert " Sort " not in final and "+- Sort" not in final, final
+        assert "TakeOrderedAndProject" in final
+        # value parity with the un-bucketed twin on the same session
+        from enterprise_data_quality_platform_spark.queries.relational import (
+            mart_shipping_priority,
+        )
+        a = [tuple(r) for r in df.collect()]
+        b = [tuple(r) for r in mart_shipping_priority(spark, SF_SMALL).collect()]
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
