@@ -438,11 +438,19 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     events = table(spark, sf_dir, "events")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"edqp-orc-{spark.sparkContext.applicationId}",
-        "events.orc",
+    base = os.path.join(
+        tempfile.gettempdir(), f"edqp-orc-{spark.sparkContext.applicationId}"
     )
+    if not os.path.exists(base):
+        # drop earlier sessions' copies (one session at a time is the
+        # repo's execution contract) — bounds total disk to ONE copy
+        # across sessions, not one per session
+        import glob
+        import shutil
+
+        for stale in glob.glob(os.path.join(tempfile.gettempdir(), "edqp-orc-*")):
+            shutil.rmtree(stale, ignore_errors=True)
+    path = os.path.join(base, "events.orc")
     events.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
