@@ -1125,7 +1125,15 @@ def dq_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (same IEEE ops, same order → bit-identical results; the
     DuckDB twin spells ``//``/``%`` where Spark uses shift/mask — equal
     on the non-negative products these are). Precondition: values
-    non-negative (floor of positive money/qty). Overflow posture: the lo
+    non-negative (floor of positive money/qty) — ENFORCED in-plan since
+    r8 (ADVICE r7): min(x)/min(y) ride the same single aggregate (no
+    extra scan) and the 1-row post-aggregate filter raises on a negative
+    input instead of silently diverging (Spark's shiftright is floor /
+    two's-complement where the oracle's ``//``/``%`` truncate — returns
+    or corrections data would corrupt the moments without this). The
+    raise lives on the 1-row result, so the 6M-row map-combine stage
+    stays whole-stage-codegen and no concurrent stage can race the guard
+    (bit ops never throw). Overflow posture: the lo
     sum stays in-range to 2^33 rows (~850× this sf10, ≈140 TB of
     lineitem) and ANSI mode fails LOUDLY beyond, never silently — the
     ``dq_correlation_approx`` double path is the unbounded fallback.
@@ -1151,6 +1159,24 @@ def dq_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         *split_sums(F.col("x") * F.col("y"), "sxy"),
         *split_sums(F.col("x") * F.col("x"), "sxx"),
         *split_sums(F.col("y") * F.col("y"), "syy"),
+        F.min("x").alias("_mnx"),
+        F.min("y").alias("_mny"),
+    ).filter(
+        F.when(
+            # NULL min = empty input: vacuously non-negative, must not raise
+            F.col("_mnx").isNull()
+            | ((F.col("_mnx") >= 0) & (F.col("_mny") >= 0)),
+            F.lit(True),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "dq_correlation: split-sum decomposition requires"
+                    " non-negative inputs (shift/mask vs //-% semantics"
+                    " diverge below zero); use dq_correlation_approx for"
+                    " signed data"
+                )
+            ).cast("boolean")
+        )
     )
     nd = F.col("n").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")

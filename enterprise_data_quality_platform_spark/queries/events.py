@@ -1321,7 +1321,10 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM numbered
       GROUP BY user_id, episode_seq, event_type
     )
-    SELECT user_id % 256 AS bucket, event_type,
+    -- pmod-equivalent: Spark buckets with F.pmod (always >= 0) while plain
+    -- DuckDB % follows the dividend sign — negative/hashed ids would cause
+    -- a spurious parity failure otherwise (ADVICE r7)
+    SELECT ((user_id % 256) + 256) % 256 AS bucket, event_type,
            CAST(COUNT(*) AS BIGINT) AS n_episodes,
            CAST(SUM(n_events) AS BIGINT) AS sum_events,
            CAST(SUM(episode_seq) AS BIGINT) AS sum_seq,

@@ -98,6 +98,11 @@ def events_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH z AS (
       SELECT
+        -- PRECONDITION: user_id >= 0 AND ts >= epoch (holds for this
+        -- schema). Spark buckets via F.pmod + `div` while this twin uses
+        -- %/'//' — they agree only for non-negative operands, and unlike
+        -- the flat-bucket twins a pmod wrap alone wouldn't align the
+        -- floor-vs-truncate `//` on negative epochs (ADVICE r7).
         -- parenthesize each shift: DuckDB's << binds LOOSER than +, so an
         -- unparenthesized a << x + b << y chains the shifts
         (SELECT SUM( (((user_id % 256) >> i & 1) << (2*i))
@@ -442,14 +447,12 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"edqp-orc-{spark.sparkContext.applicationId}"
     )
     if not os.path.exists(base):
-        # drop earlier sessions' copies (one session at a time is the
-        # repo's execution contract) — bounds total disk to ONE copy
-        # across sessions, not one per session
-        import glob
-        import shutil
+        # drop DEAD sessions' copies (bounds disk to ~one round's worth);
+        # mtime-gated so a concurrently-live session's copy survives even
+        # if the one-session-at-a-time contract is violated (ADVICE r7)
+        from ..session import drop_stale_session_dirs
 
-        for stale in glob.glob(os.path.join(tempfile.gettempdir(), "edqp-orc-*")):
-            shutil.rmtree(stale, ignore_errors=True)
+        drop_stale_session_dirs("edqp-orc", keep=base)
     path = os.path.join(base, "events.orc")
     events.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)

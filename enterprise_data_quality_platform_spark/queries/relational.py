@@ -2385,10 +2385,14 @@ def _bucketed_fact(
     # Spark 3+ stopped reporting bucketed-scan sort order by default
     # because MULTI-file buckets broke it; write_bucketed guarantees the
     # invariant the conf requires (repartition-aligned → exactly one
-    # sorted file per bucket), so enabling it here is sound for every
-    # table this helper creates — it is what lets the merge join skip
-    # both bucket-local sorts. Do NOT set this globally for sessions
-    # reading externally-written bucketed tables.
+    # sorted file per bucket) and since r8 ENFORCES it (rejects
+    # mode='append' onto sorted buckets), so enabling it is sound for
+    # every table this engine can create. It stays set session-wide by
+    # necessity: the conf is consulted at physical planning time, which
+    # happens lazily AFTER this helper returns — a save/restore wrapper
+    # here would disable the very sort-elision it exists for. Sessions
+    # reading EXTERNALLY-written bucketed tables (none in this repo)
+    # must not combine them with this helper in one session.
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     # session-scoped DB location: the in-memory catalog dies with the
     # session but a static warehouse LOCATION would survive it, and
@@ -2402,20 +2406,13 @@ def _bucketed_fact(
         f"edqp-bucketmart-{spark.sparkContext.applicationId}",
     )
     if not os.path.exists(loc):
-        # housekeeping: earlier sessions' bucketmart dirs are dead weight
-        # (their catalogs died with them — ~0.7 GB each at sf10). One
-        # session at a time is the repo's execution contract, so stale
-        # dirs are safe to drop; best-effort, never fails the query.
-        import glob
-        import shutil
+        # housekeeping: DEAD sessions' bucketmart dirs are dead weight
+        # (their catalogs died with them — ~0.7 GB each at sf10). The
+        # mtime gate keeps a concurrently-live session's files safe even
+        # if the one-session-at-a-time contract is violated (ADVICE r7).
+        from ..session import drop_stale_session_dirs
 
-        for stale in glob.glob(
-            os.path.join(tempfile.gettempdir(), "edqp-bucketmart-*")
-        ):
-            try:
-                shutil.rmtree(stale, ignore_errors=True)
-            except OSError:
-                pass
+        drop_stale_session_dirs("edqp-bucketmart", keep=loc)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketmart LOCATION '{loc}'")
     tbl = f"bucketmart.{name}_{tag}"
     if not spark.catalog.tableExists(tbl):

@@ -827,7 +827,8 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tf t JOIN scored s USING (token)
       GROUP BY t.doc_id
     )
-    SELECT doc_id % 256 AS bucket,
+    -- pmod-equivalent of Spark's F.pmod (plain % follows dividend sign)
+    SELECT ((doc_id % 256) + 256) % 256 AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
            CAST(SUM(nll_4dp) AS BIGINT) AS nll_checksum

@@ -565,7 +565,8 @@ def training_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS chunk_md5
       FROM s
     )
-    SELECT doc_id % 256 AS bucket,
+    -- pmod-equivalent of Spark's F.pmod (plain % follows dividend sign)
+    SELECT ((doc_id % 256) + 256) % 256 AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
            CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
            CAST(SUM(CAST(('0x' || substr(chunk_md5, 1, 7)) AS BIGINT))

@@ -111,6 +111,35 @@ def get_spark(
     return spark
 
 
+def drop_stale_session_dirs(prefix: str, keep: str, max_age_hours: float = 6.0) -> None:
+    """Best-effort cleanup of per-session temp dirs (``<tmp>/<prefix>-<appId>``)
+    left behind by DEAD sessions, without racing a live one.
+
+    One-session-at-a-time is the repo's documented execution contract, but it
+    was previously unenforced here: an unconditional delete of every
+    non-current dir would rm-rf a concurrently running session's live copy
+    (e.g. pytest while a bench session is up — ADVICE r7). The mtime gate
+    makes the cleanup safe under that violation: a live session's dir was
+    written this session (mtime minutes old), so only dirs older than
+    ``max_age_hours`` — which no live local session plausibly is — are
+    removed. Never raises; disk bounded to ~one round's worth of copies.
+    """
+    import glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    cutoff = _time.time() - max_age_hours * 3600
+    for stale in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}-*")):
+        if stale == keep:
+            continue
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an externally-provided session (e.g. the
     driver's). Only touches confs that are settable post-start."""

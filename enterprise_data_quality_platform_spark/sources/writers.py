@@ -262,7 +262,33 @@ def write_bucketed(
     (tasks × buckets small files) AND the reader only trusts the
     bucket-sort metadata for single-file buckets — multi-file buckets
     silently re-Sort under every merge join (caught by
-    tests/test_plans.py::test_shipping_priority_bucketed_is_exchange_free)."""
+    tests/test_plans.py::test_shipping_priority_bucketed_is_exchange_free).
+
+    ``mode='append'`` is REJECTED for sorted buckets (and for appends onto
+    an existing sorted bucketed table): a second file per bucket makes the
+    bucket overall-unsorted, and any session that has enabled
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` (``_bucketed_fact``
+    does, necessarily session-wide — the conf is consulted at physical
+    planning time, lazily AFTER the helper returns, so a save/restore wrapper
+    would just disable the optimization) would then trust stale sort metadata
+    and skip a required Sort under a merge join → silently wrong join
+    results (ADVICE r7). Enforcing the invariant at the only write path
+    keeps the conf sound for every table this engine creates. Appends to
+    UNSORTED bucketed tables remain allowed — multi-file buckets without
+    sort metadata merely cost a re-Sort, never correctness."""
+    if mode == "append":
+        existing_sorted = False
+        spark = df.sparkSession
+        if spark.catalog.tableExists(table_name):
+            ddl = spark.sql(f"SHOW CREATE TABLE {table_name}").first()[0]
+            existing_sorted = "SORTED BY" in ddl.upper()
+        if sort_cols or existing_sorted:
+            raise ValueError(
+                f"write_bucketed(mode='append') on sorted bucketed table "
+                f"{table_name!r} would break the one-sorted-file-per-bucket "
+                "invariant that sorted-bucket merge joins rely on; rewrite "
+                "with mode='overwrite' or drop sort_cols"
+            )
     w = (
         df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
         .write.mode(mode)

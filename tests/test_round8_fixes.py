@@ -1,0 +1,93 @@
+"""Round-8 regression pins for the ADVICE r7 fixes.
+
+1. ``write_bucketed`` enforces the one-sorted-file-per-bucket invariant that
+   ``spark.sql.legacy.bucketedTableScan.outputOrdering`` (set by
+   ``_bucketed_fact``) relies on: appends onto sorted buckets are rejected
+   loudly instead of silently corrupting later merge-join results.
+2. ``dq_correlation`` raises in-plan on negative inputs — its split-sum
+   decomposition (shift/mask vs the oracle's ``//``/``%``) is only exact for
+   non-negative products, and the precondition used to live solely in the
+   docstring.
+3. ``drop_stale_session_dirs`` only removes dirs older than the age gate, so
+   a concurrently-live session's temp copy survives cleanup.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_write_bucketed_rejects_append_on_sorted(spark, tmp_path):
+    from enterprise_data_quality_platform_spark.catalog import table
+    from enterprise_data_quality_platform_spark.sources.writers import write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS r8bucket LOCATION '{tmp_path}/db'")
+    try:
+        nation = table(spark, SF_SMALL, "nation")
+        write_bucketed(
+            nation, "r8bucket.sorted_t", ["n_nationkey"], 4,
+            sort_cols=["n_nationkey"],
+        )
+        # append with sort_cols: rejected regardless of target state
+        with pytest.raises(ValueError, match="one-sorted-file-per-bucket"):
+            write_bucketed(
+                nation, "r8bucket.sorted_t", ["n_nationkey"], 4,
+                sort_cols=["n_nationkey"], mode="append",
+            )
+        # append WITHOUT sort_cols onto an existing SORTED table: the stale
+        # sort metadata would still mislead readers — rejected too
+        with pytest.raises(ValueError, match="one-sorted-file-per-bucket"):
+            write_bucketed(
+                nation, "r8bucket.sorted_t", ["n_nationkey"], 4, mode="append"
+            )
+        # unsorted bucketed table: appends are safe (worst case a re-Sort)
+        write_bucketed(nation, "r8bucket.plain_t", ["n_nationkey"], 4)
+        write_bucketed(
+            nation, "r8bucket.plain_t", ["n_nationkey"], 4, mode="append"
+        )
+        assert spark.table("r8bucket.plain_t").count() == 2 * nation.count()
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS r8bucket CASCADE")
+
+
+def test_dq_correlation_raises_on_negative_input(spark, tmp_path):
+    from enterprise_data_quality_platform_spark.queries.dq import dq_correlation
+
+    sf_dir = str(tmp_path / "sf_neg")
+    spark.createDataFrame(
+        [(5.0, 100.0), (-1.0, 200.0), (3.0, 50.0)],
+        "l_quantity double, l_extendedprice double",
+    ).write.parquet(f"{sf_dir}/lineitem.parquet")
+    with pytest.raises(Exception, match="non-negative"):
+        dq_correlation(spark, sf_dir).collect()
+    # and the guard itself adds no cost-of-correctness on clean data: the
+    # real table still yields the 1-row result
+    assert dq_correlation(spark, SF_SMALL).count() == 1
+
+
+def test_drop_stale_session_dirs_mtime_gate(tmp_path, monkeypatch):
+    import tempfile
+
+    from enterprise_data_quality_platform_spark.session import (
+        drop_stale_session_dirs,
+    )
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    old_dir = tmp_path / "edqp-orc-app-old"
+    new_dir = tmp_path / "edqp-orc-app-live"
+    keep_dir = tmp_path / "edqp-orc-app-current"
+    for d in (old_dir, new_dir, keep_dir):
+        d.mkdir()
+    stale_ts = time.time() - 7 * 3600
+    os.utime(old_dir, (stale_ts, stale_ts))
+
+    drop_stale_session_dirs("edqp-orc", keep=str(keep_dir))
+    assert not old_dir.exists()  # 7h old: dead session, removed
+    assert new_dir.exists()  # fresh mtime: plausibly live, kept
+    assert keep_dir.exists()  # current session's own dir, kept

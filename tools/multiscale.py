@@ -38,8 +38,21 @@ TABLES = (
 ).split()
 
 
-def time_queries(run, names, runs: int, gc=None, tag: str = "") -> dict[str, float]:
+def time_queries(
+    run, names, runs: int, gc=None, tag: str = ""
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Returns (median_by_query, loadavg_by_query).
+
+    The per-query 1-min loadavg stamp (taken BEFORE the timed runs, so it
+    reflects co-tenant pressure rather than our own just-finished burst) is
+    what makes a LOCALIZED contamination detectable after the fact: in r7 a
+    co-tenant burst inflated exactly two sf10 entries 3-4x inside an
+    otherwise-quiet sweep, and the committed artifact had no way to show it
+    (VERDICT r7 item 1 / what's-wrong item 1). Whole-sweep launch gating
+    stays necessary but is not sufficient.
+    """
     out: dict[str, float] = {}
+    load: dict[str, float] = {}
     for name in names:
         t_w = time.perf_counter()
         run(name)  # warm (codegen / buffer pool)
@@ -49,14 +62,18 @@ def time_queries(run, names, runs: int, gc=None, tag: str = "") -> dict[str, flo
         )
         if gc is not None and name in HEAVY:
             gc()
+        load[name] = round(os.getloadavg()[0], 2)
         samples = []
         for _ in range(max(1, runs if name not in HEAVY else min(runs, 2))):
             t0 = time.perf_counter()
             run(name)
             samples.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(samples), 4)
-        print(f"  [{tag}] {name}: {out[name]}s", file=sys.stderr, flush=True)
-    return out
+        print(
+            f"  [{tag}] {name}: {out[name]}s (la1 {load[name]})",
+            file=sys.stderr, flush=True,
+        )
+    return out, load
 
 
 def main() -> None:
@@ -85,6 +102,7 @@ def main() -> None:
     doc: dict = {
         "metric": "headline_query_medians_by_scale",
         "unit": "sec",
+        "launch_loadavg": [round(x, 2) for x in os.getloadavg()],
         "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "queries": names,
         "demo_queries": demo_names,
@@ -103,7 +121,7 @@ def main() -> None:
         def spark_run(name, _dir=sf_dir):
             fns[name](spark, _dir).collect()
 
-        spark_t = time_queries(
+        spark_t, spark_la = time_queries(
             spark_run, tier_names, runs, tag=f"sf{tier} spark",
             gc=lambda: (spark.sparkContext._jvm.System.gc(), time.sleep(1)),
         )
@@ -117,7 +135,7 @@ def main() -> None:
         def duck_run(name, _con=con):
             _con.execute(oracles[name]).fetchall()
 
-        duck_t = time_queries(duck_run, tier_names, runs, tag=f"sf{tier} duckdb")
+        duck_t, duck_la = time_queries(duck_run, tier_names, runs, tag=f"sf{tier} duckdb")
         con.close()
 
         ratio = {
@@ -133,6 +151,11 @@ def main() -> None:
             "spark": spark_t,
             "duckdb": duck_t,
             "ratio": ratio,
+            # 1-min loadavg stamped before each query's timed runs; a value
+            # far above the launch loadavg + our own steady-state (~5-8 while
+            # Spark works this box) marks that entry co-tenant-contaminated
+            "spark_loadavg1": spark_la,
+            "duckdb_loadavg1": duck_la,
             # comparable aggregate: demo twins excluded (listed above in
             # demo_queries — nothing silently dropped)
             "comparable_count": len(comparable),

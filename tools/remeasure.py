@@ -1,0 +1,88 @@
+"""Isolated fresh-session re-measure of individual headline queries.
+
+Used to adjudicate suspected pressure-contaminated entries in a committed
+multiscale sweep (VERDICT r7 item 1): runs ONLY the named queries, in a
+fresh Spark session, on a quiet box, with per-query loadavg stamps so the
+artifact itself records the measurement conditions.
+
+Usage: python tools/remeasure.py <sf_dir> <query> [query ...]
+Prints one JSON doc to stdout with {query: {spark, duckdb, ratio,
+loadavg_before, loadavg_after}}.
+
+Protocol matches tools/multiscale.py: one warm run (codegen / buffer
+pool), then median of the timed runs (2 at sf10-like tiers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def timed(run, runs: int = 2) -> tuple[float, list[float], float]:
+    la0 = os.getloadavg()[0]
+    run()  # warm
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        run()
+        samples.append(round(time.perf_counter() - t0, 4))
+    return round(statistics.median(samples), 4), samples, round(os.getloadavg()[0], 2), la0
+
+
+def main() -> None:
+    sf_dir, names = sys.argv[1], sys.argv[2:]
+
+    import __spark_entry__ as entrymod
+    from enterprise_data_quality_platform_spark.queries import query_fns
+    from enterprise_data_quality_platform_spark.session import get_spark
+
+    spark = get_spark("edqp-remeasure")
+    fns, oracles = query_fns(), entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    out: dict = {"sf_dir": sf_dir, "launch_loadavg": os.getloadavg()}
+    for name in names:
+        s_med, s_samples, s_la_after, s_la_before = timed(
+            lambda: fns[name](spark, sf_dir).collect()
+        )
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1)
+        d_med, d_samples, d_la_after, d_la_before = timed(
+            lambda: con.execute(oracles[name]).fetchall()
+        )
+        out[name] = {
+            "spark": s_med,
+            "spark_samples": s_samples,
+            "duckdb": d_med,
+            "duckdb_samples": d_samples,
+            "ratio": round(s_med / d_med, 2) if d_med > 0 else None,
+            "loadavg": {
+                "spark_before": round(s_la_before, 2),
+                "spark_after": s_la_after,
+                "duckdb_before": round(d_la_before, 2),
+                "duckdb_after": d_la_after,
+            },
+        }
+        print(f"  {name}: spark {s_med}s duckdb {d_med}s", file=sys.stderr, flush=True)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
