@@ -90,6 +90,12 @@ HEADLINE = [
     # absorbed by the warm run) — reported in the demo aggregate
     "mart_shipping_priority_bucketed",
     "mart_local_supplier_volume",
+    # demo twins extending the bucketed mechanism (r8): Q10 keeps exactly
+    # one exchange (custkey re-agg over partials), Q5 keeps only the
+    # 25-group agg + its result sort — both fact joins ride the shared
+    # bucketized facts. Reported in the demo aggregate.
+    "mart_returned_revenue_bucketed",
+    "mart_local_supplier_volume_bucketed",
     "mart_brand_market_share",
     "mart_large_volume_customers",
     "mart_supplier_part_counts",

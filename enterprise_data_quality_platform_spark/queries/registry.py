@@ -75,9 +75,17 @@ def query_fns() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in all_queries().items()}
 
 
-def oracle_sqls() -> dict[str, str]:
+#: the scale the external driver runs its oracle gate at — oracles that must
+#: name parquet files directly (DuckDB metadata table functions can't read a
+#: view's footer) embed {SF_PARQUET_DIR} and get it substituted here; the
+#: no-arg call (the driver contract) binds the driver's fixed gate dir, and
+#: tools/parity.py / tools/multiscale.py pass their actual sf_dir.
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+
+def oracle_sqls(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     return {
-        name: spec.oracle
+        name: spec.oracle.replace("{SF_PARQUET_DIR}", sf_dir.rstrip("/"))
         for name, spec in all_queries().items()
         if spec.oracle is not None
     }

@@ -609,3 +609,61 @@ def test_shipping_priority_bucketed_is_exchange_free(spark):
         assert a == b
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_returned_revenue_bucketed_single_exchange(spark):
+    """The bucketed Q10 twin's steady state: the orderkey fact join rides
+    the bucket partitioning (no exchange, no sort on either side), and the
+    ONLY shuffle left is the custkey re-aggregation — which cannot ride
+    orderkey bucketing (group keys ⊉ bucket key) but carries map-side
+    partial aggregates, not fact rows. Pinned: exactly one shuffle
+    Exchange, zero Sorts, top-20 via TakeOrderedAndProject."""
+    from enterprise_data_quality_platform_spark.queries.relational import (
+        mart_returned_revenue,
+        mart_returned_revenue_bucketed,
+    )
+
+    df = mart_returned_revenue_bucketed(spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    shuffle_exchanges = final.count("Exchange hashpartitioning") + \
+        final.count("Exchange rangepartitioning") + \
+        final.count("Exchange SinglePartition")
+    assert shuffle_exchanges == 1, final
+    assert " Sort " not in final and "+- Sort" not in final, final
+    assert "TakeOrderedAndProject" in final
+    # value parity with the un-bucketed twin on the same session
+    a = [tuple(r) for r in df.collect()]
+    b = [tuple(r) for r in mart_returned_revenue(spark, SF_SMALL).collect()]
+    assert a == b
+
+
+def test_local_supplier_volume_bucketed(spark):
+    """The bucketed Q5 twin's steady state: the lineitem⋈orders edge (the
+    only fact⋈fact join) rides the bucket partitioning — no exchange, no
+    sort under it; the suppkey edge stays a broadcast dim (one layout can
+    serve one key — the documented limit). What remains: ONE hash exchange
+    of ≤25-group partials and ONE range exchange + Sort ordering the ≤25
+    aggregated result rows. Pinned exactly."""
+    from enterprise_data_quality_platform_spark.queries.relational import (
+        mart_local_supplier_volume,
+        mart_local_supplier_volume_bucketed,
+    )
+
+    df = mart_local_supplier_volume_bucketed(spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert final.count("Exchange rangepartitioning") == 1, final
+    assert final.count("Exchange SinglePartition") == 0, final
+    sort_lines = [
+        ln for ln in final.splitlines() if " Sort " in ln or "+- Sort" in ln
+    ]
+    # exactly one Sort, and it orders the aggregated result (rev_units),
+    # never a join key — the fact join must stay sort-free
+    assert len(sort_lines) == 1 and "rev_units" in sort_lines[0], final
+    a = [tuple(r) for r in df.collect()]
+    b = [tuple(r) for r in mart_local_supplier_volume(spark, SF_SMALL).collect()]
+    assert a == b

@@ -85,12 +85,12 @@ def main() -> None:
         "10=/root/repo/testdata_sf10",
     ]
 
-    import __spark_entry__ as entrymod
     from enterprise_data_quality_platform_spark.queries import all_queries, query_fns
+    from enterprise_data_quality_platform_spark.queries.registry import oracle_sqls
     from enterprise_data_quality_platform_spark.session import get_spark
 
     spark = get_spark("edqp-multiscale")
-    fns, oracles = query_fns(), entrymod.oracle_sql()
+    fns, oracles = query_fns(), oracle_sqls()
     names = [n for n in HEADLINE if n in fns and n in oracles]
     # demo/roundtrip twins (QuerySpec.demo): Spark deliberately does work
     # the oracle skips — still timed + recorded per query, but reported in
@@ -131,9 +131,11 @@ def main() -> None:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
+        # re-bind file-path oracles ({SF_PARQUET_DIR}) to THIS tier's dir
+        tier_oracles = oracle_sqls(sf_dir)
 
-        def duck_run(name, _con=con):
-            _con.execute(oracles[name]).fetchall()
+        def duck_run(name, _con=con, _o=tier_oracles):
+            _con.execute(_o[name]).fetchall()
 
         duck_t, duck_la = time_queries(duck_run, tier_names, runs, tag=f"sf{tier} duckdb")
         con.close()

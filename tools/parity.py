@@ -107,7 +107,11 @@ def main() -> int:
     from enterprise_data_quality_platform_spark.session import get_spark
 
     spark = get_spark("parity")
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    from enterprise_data_quality_platform_spark.queries.registry import oracle_sqls
+
+    # oracle_sql() (the driver contract) binds file-path oracles to the
+    # driver's fixed sf0.01 dir; parity re-binds them to ITS sf_dir
+    qs, oracles = entrymod.queries(), oracle_sqls(sf_dir)
 
     con = duckdb.connect()
     for t in (
