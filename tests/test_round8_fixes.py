@@ -91,3 +91,29 @@ def test_drop_stale_session_dirs_mtime_gate(tmp_path, monkeypatch):
     assert not old_dir.exists()  # 7h old: dead session, removed
     assert new_dir.exists()  # fresh mtime: plausibly live, kept
     assert keep_dir.exists()  # current session's own dir, kept
+
+
+def test_key_skew_packed_counters_guard_and_negatives(spark, tmp_path):
+    """The r8 packed-counter rewrite of dq_key_skew: (a) a per-key count
+    over 127 must raise via the carry guard (never silently corrupt
+    neighbor slots); (b) negative keys recover exactly (word*8 + slot is
+    a two's-complement identity, and shift/mask extraction is
+    sign-agnostic)."""
+    from enterprise_data_quality_platform_spark.queries.dq import dq_key_skew
+
+    # (a) one key with 300 rows -> slot carry -> loud failure (low slot:
+    # the guard path; top-slot extremes ANSI-throw, also loud)
+    hot = str(tmp_path / "hot")
+    spark.createDataFrame(
+        [(0,)] * 300 + [(1,), (2,)], "l_orderkey long"
+    ).write.parquet(f"{hot}/lineitem.parquet")
+    with pytest.raises(Exception, match="packed-counter carry"):
+        dq_key_skew(spark, hot).collect()
+
+    # (b) negative keys: counts and key identities exact
+    neg = str(tmp_path / "neg")
+    spark.createDataFrame(
+        [(-9,), (-9,), (-9,), (-1,), (-1,), (0,), (5,)], "l_orderkey long"
+    ).write.parquet(f"{neg}/lineitem.parquet")
+    rows = {r.key: r.key_count for r in dq_key_skew(spark, neg).collect()}
+    assert rows == {-9: 3, -1: 2, 0: 1, 5: 1}
