@@ -573,6 +573,58 @@ def mart_nation_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy(F.col("units").desc(), F.col("nation_name"))
 
 
+def _shj_build_fits(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str,
+    bytes_per_row: int = 48,
+    safety: float = 0.5,
+) -> bool:
+    """Size arithmetic for a shuffled-hash-join hint whose build side is a
+    FACT table: Spark's hash-relation build is the one execution-memory
+    consumer that cannot spill (it throws "Can't acquire N bytes memory to
+    build hash relation" — observed live in the r8 sf30/6g probe), so the
+    hint is only sound when the expected per-partition build fits in a
+    task's share of execution memory. Estimate: footer row count (driver-
+    side metadata read, no scan) × ~48 B/row (two longs in an UnsafeRow +
+    LongHashedRelation overhead) ÷ shuffle partitions, compared against
+    0.5 × (0.6 × heap ÷ cores) — Spark's unified-memory execution share
+    split across concurrent tasks, with headroom for the probe side. Any
+    estimation failure returns True (status quo: the hint), because the
+    estimate only exists to AVOID a loud failure, never to mask one. At
+    cluster scale the same arithmetic holds per executor; a deployment
+    sized per SURVEY §4.3 (heap/core ≥ split size + build) always passes."""
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    from ..catalog import table_path
+
+    try:
+        path = table_path(sf_dir, table_name)
+        if os.path.isdir(path):
+            n_rows = 0
+            for root, _, names in os.walk(path):
+                for f in names:
+                    if f.endswith(".parquet"):
+                        n_rows += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        else:
+            n_rows = pq.ParquetFile(path).metadata.num_rows
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        build_per_task = n_rows * bytes_per_row / max(shuffle_parts, 1)
+
+        heap_str = spark.conf.get("spark.driver.memory", "16g")
+        m = re.fullmatch(r"(\d+)([kmgt]?)b?", heap_str.lower())
+        mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        heap = int(m.group(1)) * mult[m.group(2)]
+        cores = spark.sparkContext.defaultParallelism
+        exec_per_task = 0.6 * heap / max(cores, 1)
+        return build_per_task < safety * exec_per_task
+    except Exception:
+        return True
+
+
 @register(
     "mart_part_affinity",
     oracle="""
@@ -613,7 +665,17 @@ def mart_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (2) vs sort-merge it skips BOTH 60M-row sorts (the per-order groups
     # are tiny, so the per-partition hash build is cheap), measured ~10%
     # faster and with far less sort-buffer churn in a long session.
-    b = li.alias("b").hint("shuffle_hash")
+    # SIZE-GATED since r8: the SHJ build is Spark's one NON-SPILLABLE
+    # memory consumer — the r8 oversized-tier probe (PERF_SCALEPROBE)
+    # showed this exact query dying with "Can't acquire ... to build hash
+    # relation" at sf30 under a 6 GB heap while every SMJ-shaped query
+    # spilled and completed. When the estimated per-partition build does
+    # not fit task execution memory, fall back to sort-merge (graceful
+    # spill) instead of forcing the hint; the ~10% hint win only exists
+    # in deployments sized per the engine's own rule anyway.
+    b = li.alias("b")
+    if _shj_build_fits(spark, sf_dir, "lineitem"):
+        b = b.hint("shuffle_hash")
     # The pair aggregate dominates this query (~13 of 17 s at sf10: ~120M
     # mostly-distinct keys make the map-side partial a pass-through), so
     # the pair is packed into ONE 64-bit key (part_a << 32 | part_b) for
