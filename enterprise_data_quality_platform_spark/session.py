@@ -140,12 +140,26 @@ def drop_stale_session_dirs(prefix: str, keep: str, max_age_hours: float = 6.0) 
             pass
 
 
-def configure_session(spark: SparkSession) -> SparkSession:
+def configure_session(spark: SparkSession, force: bool = False) -> SparkSession:
     """Apply runtime confs to an externally-provided session (e.g. the
-    driver's). Only touches confs that are settable post-start."""
+    driver's). Only touches confs that are settable post-start.
+
+    Applies ONCE per session (marker conf) unless ``force``: this is
+    called from every ``catalog.table()`` read, and re-applying on each
+    read silently REVERTED any conf a caller had tuned in between — found
+    live in r8 when a probe set the AQE broadcast ceiling to -1, read a
+    table, and got a broadcast join anyway (PERF.md r8 skew-demo gotcha
+    1). A user who tunes a conf after the first read now keeps it; the
+    engine's defaults still land exactly once on any session handed in."""
+    if not force and spark.conf.get("spark.edqp.sessionConfigured", "false") == "true":
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # immutable in this deployment; keep going
+    try:
+        spark.conf.set("spark.edqp.sessionConfigured", "true")
+    except Exception:
+        pass
     return spark

@@ -43,6 +43,10 @@ def test_oracle_parity(name, spark, duck):
     if spec.oracle is None:
         assert len(sdf) >= 0  # rows-only contract: runs and returns a frame
         return
-    ddf = duck.execute(spec.oracle).fetchdf()
+    # bind file-path oracles ({SF_PARQUET_DIR}, e.g. parquet_metadata
+    # table functions) to this suite's tier, same as registry.oracle_sqls
+    ddf = duck.execute(
+        spec.oracle.replace("{SF_PARQUET_DIR}", SF_SMALL.rstrip("/"))
+    ).fetchdf()
     issues = compare(name, sdf, ddf)
     assert not issues, f"{name}: {issues}"

@@ -135,3 +135,28 @@ def test_shj_build_fits_size_arithmetic(spark):
         is False
     )
     assert _shj_build_fits(spark, "/nonexistent", "lineitem") is True
+
+
+def test_user_conf_overrides_survive_table_reads(spark):
+    """configure_session applies engine defaults ONCE per session: a conf
+    the caller tunes between table() reads must survive the next read
+    (previously every read re-applied RUNTIME_CONFS and silently reverted
+    the override — the r8 probe's skew demo planned a broadcast join
+    because of exactly this)."""
+    from enterprise_data_quality_platform_spark.catalog import table
+    from enterprise_data_quality_platform_spark.session import (
+        RUNTIME_CONFS,
+        configure_session,
+    )
+
+    key = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    engine_default = RUNTIME_CONFS[key]
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        table(spark, SF_SMALL, "nation").count()
+        assert spark.conf.get(key) == "-1"  # override survived the read
+        configure_session(spark, force=True)
+        assert spark.conf.get(key) == engine_default  # force re-applies
+    finally:
+        spark.conf.set(key, old)
