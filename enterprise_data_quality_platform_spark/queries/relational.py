@@ -2622,7 +2622,11 @@ def mart_returned_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
 
     Registered demo=True like the Q3 twin: first call per session pays
     the shared bucketize; steady state is what a warehouse that serves
-    this join family daily actually runs."""
+    this join family daily actually runs. Reference shape: the marts the
+    reference validates post-hoc (sales_performance,
+    /root/reference/airflow/dags/pager-workflow.py:188) are exactly
+    repeated fact-join families a warehouse materializes daily — the
+    physical-layout decision this twin demonstrates."""
     customer = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     o_b = _bucketed_fact(
