@@ -2014,20 +2014,92 @@ def mart_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity exceeds 300 — the HAVING-filtered aggregate JOINED BACK to
     its facts (the aggregate is a filter, not the answer).
 
-    Plan: lineitem collapses to per-order quantity units first (one
-    map-combined groupBy); the HAVING filter shrinks that frame to the
-    rare big orders, which then drive broadcast-sized joins back to
-    orders and customer — the fact is never re-scanned at fact
-    granularity after the aggregate. Exact integer quantity units;
-    top-100 via TakeOrderedAndProject."""
+    Plan (r8 rewrite — PACKED 14-BIT QUANTITY SUMS, the dq_key_skew
+    packed-counter mechanism extended from counts to small integer SUMS):
+    the per-order aggregate was the whole cost (15M mostly-distinct
+    orderkeys at sf10 — the pass-through-partial signature), so instead
+    of one group per order, group by ``l_orderkey >> 2`` and sum
+    ``qty << (l_orderkey & 3) * 14`` — 4 orders per 64-bit word in
+    14-bit slots (per-order capacity 16383; TPC-H-shaped sums run ≤ ~500),
+    4× fewer hash groups and shuffled rows. Per-order sums are recovered
+    exactly post-shuffle by slot extraction; the HAVING filter then
+    shrinks to the rare big orders exactly as before, driving
+    broadcast-sized joins back to orders and customer — the fact is never
+    re-scanned at fact granularity. PRECONDITIONS, all ENFORCED loudly
+    (guard attached to the top-100 like the affinity pack guard — a
+    100×1 broadcast nested loop): quantities integer-valued (the pack
+    floors; a fractional quantity would silently truncate) and
+    non-negative (negative packed contributions alias neighbor slots),
+    and Σ(recovered slot sums) must equal the true Σ(qty) — a slot carry
+    or a per-row slot overflow strictly shrinks the recovered total, so
+    the equality catches both. GUARD PLACEMENT is load-bearing (A/B'd):
+    riding the guard columns (Σqty, max frac, min qty) on the 60M-row
+    hot aggregate cancelled the packing win entirely (3.01 vs 3.12 tie);
+    the shipped form keeps the hot aggregate at ONE expression and puts
+    the truth side in a separate l_quantity-only scan (~0.3 s) plus the
+    recovered side in a 1-row pass over the 3.75M-word frame. The
+    maximally-loaded valid word is < 2^56, so valid data can never
+    ANSI-overflow (the key_skew 7-bit lesson applied at design time).
+    Exact integer quantity units in the output; top-100 via
+    TakeOrderedAndProject. Measured sf10: 2.85 → 2.43 s (−15%,
+    alternating medians of 5; smaller than key_skew's −46% because the
+    group reduction is 4× not 8× and the guard scan is paid — PERF.md
+    r8)."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
-    qunits = F.floor(F.col("l_quantity") * F.lit(10000) + F.lit(0.5)).cast("long")
+    contrib = F.expr(
+        "shiftleft(CAST(FLOOR(l_quantity) AS BIGINT),"
+        " CAST((l_orderkey & 3) * 14 AS INT))"
+    )
+    packed = li.groupBy(F.shiftright(F.col("l_orderkey"), 2).alias("word")).agg(
+        F.sum(contrib).alias("p"),
+    )
+    slots = [F.expr(f"(p >> {s * 14}) & 16383") for s in range(4)]
+    recovered = packed.agg(
+        F.sum(slots[0] + slots[1] + slots[2] + slots[3]).alias("_rec")
+    )
+    truth = li.agg(
+        F.sum(F.floor(F.col("l_quantity")).cast("long")).alias("_true"),
+        F.max(F.abs(F.col("l_quantity") - F.floor(F.col("l_quantity")))).alias(
+            "_frac"
+        ),
+        F.min("l_quantity").alias("_mn"),
+    )
+    pack_guard = (
+        recovered.crossJoin(truth).filter(
+            F.when(
+                F.col("_true").isNull()
+                | (
+                    (F.col("_rec") == F.col("_true"))
+                    & (F.col("_frac") == 0)
+                    & (F.col("_mn") >= 0)
+                ),
+                F.lit(True),
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "mart_large_volume_customers: quantity outside the"
+                        " packed-sum domain (fractional, negative, or"
+                        " per-order sum beyond 16383); use a plain per-key"
+                        " groupBy for this measure domain"
+                    )
+                ).cast("boolean")
+            )
+        )
+    ).select(F.lit(1).alias("_guard_ok"))
     big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(qunits).alias("qty_units"))
-        .filter(F.col("qty_units") > 3000000)
+        packed.select(
+            "word",
+            F.posexplode(F.array(*[s.cast("long") for s in slots])).alias(
+                "slot", "qty_sum"
+            ),
+        )
+        .filter(F.col("qty_sum") > 300)
+        .select(
+            (F.col("word") * 4 + F.col("slot")).alias("l_orderkey"),
+            (F.col("qty_sum") * 10000).alias("qty_units"),
+        )
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
@@ -2037,6 +2109,7 @@ def mart_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
+        .crossJoin(F.broadcast(pack_guard))
         .select(
             "c_custkey",
             "c_name",

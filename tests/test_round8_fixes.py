@@ -160,3 +160,48 @@ def test_user_conf_overrides_survive_table_reads(spark):
         assert spark.conf.get(key) == engine_default  # force re-applies
     finally:
         spark.conf.set(key, old)
+
+
+def test_large_volume_packed_sums_guards(spark, tmp_path):
+    """The r8 packed-quantity-sum rewrite of mart_large_volume_customers:
+    fractional quantities, negative quantities, and per-order sums beyond
+    the 14-bit slot each raise loudly instead of silently corrupting the
+    HAVING filter; valid integer data still reproduces exact sums."""
+    from enterprise_data_quality_platform_spark.queries.relational import (
+        mart_large_volume_customers,
+    )
+
+    def mk(tag, li_rows, orders_rows=None):
+        sf = str(tmp_path / tag)
+        spark.createDataFrame(
+            li_rows, "l_orderkey long, l_quantity double"
+        ).write.parquet(f"{sf}/lineitem.parquet")
+        spark.createDataFrame(
+            orders_rows
+            or [(k, 1, 10.0, "1996-01-01") for k in {r[0] for r in li_rows}],
+            "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate string",
+        ).write.parquet(f"{sf}/orders.parquet")
+        spark.createDataFrame(
+            [(1, "c1")], "c_custkey long, c_name string"
+        ).write.parquet(f"{sf}/customer.parquet")
+        return sf
+
+    # fractional quantity -> raise
+    with pytest.raises(Exception, match="packed-sum domain"):
+        mart_large_volume_customers(
+            spark, mk("frac", [(1, 2.5), (2, 400.0)])
+        ).collect()
+    # negative quantity -> raise
+    with pytest.raises(Exception, match="packed-sum domain"):
+        mart_large_volume_customers(
+            spark, mk("neg", [(1, -3.0), (2, 400.0)])
+        ).collect()
+    # per-order sum beyond the 14-bit slot (carry) -> raise
+    with pytest.raises(Exception, match="packed-sum domain"):
+        mart_large_volume_customers(
+            spark, mk("carry", [(4, 9000.0), (4, 9000.0)])
+        ).collect()
+    # valid data: exact sums, HAVING boundary respected (301 in, 300 out)
+    sf = mk("ok", [(8, 200.0), (8, 101.0), (9, 300.0), (10, 50.0)])
+    rows = mart_large_volume_customers(spark, sf).collect()
+    assert [(r.o_orderkey, r.total_qty) for r in rows] == [(8, 301.0)]
