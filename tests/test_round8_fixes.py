@@ -205,3 +205,47 @@ def test_large_volume_packed_sums_guards(spark, tmp_path):
     sf = mk("ok", [(8, 200.0), (8, 101.0), (9, 300.0), (10, 50.0)])
     rows = mart_large_volume_customers(spark, sf).collect()
     assert [(r.o_orderkey, r.total_qty) for r in rows] == [(8, 301.0)]
+
+
+def test_promo_share_bitmap_flag_join_semantics(spark, tmp_path):
+    """The r8 bitmap flag-join rewrite of mart_promo_revenue_share:
+    (a) exact inner-join semantics — a lineitem whose partkey is ABSENT
+    from part (but whose word exists) must be dropped, and a negative
+    partkey recovers its bit exactly; (b) duplicate dim keys raise via
+    the bit_count guard instead of silently de-duplicating matches."""
+    from enterprise_data_quality_platform_spark.queries.relational import (
+        mart_promo_revenue_share,
+    )
+
+    def mk(tag, parts, lines):
+        sf = str(tmp_path / tag)
+        spark.createDataFrame(parts, "p_partkey long, p_type string").write.parquet(
+            f"{sf}/part.parquet"
+        )
+        spark.createDataFrame(
+            lines,
+            "l_partkey long, l_extendedprice double, l_discount double, "
+            "l_shipdate timestamp_ntz",
+        ).write.parquet(f"{sf}/lineitem.parquet")
+        return sf
+
+    import datetime
+
+    ts = datetime.datetime(1996, 3, 7)
+    # parts 5 (PROMO) and -3 (STANDARD) exist; partkey 6 shares word 0
+    # with part 5 but is absent -> its 100.0 revenue must NOT count
+    sf = mk(
+        "ok",
+        [(5, "PROMO"), (-3, "STANDARD")],
+        [(5, 10.0, 0.0, ts), (6, 100.0, 0.0, ts), (-3, 30.0, 0.0, ts)],
+    )
+    rows = mart_promo_revenue_share(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_lines == 2  # absent partkey 6 dropped
+    assert r.promo_share_pct == 25.0  # 10 promo / 40 total
+
+    # duplicate partkey -> loud failure
+    dup = mk("dup", [(5, "PROMO"), (5, "PROMO")], [(5, 10.0, 0.0, ts)])
+    with pytest.raises(Exception, match="duplicate p_partkey"):
+        mart_promo_revenue_share(spark, dup).collect()
