@@ -1,0 +1,174 @@
+"""Packed small-code broadcast maps — the bitmap flag-join generalized
+from 1-bit flags to n-bit VALUES.
+
+When an equi-join consumes only a SMALL-DOMAIN value per build-side key
+(a year, a nation index, a category code — anything that fits a few
+bits), the build side need not be a (key, value) hash table at all: pack
+``2**k`` keys per 64-bit word, keyed by ``key >> k``, with the value's
+code stored in the key's slot. Code 0 is reserved for "no such key", so
+the probe-side slot test reproduces exact inner-join semantics (absent
+key == failed join) the same way the existence bitmap does in
+``mart_promo_revenue_share``.
+
+Why it matters at scale: a 15M-row orders dim consumed only for
+``year(o_orderdate)`` collapses from a ~1 GB hash relation to a ~15 MB
+word map — under the AQE broadcast threshold, so the fact side of an
+orderkey join NEVER SHUFFLES. Past any broadcast ceiling (15B orders ≈
+15 GB of words) AQE degrades the word join to a shuffle on ``2**k``×
+fewer build rows — the mechanism never does worse than the plain join.
+
+Safety is enforced, not assumed (the r7/r8 guard discipline):
+
+* the hot path is bit-ops only (``shiftleft`` / ``&`` / ``>>``) so a
+  domain violation can never ANSI-throw mid-stage and race the guard
+  (the ``mart_part_affinity`` overflow-race lesson);
+* violations are caught by a DIM-SIDE 1-row guard — duplicate keys
+  (two codes OR'd into one slot) via Σ bit_count(occupancy) == COUNT(*),
+  and out-of-range codes (which would bleed into neighbor slots) via
+  min/max of the raw code — attached to the query's final small frame
+  as a broadcast, never riding the fact-cardinality hot path (the
+  ``mart_large_volume_customers`` guard-placement A/B).
+
+Reference parity: the reference's own mart joins are generic BigQuery
+SQL (``/root/reference/airflow/dags/pager-workflow.py:120-126``); this
+module is a Spark-side physical strategy for the same logical joins.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class PackedCodeMap:
+    """A built packed-code map plus everything a consumer needs.
+
+    ``words``: one row per ``key >> shift`` word — join this to the probe
+    on ``probe_word(probe_key) == F.col(word_col)`` and recover the code
+    with ``probe_code(probe_key)`` (0 ⇒ key absent ⇒ drop the row for
+    inner-join semantics). The domain guard is INLINE in ``words`` (a
+    raising per-word filter — see ``packed_code_map``), so consuming the
+    map at all is enough to surface violations; ``guard`` (a 1-row count
+    over the guarded words) exists only for callers that want to force
+    guard evaluation without consuming the words.
+    """
+
+    words: DataFrame
+    guard: DataFrame
+    word_col: str
+    slot_bits: int
+    key_mask: int
+    shift: int
+
+    def probe_word(self, key: Column) -> Column:
+        return F.shiftright(key, self.shift)
+
+    def probe_code(self, key: Column) -> Column:
+        """The packed code for ``key`` (0 when the key is absent).
+
+        ``key & mask`` is a two's-complement identity — exact for negative
+        keys and it matches the build side's slot placement."""
+        slot = key.bitwiseAND(F.lit(self.key_mask)).cast("int")
+        # F.shiftright only takes a literal int shift; the SQL function
+        # accepts a column — call it directly for the per-row slot shift.
+        return F.call_function(
+            "shiftright", F.col("packed_codes"), slot * F.lit(self.slot_bits)
+        ).bitwiseAND(F.lit((1 << self.slot_bits) - 1))
+
+
+def packed_code_map(
+    df: DataFrame,
+    key: str,
+    code: Column,
+    *,
+    slot_bits: int = 8,
+    guard_message: str,
+) -> PackedCodeMap:
+    """Build a packed-code map from ``df``: one word per ``key >> shift``,
+    ``64 // slot_bits`` keys per word, ``code`` (must evaluate to
+    ``1 .. 2**slot_bits - 1``; 0 is the reserved absent marker) stored in
+    the key's slot.
+
+    The returned guard raises ``guard_message`` when keys are duplicated
+    or codes fall outside the slot domain — both of which would corrupt
+    slots silently (bit ops never throw, by design)."""
+    if slot_bits not in (1, 2, 4, 8, 16, 32):
+        raise ValueError("slot_bits must be one of 1, 2, 4, 8, 16, 32")
+    per_word = 64 // slot_bits  # a power of two for every legal slot_bits
+    shift = per_word.bit_length() - 1
+    key_mask = per_word - 1
+    kc = F.col(key)
+    packed = F.expr(
+        f"shiftleft(CAST(_code AS BIGINT), CAST(({key} & {key_mask})"
+        f" * {slot_bits} AS INT))"
+    )
+    occ = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({key} & {key_mask} AS INT))")
+    words = (
+        df.withColumn("_code", code.cast("long"))
+        .groupBy(F.shiftright(kc, shift).alias("w"))
+        .agg(
+            F.bit_or(packed).alias("packed_codes"),
+            F.bit_or(occ).alias("_occ"),
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min("_code").alias("_cmn"),
+            F.max("_code").alias("_cmx"),
+        )
+    )
+    # The guard is PER-WORD, inline in the words frame: each word row
+    # carries its own occupancy/count/min/max, so a raising filter over
+    # the word frame detects duplicates and out-of-domain codes without a
+    # separate 1-row guard subtree. Why this shape (A/B'd at sf10 on
+    # mart_brand_market_share): a detached guard aggregate is a SECOND
+    # consumer of the word subtree, and Catalyst's pruning cascade gives
+    # it its own full build-side scan+aggregate (~1 s on a 15M-row dim) —
+    # which cancelled the packed join's entire win. Inline, the check
+    # rides the word rows the broadcast is built from anyway, which ALSO
+    # guarantees evaluation when a violation drops every probe row (AQE's
+    # empty-relation propagation would eliminate a result-side guard
+    # join before its stage materializes — silently-empty output instead
+    # of the loud raise). The raise_error filter is CodegenFallback, but
+    # over 2**k-times-fewer dim rows, never the fact (the r6 lesson).
+    word_ok = (
+        (F.bit_count(F.col("_occ")).cast("long") == F.col("_cnt"))
+        & (F.col("_cmn") >= 1)
+        & (F.col("_cmx") <= (1 << slot_bits) - 1)
+    )
+    guarded_words = words.filter(
+        F.when(word_ok, F.lit(True)).otherwise(
+            F.raise_error(F.lit(guard_message)).cast("boolean")
+        )
+    ).select("w", "packed_codes")
+    return PackedCodeMap(
+        words=guarded_words,
+        guard=guarded_words.groupBy().agg(
+            F.count(F.lit(1)).alias("_guard_words")
+        ),
+        word_col="w",
+        slot_bits=slot_bits,
+        key_mask=key_mask,
+        shift=shift,
+    )
+
+
+def join_packed_codes(
+    probe: DataFrame,
+    pmap: PackedCodeMap,
+    probe_key: str,
+    code_out: str,
+) -> DataFrame:
+    """Inner-join ``probe`` against a packed map: join on the word, recover
+    the slot code as ``code_out``, and drop rows whose key is absent
+    (code 0) — value-identical to the plain equi-join it replaces. NULL
+    probe keys drop at the word join exactly like the original inner
+    join (NULL >> k is NULL)."""
+    joined = probe.join(
+        pmap.words, pmap.probe_word(F.col(probe_key)) == F.col(pmap.word_col)
+    )
+    return (
+        joined.withColumn(code_out, pmap.probe_code(F.col(probe_key)))
+        .filter(F.col(code_out) != 0)
+        .drop(pmap.word_col, "packed_codes", "_guard_ok")
+    )

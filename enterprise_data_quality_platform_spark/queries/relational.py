@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..models import marts, staging
+from ..operators.packedmap import join_packed_codes, packed_code_map
 from .registry import register
 
 from ..functions.numeric import fx_round, fx_sum, sql_avg, sql_round, sql_sum
@@ -1991,40 +1992,117 @@ def mart_brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed in ONE aggregate (the Q14 pattern generalized to a grouped
     time series).
 
-    Plan: part broadcasts with the type filter pushed to its scan; the
-    orderkey fact edge is the one co-partitioned join; numerator and
-    denominator are exact integer units in the same map-combined
-    aggregate — never two query subtrees."""
+    Plan (r8 rewrite — BOTH joins collapse to packed broadcast maps, so
+    the fact NEVER shuffles):
+
+    * Part side (the Q14 bitmap flag-join verbatim): the probe consumes
+      two bits per part — "is STANDARD" (the join+filter; absent key and
+      non-STANDARD both drop, preserving exact inner-join semantics) and
+      "is STANDARD Brand#11" (the numerator flag) — so part collapses to
+      three ``p_partkey >> 6``-keyed bitmaps (exists feeds the uniqueness
+      guard only). 512× fewer build entries than a (key, brand) dim.
+    * Orders side (NEW — the bitmap mechanism generalized from 1-bit
+      flags to n-bit VALUES): the probe consumes only ``year(o_orderdate)``
+      — a handful of distinct values — so the 15M-row orders fact
+      collapses to a PACKED 8-BIT YEAR-CODE MAP keyed by
+      ``o_orderkey >> 3``: slot ``o_orderkey & 7`` holds
+      ``year - 1989`` (1..255 ⇒ years 1990–2244; 0 = no such order, which
+      makes the inner-join drop a bit test exactly like the bitmaps).
+      ~1.9M words ≈ 15 MB at sf10 — under the 64 MB adaptive threshold,
+      so AQE broadcasts it and the orderkey fact-fact SHUFFLE DISAPPEARS
+      (the family-floor entry in PERF.md assumed the orders payload was
+      join-irreducible; a sub-byte payload is the exception the bitmap
+      family exploits). At 100 TB a 15B-order map is ~15 GB — past any
+      broadcast ceiling, where AQE degrades to a shuffle on 8× fewer
+      build rows, the same honest fallback as Q14's.
+
+    PRECONDITIONS, ENFORCED loudly and dim-side only (the Q18 lesson:
+    guards never ride the fact-cardinality hot path): unique p_partkey
+    (Σ bit_count(exists) == COUNT(*), 1-row guard); unique o_orderkey and
+    order years within [1990, 2244] — both via the packed map's PER-WORD
+    raising filter (see ``operators/packedmap.py``: a detached 1-row
+    guard subtree re-scanned orders and cancelled the win, A/B'd; and an
+    out-of-range code would silently bleed into neighbor slots because
+    shiftleft is a bit op precisely so the hot path cannot ANSI-throw,
+    the r7 affinity race lesson, so the range MUST be guarded). Numerator
+    and denominator are exact integer units in the same map-combined
+    aggregate — never two query subtrees. Measured sf10: 2.48/2.77 →
+    2.08/2.26 s medians across two alternating-A/B sessions (−17%;
+    PERF.md r8)."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     part = table(spark, sf_dir, "part")
+
+    pbit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p_partkey & 63 AS INT))")
+    is_std = F.col("p_type") == "STANDARD"
+    pmaps = part.groupBy(F.shiftright(F.col("p_partkey"), 6).alias("pw")).agg(
+        F.bit_or(pbit).alias("exists_bits"),
+        F.bit_or(F.when(is_std, pbit).otherwise(F.lit(0))).alias("std_bits"),
+        F.bit_or(
+            F.when(is_std & (F.col("p_brand") == "Brand#11"), pbit).otherwise(
+                F.lit(0)
+            )
+        ).alias("brand_bits"),
+        F.count(F.lit(1)).alias("pcnt"),
+    )
+    part_guard_bad = F.sum(
+        F.bit_count(F.col("exists_bits")).cast("long")
+    ) != F.sum("pcnt")
+
+    ymap = packed_code_map(
+        orders,
+        "o_orderkey",
+        F.year("o_orderdate") - F.lit(1989),
+        slot_bits=8,
+        guard_message=(
+            "mart_brand_market_share: packed year-map domain violated"
+            " (duplicate o_orderkey or order year outside [1990, 2244]);"
+            " use a plain orders join for this key/date domain"
+        ),
+    )
+    part_guard = (
+        pmaps.agg(part_guard_bad.alias("_pbad"))
+        .filter(
+            F.when(F.col("_pbad").isNull() | ~F.col("_pbad"), F.lit(True)).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "mart_brand_market_share: duplicate p_partkey;"
+                        " the bitmap flag-join requires unique dim keys"
+                    )
+                ).cast("boolean")
+            )
+        )
+        .select(F.lit(1).alias("_pguard_ok"))
+    )
+    # ymap's own guard is embedded in its words frame (see packedmap.py) —
+    # attaching it again here would duplicate the orders guard subtree.
+    guard = part_guard
+
     units = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000)
         + F.lit(0.5)
     ).cast("long")
-    j = (
+    probed = join_packed_codes(
         li.select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
         .join(
-            F.broadcast(
-                part.filter(F.col("p_type") == "STANDARD").select(
-                    "p_partkey", "p_brand"
-                )
-            ),
-            F.col("l_partkey") == F.col("p_partkey"),
+            pmaps.select("pw", "std_bits", "brand_bits"),
+            F.shiftright(F.col("l_partkey"), 6) == F.col("pw"),
         )
-        .join(
-            orders.select("o_orderkey", "o_orderdate"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
+        .filter(F.expr("(std_bits >> CAST(l_partkey & 63 AS INT)) & 1 = 1")),
+        ymap,
+        "l_orderkey",
+        "_ycode",
     )
+    is_brand = F.expr("((brand_bits >> CAST(l_partkey & 63 AS INT)) & 1) = 1")
     return (
-        j.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        probed.groupBy((F.col("_ycode") + 1989).alias("order_year"))
         .agg(
-            F.sum(
-                F.when(F.col("p_brand") == "Brand#11", units).otherwise(F.lit(0))
-            ).alias("brand_units"),
+            F.sum(F.when(is_brand, units).otherwise(F.lit(0))).alias(
+                "brand_units"
+            ),
             F.sum(units).alias("units"),
         )
+        .crossJoin(F.broadcast(guard))
         .select(
             "order_year",
             fx_round(

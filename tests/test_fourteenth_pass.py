@@ -309,9 +309,10 @@ def test_brand_market_share_single_aggregate(spark, monkeypatch):
 def test_large_volume_having_then_joinback(spark):
     plan = plan_of(spark, "mart_large_volume_customers")
     assert "TakeOrderedAndProject" in plan
-    # the HAVING threshold is a Filter over the aggregate's output column
-    # (join-back shape: the aggregate filters, facts join after)
-    assert "qty_units" in plan and "> 3000000" in plan
+    # the HAVING threshold is a Filter over the aggregate's output (r8
+    # packed form: per-order sums recovered from 14-bit slots, filtered
+    # at > 300 before the joins back to orders/customer)
+    assert "qty_sum" in plan and "> 300" in plan
     assert "Window" not in plan
 
 

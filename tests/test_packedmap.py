@@ -1,0 +1,102 @@
+"""Unit pins for operators/packedmap.py — the packed small-code broadcast
+map (bitmap flag-join generalized to n-bit values).
+
+The load-bearing properties: exact inner-join semantics (absent key ⇒
+drop; negative keys recover via the two's-complement slot identity),
+loud dim-side guards for duplicate keys and out-of-domain codes, and —
+critically — the guard fires EVEN WHEN the violation drops every probe
+row (the AQE empty-relation propagation hole found in round 8: a
+result-side guard join is eliminated before its stage materializes when
+the aggregate above it is empty)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from enterprise_data_quality_platform_spark.operators.packedmap import (
+    join_packed_codes,
+    packed_code_map,
+)
+
+
+def _map_of(spark, rows, slot_bits=8):
+    df = spark.createDataFrame(rows, "k long, v long")
+    return packed_code_map(
+        df, "k", F.col("v"), slot_bits=slot_bits, guard_message="pm: bad domain"
+    )
+
+
+def test_roundtrip_including_negative_and_absent_keys(spark):
+    # keys spanning words, negative keys, code range edges 1 and 255
+    build = [(0, 1), (7, 255), (8, 42), (-1, 7), (-8, 9)]
+    pmap = _map_of(spark, build)
+    probe = spark.createDataFrame(
+        [(0,), (7,), (8,), (-1,), (-8,), (3,), (100,), (None,)], "k long"
+    )
+    got = {
+        r.k: r.code
+        for r in join_packed_codes(probe, pmap, "k", "code").collect()
+    }
+    # absent keys 3 (word 0 exists) and 100 (word absent) and NULL all drop
+    assert got == {0: 1, 7: 255, 8: 42, -1: 7, -8: 9}
+
+
+def test_duplicate_key_raises(spark):
+    pmap = _map_of(spark, [(5, 1), (5, 2)])
+    probe = spark.createDataFrame([(5,)], "k long")
+    with pytest.raises(Exception, match="pm: bad domain"):
+        join_packed_codes(probe, pmap, "k", "code").collect()
+
+
+@pytest.mark.parametrize("code", [0, -3, 256])
+def test_out_of_domain_code_raises_even_when_all_rows_drop(spark, code):
+    """code 0/negative drops every probe row — the final frame is empty,
+    so a guard attached only above the aggregate would be AQE-eliminated;
+    the words-embedded guard must still raise."""
+    pmap = _map_of(spark, [(5, code)])
+    probe = spark.createDataFrame([(5,)], "k long")
+    with pytest.raises(Exception, match="pm: bad domain"):
+        join_packed_codes(probe, pmap, "k", "code").collect()
+
+
+def test_value_identical_to_plain_join(spark):
+    import random
+
+    rng = random.Random(8)
+    build = [(k, rng.randint(1, 255)) for k in rng.sample(range(-500, 4000), 700)]
+    probe_keys = [(rng.randint(-600, 4100),) for _ in range(3000)]
+    dim = spark.createDataFrame(build, "k long, v long")
+    probe = spark.createDataFrame(probe_keys, "k long")
+    pmap = packed_code_map(
+        dim, "k", F.col("v"), slot_bits=8, guard_message="pm: bad domain"
+    )
+    packed = (
+        join_packed_codes(probe, pmap, "k", "code")
+        .groupBy("k", "code")
+        .count()
+        .collect()
+    )
+    plain = (
+        probe.join(dim, "k")
+        .groupBy("k", F.col("v").alias("code"))
+        .count()
+        .collect()
+    )
+    assert sorted(map(tuple, packed)) == sorted(map(tuple, plain))
+
+
+def test_slot_bits_validation(spark):
+    df = spark.createDataFrame([(1, 1)], "k long, v long")
+    with pytest.raises(ValueError, match="slot_bits"):
+        packed_code_map(df, "k", F.col("v"), slot_bits=12, guard_message="x")
+
+
+def test_sixteen_bit_slots(spark):
+    pmap = _map_of(spark, [(0, 65535), (3, 1), (4, 300)], slot_bits=16)
+    probe = spark.createDataFrame([(0,), (3,), (4,), (2,)], "k long")
+    got = {
+        r.k: r.code
+        for r in join_packed_codes(probe, pmap, "k", "code").collect()
+    }
+    assert got == {0: 65535, 3: 1, 4: 300}

@@ -249,3 +249,81 @@ def test_promo_share_bitmap_flag_join_semantics(spark, tmp_path):
     dup = mk("dup", [(5, "PROMO"), (5, "PROMO")], [(5, 10.0, 0.0, ts)])
     with pytest.raises(Exception, match="duplicate p_partkey"):
         mart_promo_revenue_share(spark, dup).collect()
+
+
+def test_brand_share_packed_year_map_semantics(spark, tmp_path):
+    """The r8 packed-map rewrite of mart_brand_market_share: (a) exact
+    inner-join semantics on BOTH packed sides — a lineitem whose partkey
+    or orderkey is ABSENT (word present, slot/bit empty) must drop, and
+    negative keys recover exactly; (b) the numerator counts only
+    STANDARD Brand#11 revenue; (c) duplicate part/order keys and order
+    years outside [1990, 2244] raise via the dim-side guards instead of
+    silently corrupting slots."""
+    import datetime
+
+    from enterprise_data_quality_platform_spark.queries.relational import (
+        mart_brand_market_share,
+    )
+
+    def mk(tag, parts, orders, lines):
+        sf = str(tmp_path / tag)
+        spark.createDataFrame(
+            parts, "p_partkey long, p_type string, p_brand string"
+        ).write.parquet(f"{sf}/part.parquet")
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_orderdate timestamp_ntz"
+        ).write.parquet(f"{sf}/orders.parquet")
+        spark.createDataFrame(
+            lines,
+            "l_orderkey long, l_partkey long, l_extendedprice double, "
+            "l_discount double",
+        ).write.parquet(f"{sf}/lineitem.parquet")
+        return sf
+
+    d96 = datetime.datetime(1996, 3, 7)
+    d97 = datetime.datetime(1997, 6, 1)
+    parts = [
+        (5, "STANDARD", "Brand#11"),
+        (6, "STANDARD", "Brand#22"),
+        (-3, "STANDARD", "Brand#11"),
+        (7, "PROMO", "Brand#11"),  # non-STANDARD -> never counts
+    ]
+    orders = [(100, d96), (101, d97), (-9, d96)]
+    lines = [
+        (100, 5, 10.0, 0.0),   # 1996 brand revenue 10
+        (100, 6, 30.0, 0.0),   # 1996 other-brand revenue 30
+        (101, -3, 7.0, 0.0),   # 1997 brand revenue 7 (negative partkey)
+        (-9, 6, 5.0, 0.0),     # 1996, negative orderkey
+        (100, 8, 999.0, 0.0),  # partkey 8 ABSENT (word 0 exists) -> drop
+        (102, 5, 999.0, 0.0),  # orderkey 102 ABSENT (word 12 exists) -> drop
+        (100, 7, 999.0, 0.0),  # PROMO part -> filtered like a failed join
+    ]
+    rows = mart_brand_market_share(spark, mk("ok", parts, orders, lines)).collect()
+    got = {r.order_year: r.brand_share for r in rows}
+    # 1996: brand 10 of total 45 = 0.222222 (6 dp); 1997: brand 7 of 7
+    assert got == {1996: 0.222222, 1997: 1.0}
+
+    # duplicate orderkey -> loud failure (two year codes OR'd into a slot)
+    dup_o = mk("dupo", parts, [(100, d96), (100, d97)], [(100, 5, 1.0, 0.0)])
+    with pytest.raises(Exception, match="packed year-map domain"):
+        mart_brand_market_share(spark, dup_o).collect()
+
+    # duplicate partkey -> loud failure
+    dup_p = mk(
+        "dupp",
+        [(5, "STANDARD", "Brand#11"), (5, "STANDARD", "Brand#11")],
+        [(100, d96)],
+        [(100, 5, 1.0, 0.0)],
+    )
+    with pytest.raises(Exception, match="duplicate p_partkey"):
+        mart_brand_market_share(spark, dup_p).collect()
+
+    # order year outside the 8-bit code range -> loud failure
+    old = mk(
+        "old",
+        parts,
+        [(100, datetime.datetime(1989, 1, 1))],
+        [(100, 5, 1.0, 0.0)],
+    )
+    with pytest.raises(Exception, match="packed year-map domain"):
+        mart_brand_market_share(spark, old).collect()
