@@ -100,3 +100,52 @@ def test_sixteen_bit_slots(spark):
         for r in join_packed_codes(probe, pmap, "k", "code").collect()
     }
     assert got == {0: 65535, 3: 1, 4: 300}
+
+
+def test_degrades_to_shuffle_join_with_identical_values(spark):
+    """The scale-posture claim ("past the broadcast ceiling AQE degrades
+    the word join to a shuffle on 2**k-times-fewer rows — never worse
+    than the plain join") pinned at the VALUE level: with broadcasts
+    disabled the word join must plan as a non-broadcast join and return
+    the exact same rows."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    build = [(k, rng.randint(1, 255)) for k in rng.sample(range(0, 2000), 400)]
+    probe_keys = [(rng.randint(-50, 2100),) for _ in range(2000)]
+    dim = spark.createDataFrame(build, "k long, v long")
+    probe = spark.createDataFrame(probe_keys, "k long")
+
+    def run():
+        pmap = packed_code_map(
+            dim, "k", F.col("v"), slot_bits=8, guard_message="pm: bad domain"
+        )
+        return sorted(
+            map(
+                tuple,
+                join_packed_codes(probe, pmap, "k", "code")
+                .groupBy("k", "code")
+                .count()
+                .collect(),
+            )
+        )
+
+    baseline = run()
+    old_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_adaptive = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        pmap = packed_code_map(
+            dim, "k", F.col("v"), slot_bits=8, guard_message="pm: bad domain"
+        )
+        df = join_packed_codes(probe, pmap, "k", "code").groupBy("k", "code").count()
+        degraded = sorted(map(tuple, df.collect()))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan.split("== Initial Plan ==")[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_adaptive)
+    assert degraded == baseline
