@@ -153,19 +153,95 @@ def packed_code_map(
     )
 
 
+def words_fit_broadcast(
+    spark,
+    sf_dir: str,
+    table_name: str,
+    slot_bits: int = 8,
+    bytes_per_word: int = 16,
+    selectivity: float = 1.0,
+    dense_keys: bool = False,
+) -> bool:
+    """Size arithmetic for hinting the word-map broadcast (the Q16 /
+    affinity-shuffle-hash precedent: hint only with the arithmetic that
+    makes it sound, gated so scale turns it OFF). Why a hint at all:
+    Catalyst's STATIC estimate of a filter→join→groupBy chain is far
+    above the real word count, so the initial plan picks SMJ and the
+    fact-side shuffle is already running before AQE's runtime sizes can
+    convert the join (measured: Q5's 60M-row probe shuffled, 4.5 → 9.2 s
+    REGRESSION without the hint). Estimate: footer row count (metadata
+    only, no scan) × filter selectivity, bounded by keyspace/per_word
+    for dense keys, × ~16 B per SERIALIZED word row (what AQE's own
+    conversion compares), vs the session's adaptive broadcast threshold.
+    Estimation
+    failures return False (no hint — the status quo plan), and past the
+    threshold the gate turns the hint off so a 100 TB build degrades to
+    AQE's choice instead of OOMing the driver."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..catalog import table_path
+
+    try:
+        path = table_path(sf_dir, table_name)
+        if os.path.isdir(path):
+            n_rows = 0
+            for root, _, names in os.walk(path):
+                for f in names:
+                    if f.endswith(".parquet"):
+                        n_rows += pq.ParquetFile(
+                            os.path.join(root, f)
+                        ).metadata.num_rows
+        else:
+            n_rows = pq.ParquetFile(path).metadata.num_rows
+        # ``selectivity`` is the caller's arithmetic for build-side filters
+        # the footer can't see (e.g. a date range keeping ~1/7 of orders);
+        # a wrong value only flips the hint, never correctness. Two sound
+        # upper bounds on word count: filtered keys (1 word/key worst
+        # case, tight for sparse keys) and keyspace/per_word when keys
+        # are dense surrogate ids (filtered keys scatter, but words can't
+        # exceed the keyspace's word count) — take the min with
+        # ``dense_keys``.
+        sel = max(0.0, min(1.0, selectivity))
+        words = n_rows * sel
+        if dense_keys:
+            words = min(words, n_rows / (64 // slot_bits))
+        threshold = spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "67108864"
+        )
+        t = threshold.lower().strip()
+        mult = 1
+        for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+            if t.endswith(suffix + "b") or t.endswith(suffix):
+                mult = m
+                t = t.rstrip("b").rstrip(suffix)
+                break
+        limit = float(t) * mult
+        return limit > 0 and words * bytes_per_word <= limit
+    except Exception:
+        return False
+
+
 def join_packed_codes(
     probe: DataFrame,
     pmap: PackedCodeMap,
     probe_key: str,
     code_out: str,
+    hint_broadcast: bool = False,
 ) -> DataFrame:
     """Inner-join ``probe`` against a packed map: join on the word, recover
     the slot code as ``code_out``, and drop rows whose key is absent
     (code 0) — value-identical to the plain equi-join it replaces. NULL
     probe keys drop at the word join exactly like the original inner
-    join (NULL >> k is NULL)."""
+    join (NULL >> k is NULL).
+
+    ``hint_broadcast`` (gate it with ``words_fit_broadcast``) pins the
+    words side as the broadcast build — see that helper for why AQE's
+    runtime conversion is too late for this shape."""
+    words = pmap.words.hint("broadcast") if hint_broadcast else pmap.words
     joined = probe.join(
-        pmap.words, pmap.probe_word(F.col(probe_key)) == F.col(pmap.word_col)
+        words, pmap.probe_word(F.col(probe_key)) == F.col(pmap.word_col)
     )
     return (
         joined.withColumn(code_out, pmap.probe_code(F.col(probe_key)))

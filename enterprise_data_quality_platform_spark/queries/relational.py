@@ -8,7 +8,11 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..models import marts, staging
-from ..operators.packedmap import join_packed_codes, packed_code_map
+from ..operators.packedmap import (
+    join_packed_codes,
+    packed_code_map,
+    words_fit_broadcast,
+)
 from .registry import register
 
 from ..functions.numeric import fx_round, fx_sum, sql_avg, sql_round, sql_sum
@@ -1732,12 +1736,23 @@ def mart_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     placed before a date but (partially) shipped after it, for one market
     segment — the fact-granularity top-k over a 3-way join.
 
-    Plan: the segment filter reduces customer BEFORE its join (and the
-    customer side is projected to the key column only — the segment is a
-    filter, not an output); both date filters push to their scans. The
-    orderkey join is the co-partitioned fact-fact edge; the top-10 is
-    TakeOrderedAndProject over exact revenue units with (orderdate,
-    orderkey) tiebreaks."""
+    Plan (r8 rewrite — PACKED DATE-CODE MAP, the packedmap family): the
+    orders side collapses to a 16-bit day-code word map built from orders
+    PRE-FILTERED to the date range and the BUILDING segment (broadcast
+    semi against the filtered customer keys), so both filters fold into
+    slot ABSENCE and the lineitem probe drops non-matching lines at the
+    word join — the orderkey fact-fact shuffle disappears (size-gated
+    broadcast hint; see ``words_fit_broadcast`` for why AQE's runtime
+    conversion is too late for this shape). The day code
+    ``datediff(o_orderdate, 1969-12-31)`` is monotone in the date, so the
+    (revenue desc, orderdate, orderkey) top-10 tiebreaks are exact BEFORE
+    dates are re-materialized arithmetically; ``o_orderpriority`` (not in
+    the sort) late-materializes via a 10-row broadcast back-join. A
+    non-midnight-aligned o_orderdate would make the recovered date wrong,
+    so the code expression maps it to -1 and the map's domain guard
+    raises loudly. Measured sf10: 3.16 → 2.80 s medians (−11%; the agg
+    input also shrinks ~20× because the word join filters to matching
+    orders' lines before the shuffle)."""
     customer = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -1746,25 +1761,59 @@ def mart_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ).cast("long")
     cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    o = orders.filter(
+    o2 = orders.filter(
         F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")
-    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    day_code = F.when(
+        F.col("o_orderdate") == F.date_trunc("day", F.col("o_orderdate")),
+        F.datediff(F.col("o_orderdate"), F.lit("1969-12-31").cast("timestamp_ntz")),
+    ).otherwise(F.lit(-1))
+    dmap = packed_code_map(
+        o2,
+        "o_orderkey",
+        day_code,
+        slot_bits=16,
+        guard_message=(
+            "mart_shipping_priority: packed date-map domain violated"
+            " (duplicate o_orderkey, non-midnight o_orderdate, or date"
+            " outside 1970-2149); use a plain orders join"
+        ),
+    )
     l = li.filter(
         F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")
     ).select("l_orderkey", "l_extendedprice", "l_discount")
-    return (
-        o.join(cust, o.o_custkey == cust.c_custkey)
-        .join(l, F.col("o_orderkey") == l.l_orderkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+    # selectivity: date < 1997 keeps ~2 of the generator's ~7 years; the
+    # segment semi keeps ~1/5 — 0.3 stays a sound upper bound for the
+    # date part alone, and keys are dense surrogates
+    probed = join_packed_codes(
+        l,
+        dmap,
+        "l_orderkey",
+        "_dcode",
+        hint_broadcast=words_fit_broadcast(
+            spark, sf_dir, "orders", slot_bits=16, selectivity=0.3, dense_keys=True
+        ),
+    )
+    top = (
+        probed.groupBy("l_orderkey", "_dcode")
         .agg(F.sum(units).alias("rev_units"))
-        .orderBy(F.col("rev_units").desc(), "o_orderdate", "l_orderkey")
+        .orderBy(F.col("rev_units").desc(), "_dcode", "l_orderkey")
         .limit(10)
+    )
+    return (
+        orders.select("o_orderkey", "o_orderpriority")
+        .join(F.broadcast(top), F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             "l_orderkey",
             fx_round(F.col("rev_units") / F.lit(10000.0), 2).alias("revenue"),
-            "o_orderdate",
+            F.date_add(F.lit("1969-12-31").cast("date"), F.col("_dcode").cast("int"))
+            .cast("timestamp_ntz")
+            .alias("o_orderdate"),
             "o_orderpriority",
+            "rev_units",
         )
+        .orderBy(F.col("rev_units").desc(), "o_orderdate", "l_orderkey")
+        .drop("rev_units")
     )
 
 
@@ -1832,11 +1881,27 @@ def mart_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (the c_nationkey = s_nationkey condition links two DIMENSION
     branches, which is what makes Q5 a join-ORDER benchmark).
 
-    Plan: the date filter cuts orders first; customer and supplier attach
-    as broadcast dims (each carries only key + nationkey); the
-    same-nation residual applies after both are in scope; nation
-    broadcasts last for the name. The only co-partitioned fact edge is
-    lineitem⋈orders on orderkey. Revenue units exact BIGINT."""
+    Plan (r8 rewrite — COMPOSED PACKED NATION-CODE MAPS; ZERO fact
+    shuffles): every join here ultimately feeds the probe a single small
+    code per key — the customer's nation, the supplier's nation — so the
+    whole join tree collapses into packed-map composition: (1) customer
+    → 8-bit nation-code word map; (2) the date-filtered orders probe
+    that map (broadcast, no shuffle) and re-pack BY ORDERKEY, giving an
+    orderkey → customer-nation map whose slot ABSENCE encodes both the
+    date filter and a missing customer; (3) supplier → nation-code map.
+    The 60M-row lineitem probe then takes two broadcast word joins and a
+    code-equality filter (the same-nation residual), aggregating into
+    ≤25 nation groups map-side — the lineitem⋈orders fact edge that even
+    the bucketed twin could not remove for the SUPPKEY side
+    (test_local_supplier_volume_bucketed's documented one-layout limit)
+    is gone entirely, because the supplier edge consumes only a nation
+    code. Size-gated broadcast hints (``words_fit_broadcast``) pin the
+    word builds — measured without them the initial-plan SMJ shuffles
+    the probe before AQE converts (4.5 → 9.2 s REGRESSION). Nation names
+    decode from codes via the 25-row nation dim AFTER aggregation.
+    Guards: per-word inline in each map (duplicate keys, nationkey
+    outside [0, 254]). Measured sf10: 3.71 → 3.17 s medians (−15%).
+    Revenue units exact BIGINT."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
@@ -1846,33 +1911,84 @@ def mart_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000)
         + F.lit(0.5)
     ).cast("long")
-    o = orders.filter(
+    cmap = packed_code_map(
+        customer,
+        "c_custkey",
+        F.col("c_nationkey") + 1,
+        slot_bits=8,
+        guard_message=(
+            "mart_local_supplier_volume: packed customer nation-map domain"
+            " violated (duplicate c_custkey or c_nationkey outside"
+            " [0, 254]); use a plain customer join"
+        ),
+    )
+    o2 = orders.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     ).select("o_orderkey", "o_custkey")
-    j = (
-        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
-        .join(
-            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
-            F.col("l_suppkey") == F.col("s_suppkey"),
-        )
-        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    o3 = join_packed_codes(
+        o2,
+        cmap,
+        "o_custkey",
+        "_cn",
+        hint_broadcast=words_fit_broadcast(
+            spark, sf_dir, "customer", dense_keys=True
+        ),
+    )
+    omap = packed_code_map(
+        o3,
+        "o_orderkey",
+        F.col("_cn"),
+        slot_bits=8,
+        guard_message=(
+            "mart_local_supplier_volume: packed order nation-map domain"
+            " violated (duplicate o_orderkey); use a plain orders join"
+        ),
+    )
+    smap = packed_code_map(
+        supplier,
+        "s_suppkey",
+        F.col("s_nationkey") + 1,
+        slot_bits=8,
+        guard_message=(
+            "mart_local_supplier_volume: packed supplier nation-map domain"
+            " violated (duplicate s_suppkey or s_nationkey outside"
+            " [0, 254]); use a plain supplier join"
+        ),
+    )
+    # selectivity: the one-year date range keeps ~1/7 of the generator's
+    # orders; keys are dense surrogates
+    probed = join_packed_codes(
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+        omap,
+        "l_orderkey",
+        "_cn",
+        hint_broadcast=words_fit_broadcast(
+            spark, sf_dir, "orders", selectivity=0.15, dense_keys=True
+        ),
+    )
+    probed = join_packed_codes(
+        probed,
+        smap,
+        "l_suppkey",
+        "_sn",
+        hint_broadcast=words_fit_broadcast(
+            spark, sf_dir, "supplier", dense_keys=True
+        ),
+    ).filter(F.col("_cn") == F.col("_sn"))
+    agg = probed.groupBy("_cn").agg(
+        F.sum(units).alias("rev_units"), F.count(F.lit(1)).alias("n_lines")
     )
     return (
-        j.groupBy(F.col("n_name").alias("nation_name"))
-        .agg(F.sum(units).alias("rev_units"), F.count(F.lit(1)).alias("n_lines"))
+        agg.join(F.broadcast(nation), agg["_cn"] - 1 == F.col("n_nationkey"))
         .select(
-            "nation_name",
+            F.col("n_name").alias("nation_name"),
             fx_round(F.col("rev_units") / F.lit(10000.0), 2).alias("revenue"),
             "n_lines",
+            "rev_units",
         )
         .orderBy(F.col("rev_units").desc(), "nation_name")
+        .drop("rev_units")
     )
 
 

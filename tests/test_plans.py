@@ -667,3 +667,47 @@ def test_local_supplier_volume_bucketed(spark):
     a = [tuple(r) for r in df.collect()]
     b = [tuple(r) for r in mart_local_supplier_volume(spark, SF_SMALL).collect()]
     assert a == b
+
+
+def test_shipping_priority_packed_no_fact_shuffle(spark):
+    """The r8 packed date-map Q3: zero SortMergeJoins — the orderkey
+    fact-fact edge is a broadcast word join (both its filters folded into
+    slot absence), so the only hash exchanges left are the word-map build
+    and the ~20x-reduced (orderkey, daycode) aggregate; the top-10 is
+    TakeOrderedAndProject and the final Sort orders 10 rows."""
+    from enterprise_data_quality_platform_spark.queries.relational import (
+        mart_shipping_priority,
+    )
+
+    df = mart_shipping_priority(spark, SF_SMALL)
+    df.collect()
+    fin = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert fin.count("SortMergeJoin") == 0, fin
+    assert fin.count("Exchange hashpartitioning") == 2, fin
+    assert "TakeOrderedAndProject" in fin
+
+
+def test_local_supplier_volume_packed_no_fact_shuffle(spark):
+    """The r8 composed nation-code maps Q5: zero SortMergeJoins and zero
+    fact shuffles — the four hash exchanges are the three word-map builds
+    (customer/order/supplier) plus the <=25-group nation aggregate; the
+    single Sort orders the <=25 aggregated result rows. This is the plan
+    the bucketed twin could NOT reach (one bucket layout cannot co-locate
+    both the orderkey and suppkey edges); packed maps remove both."""
+    from enterprise_data_quality_platform_spark.queries.relational import (
+        mart_local_supplier_volume,
+    )
+
+    df = mart_local_supplier_volume(spark, SF_SMALL)
+    df.collect()
+    fin = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert fin.count("SortMergeJoin") == 0, fin
+    assert fin.count("Exchange hashpartitioning") == 4, fin
+    sort_lines = [
+        ln for ln in fin.splitlines() if " Sort " in ln or "+- Sort" in ln
+    ]
+    assert len(sort_lines) == 1 and "rev_units" in sort_lines[0], fin

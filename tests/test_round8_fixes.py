@@ -327,3 +327,64 @@ def test_brand_share_packed_year_map_semantics(spark, tmp_path):
     )
     with pytest.raises(Exception, match="packed year-map domain"):
         mart_brand_market_share(spark, old).collect()
+
+
+def test_q3_packed_date_map_guards(spark, tmp_path):
+    """mart_shipping_priority's packed date map: a NON-midnight-aligned
+    o_orderdate would silently recover a truncated date, so the code
+    expression maps it to -1 and the map's domain guard raises."""
+    import datetime
+
+    from enterprise_data_quality_platform_spark.queries.relational import (
+        mart_shipping_priority,
+    )
+
+    sf = str(tmp_path / "q3bad")
+    spark.createDataFrame(
+        [(1, "BUILDING")], "c_custkey long, c_mktsegment string"
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(10, 1, datetime.datetime(1996, 3, 7, 12, 30), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz,"
+        " o_orderpriority string",
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(10, 100.0, 0.0, datetime.datetime(1997, 6, 1))],
+        "l_orderkey long, l_extendedprice double, l_discount double,"
+        " l_shipdate timestamp_ntz",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    with pytest.raises(Exception, match="packed date-map domain"):
+        mart_shipping_priority(spark, sf).collect()
+
+
+def test_q5_packed_nation_maps_guard(spark, tmp_path):
+    """mart_local_supplier_volume's nation-code maps: a nationkey outside
+    the 8-bit code domain raises via the per-word guard instead of
+    bleeding into a neighbor slot."""
+    import datetime
+
+    from enterprise_data_quality_platform_spark.queries.relational import (
+        mart_local_supplier_volume,
+    )
+
+    d = datetime.datetime(1996, 6, 1)
+    sf = str(tmp_path / "q5bad")
+    spark.createDataFrame(
+        [(1, 300)], "c_custkey long, c_nationkey int"
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(10, 1, d)], "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz"
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(1, 7)], "s_suppkey long, s_nationkey int"
+    ).write.parquet(f"{sf}/supplier.parquet")
+    spark.createDataFrame(
+        [(7, "n7")], "n_nationkey int, n_name string"
+    ).write.parquet(f"{sf}/nation.parquet")
+    spark.createDataFrame(
+        [(10, 1, 100.0, 0.0)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double,"
+        " l_discount double",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    with pytest.raises(Exception, match="packed customer nation-map domain"):
+        mart_local_supplier_volume(spark, sf).collect()
