@@ -927,24 +927,32 @@ def mart_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-shaped query: revenue from lineitems whose quantity is
     below 20% of their part's average quantity — hand-planned.
 
-    Plan (the r6 A/B winner over four alternatives, ledger in PERF.md):
-    the per-part stats collapse to ONE BIGINT threshold before the join —
-    ``qty*5*cnt < qsum  ⇔  qty_units ≤ (qsum-1) div (5·cnt)`` (exact
-    integer division, no float drift) — so the build side carries
-    (partkey, thr) 16-byte rows instead of (partkey, cnt, qsum), and the
-    join becomes a ShuffledHashJoin (hinted: the build partitions are
-    |parts|/32 entries; SMJ would sort all 60M probe rows). Rejected
-    forms, measured at sf10: window-over-partkey (6.8 s — one exchange
-    but a full 60M sort), repartition+ReusedExchange (impossible: column
-    pruning de-canonicalizes the stats subtree and dummy aggregate
-    references are themselves pruned — the r5 cascade lesson), the
-    correlated-subquery form that relies on Catalyst decorrelation
-    (5.0 s; kept as ``mart_small_qty_revenue_subquery`` as the
-    decorrelation demo). This form: 4.3 s.
+    Plan (r8 rewrite — PACKED THRESHOLD MAP, the packed-map family's
+    first deployment on DERIVED-AGGREGATE values): the per-part stats
+    collapse to ONE BIGINT threshold — ``qty*5*cnt < qsum ⇔ qty_units ≤
+    (qsum-1) div (5·cnt)`` (exact integer division, no float drift) —
+    and the threshold (≤ max-avg-qty·10000/5 ≈ 100k) fits a 32-bit slot,
+    so the 2M-entry build side re-packs to a 1M-word map (~16 MB,
+    size-gated broadcast hint): the 60M-row probe's threshold join never
+    shuffles. The brand rollup consumes 8 MORE bits of part per fact row
+    (the brand's index in a deterministic dictionary over the distinct
+    brand strings), so part collapses to an 8-bit brand-code map; strings
+    decode via the ≤255-row dictionary after the small aggregate, and a
+    >255-brand catalog raises through the map's domain guard.
+    ONE fact exchange remains — the stats aggregate itself, which is
+    irreducible (every line contributes to its part's average). Rejected
+    forms at sf10, cumulative ledger: window-over-partkey 6.8 s,
+    repartition+ReusedExchange (pruning cascade), correlated subquery
+    5.0 s (kept as mart_small_qty_revenue_subquery), thr+SHJ 4.3 s → ...
+    → 3.13 s, packed maps 2.47 s (−21%, medians of 5; an arithmetic
+    'Brand#NN'-parsing decode measured 2.23 s but narrows the brand
+    domain — the dictionary form keeps the query general).
 
     Portability: predicate and threshold are pure BIGINT — no float
     division, no DECIMAL literals (ROUND_NOTES gotcha #3); revenue goes
-    through the fixed-point helpers."""
+    through the fixed-point helpers. The `div`-rewrite requires qsum ≥ 1
+    (guaranteed: positive quantities) — don't lift onto signed
+    measures."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.expr("CAST(FLOOR(l_quantity * 10000 + 0.5) AS BIGINT)").alias(
@@ -955,42 +963,90 @@ def mart_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     part = table(spark, sf_dir, "part")
-    # qty*5*cnt < qsum  ⇔  qty ≤ floor((qsum-1)/(5·cnt)) holds for
-    # qsum ≥ 1 (guaranteed: quantities are positive). With truncating
-    # `div` a qsum ≤ 0 part would flip the boundary — not reachable here,
-    # but don't lift this rewrite onto signed measures.
-    thr = (
-        li.groupBy("l_partkey")
-        .agg(
-            F.expr(
-                "CAST((sum(qty_units) - 1) div (5 * count(1)) AS BIGINT)"
-            ).alias("thr")
-        )
-        .withColumnRenamed("l_partkey", "t_partkey")
-        .hint("shuffle_hash")
+    thr = li.groupBy("l_partkey").agg(
+        F.expr(
+            "CAST((sum(qty_units) - 1) div (5 * count(1)) AS BIGINT)"
+        ).alias("thr")
     )
-    flagged = li.join(thr, li.l_partkey == thr.t_partkey).filter(
-        F.col("qty_units") <= F.col("thr")
+    tmap = packed_code_map(
+        thr,
+        "l_partkey",
+        F.col("thr") + 1,  # 0 is the reserved absent marker
+        slot_bits=32,
+        guard_message=(
+            "mart_small_qty_revenue: packed threshold-map domain violated"
+            " (duplicate partkey or threshold outside [0, 2^32-2]); use a"
+            " plain threshold join"
+        ),
     )
-    grouped = (
-        flagged.join(
-            # part is SCALE-GROWING: no explicit broadcast (policy). AQE
-            # converts to BHJ at local sizes (measured equal to the hint,
-            # r6 A/B) and correctly keeps a shuffle join at 100 TB.
-            part.select("p_partkey", "p_brand"),
-            F.col("l_partkey") == F.col("p_partkey"),
+    # brand dictionary: deterministic dense codes 1..n over the distinct
+    # brand strings (bounded: >255 distinct brands would produce code 256
+    # and the map's domain guard raises). The unpartitioned window is over
+    # the ≤|brands| distinct rows, never facts (adjudicated class).
+    from pyspark.sql import Window as _W
+
+    bdict = (
+        part.select("p_brand")
+        .distinct()
+        .select(
+            "p_brand",
+            F.row_number().over(_W.orderBy("p_brand")).alias("_bcode"),
         )
-        .groupBy("p_brand")
+        # materialize the ≤255-row dictionary ONCE: it has three consumers
+        # (part coding, decode join) and Catalyst's pruning cascade would
+        # otherwise give each its own part scan + distinct (~1 s at sf10,
+        # measured); 25 localCheckpoint rows also give exact stats.
+        .localCheckpoint(eager=True)
+    )
+    part_coded = part.select("p_partkey", "p_brand").join(
+        F.broadcast(bdict), "p_brand"
+    )
+    bmap = packed_code_map(
+        part_coded,
+        "p_partkey",
+        F.col("_bcode"),
+        slot_bits=8,
+        guard_message=(
+            "mart_small_qty_revenue: packed brand-map domain violated"
+            " (duplicate p_partkey or more than 255 distinct brands); use"
+            " a plain part join"
+        ),
+    )
+    probed = join_packed_codes(
+        li,
+        tmap,
+        "l_partkey",
+        "_thr1",
+        hint_broadcast=words_fit_broadcast(
+            spark, sf_dir, "part", slot_bits=32, dense_keys=True
+        ),
+    )
+    flagged = probed.filter(F.col("qty_units") <= F.col("_thr1") - 1)
+    branded = join_packed_codes(
+        flagged,
+        bmap,
+        "l_partkey",
+        "_bcode",
+        hint_broadcast=words_fit_broadcast(
+            spark, sf_dir, "part", slot_bits=8, dense_keys=True
+        ),
+    )
+    return (
+        branded.groupBy("_bcode")
         .agg(
             F.count(F.lit(1)).alias("small_qty_lines"),
             F.sum("rev_units").alias("rev_units"),
         )
+        .join(F.broadcast(bdict), "_bcode")
+        .select(
+            "p_brand",
+            "small_qty_lines",
+            fx_round(
+                F.col("rev_units") / F.lit(10000.0), 2
+            ).alias("small_qty_revenue"),
+        )
+        .orderBy("p_brand")
     )
-    return grouped.select(
-        "p_brand",
-        "small_qty_lines",
-        fx_round(F.col("rev_units") / F.lit(10000.0), 2).alias("small_qty_revenue"),
-    ).orderBy("p_brand")
 
 
 @register(

@@ -231,11 +231,14 @@ def test_small_qty_revenue_decorrelates(spark):
 
 
 def test_small_qty_revenue_threshold_plan(spark):
-    """The hand-planned form: one-column integer threshold build side,
-    hash join (no SMJ sort of the 60M probe rows), broadcast brand dim."""
+    """The r8 packed-threshold-map form: the 60M probe's threshold AND
+    brand joins are broadcast word joins — no SortMergeJoin, no SMJ sort
+    of the probe; the single fact exchange is the per-part stats
+    aggregate (irreducible: every line feeds its part's average)."""
     plan = plan_of(spark, "mart_small_qty_revenue")
-    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
     assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 # ------------------------------------------------------- centroid cohesion
