@@ -113,6 +113,7 @@ def packed_code_map(
             F.bit_or(packed).alias("packed_codes"),
             F.bit_or(occ).alias("_occ"),
             F.count(F.lit(1)).alias("_cnt"),
+            F.count(F.col("_code")).alias("_ccnt"),
             F.min("_code").alias("_cmn"),
             F.max("_code").alias("_cmx"),
         )
@@ -131,8 +132,14 @@ def packed_code_map(
     # join before its stage materializes — silently-empty output instead
     # of the loud raise). The raise_error filter is CodegenFallback, but
     # over 2**k-times-fewer dim rows, never the fact (the r6 lesson).
+    # _ccnt == _cnt closes the NULL-code hole: bit_or/min/max all IGNORE
+    # NULLs, so a NULL code row would set its occupancy bit yet leave the
+    # slot at 0 — the probe would silently drop the key instead of the
+    # plain join's NULL-group behavior. count(_code) skips NULLs, so any
+    # NULL code trips the guard loudly (the map cannot represent NULL).
     word_ok = (
         (F.bit_count(F.col("_occ")).cast("long") == F.col("_cnt"))
+        & (F.col("_ccnt") == F.col("_cnt"))
         & (F.col("_cmn") >= 1)
         & (F.col("_cmx") <= (1 << slot_bits) - 1)
     )
@@ -207,9 +214,17 @@ def words_fit_broadcast(
         words = n_rows * sel
         if dense_keys:
             words = min(words, n_rows / (64 // slot_bits))
+        # The adaptive threshold FALLS BACK to the plain conf when unset
+        # (Spark's own fallbackConf chain; conf.get returns None then) —
+        # assuming 64MB here would pin broadcasts several times larger
+        # than the session would ever choose.
         threshold = spark.conf.get(
-            "spark.sql.adaptive.autoBroadcastJoinThreshold", "67108864"
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", None
         )
+        if threshold is None:
+            threshold = spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
         t = threshold.lower().strip()
         mult = 1
         for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
@@ -246,5 +261,5 @@ def join_packed_codes(
     return (
         joined.withColumn(code_out, pmap.probe_code(F.col(probe_key)))
         .filter(F.col(code_out) != 0)
-        .drop(pmap.word_col, "packed_codes", "_guard_ok")
+        .drop(pmap.word_col, "packed_codes")
     )

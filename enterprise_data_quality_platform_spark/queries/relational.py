@@ -1856,8 +1856,13 @@ def mart_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rev_units").desc(), "_dcode", "l_orderkey")
         .limit(10)
     )
+    # Late-materialize o_orderpriority from o2 — the GUARDED filtered set
+    # the map was built from (dmap's duplicate guard covers only o2, so a
+    # duplicate orderkey outside the filter would silently duplicate
+    # top-10 rows if we probed raw orders; ADVICE r8). Every top-10 key
+    # came from o2's map, so the restriction is value-identical.
     return (
-        orders.select("o_orderkey", "o_orderpriority")
+        o2.select("o_orderkey", "o_orderpriority")
         .join(F.broadcast(top), F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             "l_orderkey",
@@ -2190,7 +2195,8 @@ def mart_brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     PRECONDITIONS, ENFORCED loudly and dim-side only (the Q18 lesson:
     guards never ride the fact-cardinality hot path): unique p_partkey
-    (Σ bit_count(exists) == COUNT(*), 1-row guard); unique o_orderkey and
+    (per-word bit_count(exists) == count raising filter inline in the
+    word frame, AQE-empty-proof); unique o_orderkey and
     order years within [1990, 2244] — both via the packed map's PER-WORD
     raising filter (see ``operators/packedmap.py``: a detached 1-row
     guard subtree re-scanned orders and cancelled the win, A/B'd; and an
@@ -2207,19 +2213,41 @@ def mart_brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pbit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p_partkey & 63 AS INT))")
     is_std = F.col("p_type") == "STANDARD"
-    pmaps = part.groupBy(F.shiftright(F.col("p_partkey"), 6).alias("pw")).agg(
-        F.bit_or(pbit).alias("exists_bits"),
-        F.bit_or(F.when(is_std, pbit).otherwise(F.lit(0))).alias("std_bits"),
-        F.bit_or(
-            F.when(is_std & (F.col("p_brand") == "Brand#11"), pbit).otherwise(
-                F.lit(0)
+    # The duplicate-p_partkey guard is PER-WORD and inline in pmaps (the
+    # packed_code_map shape), not a detached result-side crossJoin: a
+    # detached guard is a second consumer of the part subtree (its own
+    # scan+aggregate, the pruning-cascade cost) AND is AQE-empty-relation
+    # eliminated when every probe row drops — silently-empty output
+    # instead of the loud raise (ADVICE r8).
+    pmaps = (
+        part.groupBy(F.shiftright(F.col("p_partkey"), 6).alias("pw"))
+        .agg(
+            F.bit_or(pbit).alias("exists_bits"),
+            F.bit_or(
+                F.when(is_std, pbit).otherwise(F.lit(0))
+            ).alias("std_bits"),
+            F.bit_or(
+                F.when(
+                    is_std & (F.col("p_brand") == "Brand#11"), pbit
+                ).otherwise(F.lit(0))
+            ).alias("brand_bits"),
+            F.count(F.lit(1)).alias("pcnt"),
+        )
+        .filter(
+            F.when(
+                F.bit_count(F.col("exists_bits")).cast("long")
+                == F.col("pcnt"),
+                F.lit(True),
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "mart_brand_market_share: duplicate p_partkey;"
+                        " the bitmap flag-join requires unique dim keys"
+                    )
+                ).cast("boolean")
             )
-        ).alias("brand_bits"),
-        F.count(F.lit(1)).alias("pcnt"),
+        )
     )
-    part_guard_bad = F.sum(
-        F.bit_count(F.col("exists_bits")).cast("long")
-    ) != F.sum("pcnt")
 
     ymap = packed_code_map(
         orders,
@@ -2232,24 +2260,7 @@ def mart_brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             " use a plain orders join for this key/date domain"
         ),
     )
-    part_guard = (
-        pmaps.agg(part_guard_bad.alias("_pbad"))
-        .filter(
-            F.when(F.col("_pbad").isNull() | ~F.col("_pbad"), F.lit(True)).otherwise(
-                F.raise_error(
-                    F.lit(
-                        "mart_brand_market_share: duplicate p_partkey;"
-                        " the bitmap flag-join requires unique dim keys"
-                    )
-                ).cast("boolean")
-            )
-        )
-        .select(F.lit(1).alias("_pguard_ok"))
-    )
-    # ymap's own guard is embedded in its words frame (see packedmap.py) —
-    # attaching it again here would duplicate the orders guard subtree.
-    guard = part_guard
-
+    # ymap's own guard is embedded in its words frame (see packedmap.py).
     units = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000)
         + F.lit(0.5)
@@ -2274,7 +2285,6 @@ def mart_brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.sum(units).alias("units"),
         )
-        .crossJoin(F.broadcast(guard))
         .select(
             "order_year",
             fx_round(

@@ -60,6 +60,48 @@ def test_out_of_domain_code_raises_even_when_all_rows_drop(spark, code):
         join_packed_codes(probe, pmap, "k", "code").collect()
 
 
+def test_null_code_raises(spark):
+    """A NULL code row must raise, not silently drop the key: bit_or /
+    min / max all IGNORE NULLs, so before the _ccnt==_cnt check the word
+    passed the guard while the slot stayed 0 — the probe dropped the key
+    where the plain join would have kept it with a NULL value (ADVICE
+    r8 medium). The word also holds a healthy non-NULL neighbor so the
+    occupancy/range checks alone cannot catch it."""
+    df = spark.createDataFrame([(1, 5), (2, None)], "k long, v long")
+    pmap = packed_code_map(
+        df, "k", F.col("v"), slot_bits=8, guard_message="pm: bad domain"
+    )
+    probe = spark.createDataFrame([(1,), (2,)], "k long")
+    with pytest.raises(Exception, match="pm: bad domain"):
+        join_packed_codes(probe, pmap, "k", "code").collect()
+
+
+def test_words_fit_broadcast_falls_back_to_static_threshold(spark, sf_dir):
+    """When the adaptive broadcast threshold is UNSET, Spark falls back
+    to spark.sql.autoBroadcastJoinThreshold — the gate must read that
+    fallback, not assume the 64MB default (ADVICE r8): with the static
+    conf at -1 (broadcasts off) the gate must return False."""
+    from enterprise_data_quality_platform_spark.operators.packedmap import (
+        words_fit_broadcast,
+    )
+
+    old_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_adaptive = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    )
+    try:
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert not words_fit_broadcast(spark, sf_dir, "nation")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        assert words_fit_broadcast(spark, sf_dir, "nation")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", old_adaptive
+        )
+
+
 def test_value_identical_to_plain_join(spark):
     import random
 
