@@ -30,9 +30,13 @@ from enterprise_data_quality_platform_spark.queries import (  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
-def _driver_verification_counts() -> tuple[dict[str, int], set[str]]:
-    """Per-query GREEN driver rows across CORRECTNESS_r*.json, plus the set
-    of names whose LATEST driver row was a failure.
+def _driver_verification_counts() -> (
+    tuple[dict[str, int], set[str], dict[str, int]]
+):
+    """Per-query GREEN driver rows across CORRECTNESS_r*.json, the set of
+    names whose LATEST driver row was a failure, and the latest round in
+    which each name had a HASH-green row (``no_oracle`` rows excluded —
+    they carry no oracle text to be stale against).
 
     The driver's correctness gate samples only the first ~50 entries of
     ``queries()`` per round, so registration order decides which queries
@@ -48,10 +52,14 @@ def _driver_verification_counts() -> tuple[dict[str, int], set[str]]:
     """
     import glob
     import json
+    import re
 
     counts: dict[str, int] = {}
     last_failed: set[str] = set()
+    last_hash_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -65,9 +73,13 @@ def _driver_verification_counts() -> tuple[dict[str, int], set[str]]:
             if green:
                 counts[name] = counts.get(name, 0) + 1
                 last_failed.discard(name)
+                if bool(row.get("hash_match")):
+                    last_hash_green[name] = max(
+                        last_hash_green.get(name, 0), rnd
+                    )
             else:
                 last_failed.add(name)
-    return counts, last_failed
+    return counts, last_failed, last_hash_green
 
 
 #: Queries whose ORACLE TEXT was corrected after their last driver round
@@ -82,20 +94,38 @@ VERIFY_FIRST: tuple[str, ...] = (
     "training_pack_sequences",
 )
 
+#: name -> round in which its ORACLE TEXT last changed. The zero-green
+#: condition above cannot reach a query that already has green rows from
+#: an OLDER oracle (e.g. rows-only ``no_oracle`` greens from before the
+#: query gained a real oracle) — so names here sort ahead of normal
+#: rotation until a HASH-green row lands in a round strictly AFTER the
+#: stamp, then retire automatically. Stamp = the round whose CORRECTNESS
+#: file could still reflect the old text (r8: dq_file_stats /
+#: dq_schema_audit gained real oracles after their rotation slots passed).
+ORACLE_CHANGED: dict[str, int] = {
+    "dq_file_stats": 8,
+    "dq_schema_audit": 8,
+}
+
 
 def _rotate(mapping: dict) -> dict:
-    """Order entries: recently-failed first, then zero-green names whose
-    oracle changed since their last driver run (``VERIFY_FIRST``), then
-    fewest-green-verifications, ties broken by name (deterministic given
-    the committed result files)."""
+    """Order entries: recently-failed first, then names whose oracle text
+    changed since their last hash-green driver row (``ORACLE_CHANGED``),
+    then zero-green names whose oracle changed before any driver run
+    (``VERIFY_FIRST``), then fewest-green-verifications, ties broken by
+    name (deterministic given the committed result files)."""
     try:
-        counts, last_failed = _driver_verification_counts()
+        counts, last_failed, last_hash_green = _driver_verification_counts()
     except Exception:
         return mapping
     names = sorted(
         mapping,
         key=lambda n: (
             n not in last_failed,
+            not (
+                n in ORACLE_CHANGED
+                and last_hash_green.get(n, 0) <= ORACLE_CHANGED[n]
+            ),
             not (n in VERIFY_FIRST and counts.get(n, 0) == 0),
             counts.get(n, 0),
             n,
