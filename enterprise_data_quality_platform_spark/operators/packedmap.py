@@ -160,6 +160,52 @@ def packed_code_map(
     )
 
 
+def _footer_rows(sf_dir: str, table_name: str) -> int:
+    """Table row count from parquet footers only (metadata, no scan)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..catalog import table_path
+
+    path = table_path(sf_dir, table_name)
+    if os.path.isdir(path):
+        n_rows = 0
+        for root, _, names in os.walk(path):
+            for f in names:
+                if f.endswith(".parquet"):
+                    n_rows += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+        return n_rows
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def packed_map_worthwhile(
+    sf_dir: str,
+    probe_table: str,
+    min_probe_rows: int = 20_000_000,
+) -> bool:
+    """The LOWER bound of the packed-map deployment gate: the rewrite
+    trades a few fixed build jobs (word aggregate + guard per map) for
+    removing the probe-side fact shuffle, and below tens of millions of
+    probe rows the shuffle costs ~nothing while the builds are pure
+    overhead. Measured (alternating medians of 5, PERF.md r9): plain
+    wins at sf0.1 (Q3 1.01 vs 1.36 s, Q5 0.94 vs 1.56, Q17 0.68 vs
+    1.22) AND at sf1 (0.94 vs 1.82 / 1.05 vs 1.85 / 1.15 vs 1.45);
+    packed wins at sf10 (r8 medians: Q3 3.16→2.80, Q5 3.71→3.17, Q17
+    3.13→2.47) — so the local-mode crossover sits between 6M and 60M
+    probe rows and the default splits it at 20M. Gate on the PROBE
+    table's footer row count — metadata only, no scan. Estimation
+    failure returns True: the packed path is the value-identical,
+    scale-safe default, and only small-SF pennies ride on the gate
+    being right."""
+    try:
+        return _footer_rows(sf_dir, probe_table) >= min_probe_rows
+    except Exception:
+        return True
+
+
 def words_fit_broadcast(
     spark,
     sf_dir: str,
@@ -184,24 +230,8 @@ def words_fit_broadcast(
     failures return False (no hint — the status quo plan), and past the
     threshold the gate turns the hint off so a 100 TB build degrades to
     AQE's choice instead of OOMing the driver."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    from ..catalog import table_path
-
     try:
-        path = table_path(sf_dir, table_name)
-        if os.path.isdir(path):
-            n_rows = 0
-            for root, _, names in os.walk(path):
-                for f in names:
-                    if f.endswith(".parquet"):
-                        n_rows += pq.ParquetFile(
-                            os.path.join(root, f)
-                        ).metadata.num_rows
-        else:
-            n_rows = pq.ParquetFile(path).metadata.num_rows
+        n_rows = _footer_rows(sf_dir, table_name)
         # ``selectivity`` is the caller's arithmetic for build-side filters
         # the footer can't see (e.g. a date range keeping ~1/7 of orders);
         # a wrong value only flips the hint, never correctness. Two sound

@@ -11,6 +11,7 @@ from ..models import marts, staging
 from ..operators.packedmap import (
     join_packed_codes,
     packed_code_map,
+    packed_map_worthwhile,
     words_fit_broadcast,
 )
 from .registry import register
@@ -925,9 +926,14 @@ def mart_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mart_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-shaped query: revenue from lineitems whose quantity is
-    below 20% of their part's average quantity — hand-planned.
+    below 20% of their part's average quantity — hand-planned, with a
+    SIZE-GATED physical strategy (VERDICT r8 item 2): below ~20M probe
+    rows the packed-map builds are pure overhead (sf0.1 A/B: 0.68 vs
+    1.22 s) so the gate picks the plain thr+SHJ form; above it the
+    packed form's removed fact shuffle wins. Both sides value-identical
+    (pinned in tests/test_packedmap_gate.py).
 
-    Plan (r8 rewrite — PACKED THRESHOLD MAP, the packed-map family's
+    Packed plan (r8 rewrite — PACKED THRESHOLD MAP, the packed-map family's
     first deployment on DERIVED-AGGREGATE values): the per-part stats
     collapse to ONE BIGINT threshold — ``qty*5*cnt < qsum ⇔ qty_units ≤
     (qsum-1) div (5·cnt)`` (exact integer division, no float drift) —
@@ -953,6 +959,67 @@ def mart_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the fixed-point helpers. The `div`-rewrite requires qsum ≥ 1
     (guaranteed: positive quantities) — don't lift onto signed
     measures."""
+    if packed_map_worthwhile(sf_dir, "lineitem"):
+        return _mart_small_qty_revenue_packed(spark, sf_dir)
+    return _mart_small_qty_revenue_plain(spark, sf_dir)
+
+
+def _mart_small_qty_revenue_plain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The small-SF side of the gate: the r6 thr+SHJ winner — per-part
+    stats collapse to one BIGINT threshold, shuffle_hash-hinted join
+    (build partitions are |parts|/32 entries; SMJ would sort the probe),
+    plain part join for the brand."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(FLOOR(l_quantity * 10000 + 0.5) AS BIGINT)").alias(
+            "qty_units"
+        ),
+        F.expr("CAST(FLOOR(l_extendedprice * 10000 + 0.5) AS BIGINT)").alias(
+            "rev_units"
+        ),
+    )
+    part = table(spark, sf_dir, "part")
+    thr = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.expr(
+                "CAST((sum(qty_units) - 1) div (5 * count(1)) AS BIGINT)"
+            ).alias("thr")
+        )
+        .withColumnRenamed("l_partkey", "t_partkey")
+        .hint("shuffle_hash")
+    )
+    flagged = li.join(thr, li.l_partkey == thr.t_partkey).filter(
+        F.col("qty_units") <= F.col("thr")
+    )
+    grouped = (
+        flagged.join(
+            # part is SCALE-GROWING: no explicit broadcast (policy). AQE
+            # converts to BHJ at local sizes (measured equal to the hint,
+            # r6 A/B) and correctly keeps a shuffle join at 100 TB.
+            part.select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("small_qty_lines"),
+            F.sum("rev_units").alias("rev_units"),
+        )
+    )
+    return grouped.select(
+        "p_brand",
+        "small_qty_lines",
+        fx_round(F.col("rev_units") / F.lit(10000.0), 2).alias(
+            "small_qty_revenue"
+        ),
+    ).orderBy("p_brand")
+
+
+def _mart_small_qty_revenue_packed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.expr("CAST(FLOOR(l_quantity * 10000 + 0.5) AS BIGINT)").alias(
@@ -1790,9 +1857,13 @@ def mart_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mart_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped shipping priority: the 10 highest-revenue orders
     placed before a date but (partially) shipped after it, for one market
-    segment — the fact-granularity top-k over a 3-way join.
+    segment — the fact-granularity top-k over a 3-way join. SIZE-GATED
+    strategy (VERDICT r8 item 2): below ~20M probe rows the packed-map
+    builds are pure overhead (sf0.1: 0.63→0.98 s) so the gate picks the
+    plain 3-way-join form; above it the packed form wins. Both sides
+    value-identical (tests/test_packedmap_gate.py).
 
-    Plan (r8 rewrite — PACKED DATE-CODE MAP, the packedmap family): the
+    Packed plan (r8 rewrite — PACKED DATE-CODE MAP, the packedmap family): the
     orders side collapses to a 16-bit day-code word map built from orders
     PRE-FILTERED to the date range and the BUILDING segment (broadcast
     semi against the filtered customer keys), so both filters fold into
@@ -1809,6 +1880,53 @@ def mart_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     raises loudly. Measured sf10: 3.16 → 2.80 s medians (−11%; the agg
     input also shrinks ~20× because the word join filters to matching
     orders' lines before the shuffle)."""
+    if packed_map_worthwhile(sf_dir, "lineitem"):
+        return _mart_shipping_priority_packed(spark, sf_dir)
+    return _mart_shipping_priority_plain(spark, sf_dir)
+
+
+def _mart_shipping_priority_plain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The small-SF side of the gate: segment filter reduces customer
+    before its join (projected to the key column only), both date
+    filters push to their scans, TakeOrderedAndProject top-10 over exact
+    revenue units with (orderdate, orderkey) tiebreaks."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000)
+        + F.lit(0.5)
+    ).cast("long")
+    cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    o = orders.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    l = li.filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(units).alias("rev_units"))
+        .orderBy(F.col("rev_units").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            fx_round(F.col("rev_units") / F.lit(10000.0), 2).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+def _mart_shipping_priority_packed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     customer = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -1940,9 +2058,13 @@ def mart_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped local-supplier volume: revenue where the customer
     and the line's supplier share a nation — the 5-way star-plus-residual
     join (the c_nationkey = s_nationkey condition links two DIMENSION
-    branches, which is what makes Q5 a join-ORDER benchmark).
+    branches, which is what makes Q5 a join-ORDER benchmark). SIZE-GATED
+    strategy (VERDICT r8 item 2): below ~20M probe rows the packed-map
+    builds are pure overhead (sf0.1: 0.62→1.05 s) so the gate picks the
+    plain star-join form; above it the packed form's zero fact shuffles
+    win. Both sides value-identical (tests/test_packedmap_gate.py).
 
-    Plan (r8 rewrite — COMPOSED PACKED NATION-CODE MAPS; ZERO fact
+    Packed plan (r8 rewrite — COMPOSED PACKED NATION-CODE MAPS; ZERO fact
     shuffles): every join here ultimately feeds the probe a single small
     code per key — the customer's nation, the supplier's nation — so the
     whole join tree collapses into packed-map composition: (1) customer
@@ -1963,6 +2085,66 @@ def mart_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     Guards: per-word inline in each map (duplicate keys, nationkey
     outside [0, 254]). Measured sf10: 3.71 → 3.17 s medians (−15%).
     Revenue units exact BIGINT."""
+    if packed_map_worthwhile(sf_dir, "lineitem"):
+        return _mart_local_supplier_volume_packed(spark, sf_dir)
+    return _mart_local_supplier_volume_plain(spark, sf_dir)
+
+
+def _mart_local_supplier_volume_plain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The small-SF side of the gate: date filter cuts orders first,
+    customer and supplier attach as broadcast dims (key + nationkey
+    only), same-nation residual after both are in scope, nation
+    broadcasts last for the name. One co-partitioned fact edge
+    (lineitem⋈orders on orderkey)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000)
+        + F.lit(0.5)
+    ).cast("long")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    j = (
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(units).alias("rev_units"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "nation_name",
+            fx_round(F.col("rev_units") / F.lit(10000.0), 2).alias("revenue"),
+            "n_lines",
+            "rev_units",
+        )
+        .orderBy(F.col("rev_units").desc(), "nation_name")
+        .drop("rev_units")
+    )
+
+
+def _mart_local_supplier_volume_packed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")

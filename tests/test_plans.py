@@ -676,7 +676,7 @@ def test_shipping_priority_packed_no_fact_shuffle(spark):
     and the ~20x-reduced (orderkey, daycode) aggregate; the top-10 is
     TakeOrderedAndProject and the final Sort orders 10 rows."""
     from enterprise_data_quality_platform_spark.queries.relational import (
-        mart_shipping_priority,
+        _mart_shipping_priority_packed as mart_shipping_priority,
     )
 
     df = mart_shipping_priority(spark, SF_SMALL)
@@ -697,7 +697,7 @@ def test_local_supplier_volume_packed_no_fact_shuffle(spark):
     the bucketed twin could NOT reach (one bucket layout cannot co-locate
     both the orderkey and suppkey edges); packed maps remove both."""
     from enterprise_data_quality_platform_spark.queries.relational import (
-        mart_local_supplier_volume,
+        _mart_local_supplier_volume_packed as mart_local_supplier_volume,
     )
 
     df = mart_local_supplier_volume(spark, SF_SMALL)

@@ -336,7 +336,7 @@ def test_q3_packed_date_map_guards(spark, tmp_path):
     import datetime
 
     from enterprise_data_quality_platform_spark.queries.relational import (
-        mart_shipping_priority,
+        _mart_shipping_priority_packed as mart_shipping_priority,
     )
 
     sf = str(tmp_path / "q3bad")
@@ -364,7 +364,7 @@ def test_q5_packed_nation_maps_guard(spark, tmp_path):
     import datetime
 
     from enterprise_data_quality_platform_spark.queries.relational import (
-        mart_local_supplier_volume,
+        _mart_local_supplier_volume_packed as mart_local_supplier_volume,
     )
 
     d = datetime.datetime(1996, 6, 1)
