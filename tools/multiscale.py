@@ -26,6 +26,18 @@ from bench import HEADLINE, HEAVY  # noqa: E402
 #: timed runs per tier — larger tiers amortize the floor, need fewer medians
 RUNS_BY_TIER = {"0.1": 5, "1": 3, "10": 2}
 
+#: isolated-median rule (VERDICT r8 item 4): a query whose sweep median
+#: exceeds BOTH bounds is re-measured in a FRESH JVM (tools/remeasure.py,
+#: median of 3) and the isolated value is committed, with the sweep value
+#: stamped beside it. Why: sf10 session state moved single heavy entries
+#: ±20-35% on identical code (affinity 13.5/17.6/40.2 s tri-modal across
+#: same-day sweeps) — ~±2% of the headline aggregate rode on in-sweep JVM
+#: allocation pressure the per-query loadavg stamps cannot see. The
+#: absolute floor keeps fresh-JVM job-floor overhead (~0.3-0.6 s) from
+#: distorting small entries — in practice only the sf10 heavies qualify.
+ISOLATE_FRACTION = 0.05
+ISOLATE_MIN_SEC = 5.0
+
 #: quadratic-ish shapes measured only at the base tier: their DuckDB twin
 #: scales superlinearly (blocked Levenshtein self-join; |corpus|·|bench|
 #: brute-force cosine — 400M list_cosine_similarity calls at sf10) and
@@ -140,6 +152,53 @@ def main() -> None:
         duck_t, duck_la = time_queries(duck_run, tier_names, runs, tag=f"sf{tier} duckdb")
         con.close()
 
+        # fresh-JVM isolated medians for entries heavy enough that
+        # in-sweep JVM state lottery moves the tier aggregate (rule
+        # documented at ISOLATE_FRACTION above)
+        sweep_total = sum(spark_t.values())
+        heavy_iso = [
+            n
+            for n in tier_names
+            if spark_t[n] > max(ISOLATE_MIN_SEC, ISOLATE_FRACTION * sweep_total)
+        ]
+        isolated: dict = {}
+        spark_sweep: dict[str, float] = {}
+        if heavy_iso:
+            import subprocess
+
+            print(
+                f"  [sf{tier}] isolated re-measure (fresh JVM, median of 3):"
+                f" {heavy_iso}",
+                file=sys.stderr, flush=True,
+            )
+            try:
+                res = subprocess.run(
+                    [
+                        sys.executable,
+                        "/root/repo/tools/remeasure.py",
+                        "--runs", "3",
+                        sf_dir, *heavy_iso,
+                    ],
+                    capture_output=True, text=True, timeout=3600,
+                )
+                iso_doc = json.loads(res.stdout)
+                for n in heavy_iso:
+                    if n in iso_doc and isinstance(iso_doc[n], dict):
+                        isolated[n] = iso_doc[n]
+                        # commit the isolated Spark median; the sweep value
+                        # stays stamped in spark_sweep. DuckDB keeps the
+                        # sweep value (its side measured flat across the
+                        # tri-modal Spark sessions — the spread is
+                        # JVM-internal).
+                        spark_sweep[n] = spark_t[n]
+                        spark_t[n] = iso_doc[n]["spark"]
+            except Exception as exc:  # sweep survives a failed isolation
+                print(
+                    f"  [sf{tier}] isolated re-measure FAILED ({exc}); "
+                    "committing sweep values",
+                    file=sys.stderr, flush=True,
+                )
+
         ratio = {
             n: round(spark_t[n] / duck_t[n], 2) if duck_t[n] > 0 else None
             for n in tier_names
@@ -172,6 +231,18 @@ def main() -> None:
             "demo_spark_total": round(sum(spark_t[n] for n in demo_here), 4),
             "demo_duckdb_total": round(sum(duck_t[n] for n in demo_here), 4),
         }
+        if isolated:
+            doc["tiers"][tier]["isolated"] = isolated
+            doc["tiers"][tier]["spark_sweep"] = spark_sweep
+            doc["tiers"][tier]["sweep_note"] = (
+                "entries in spark_sweep exceeded "
+                f"max({ISOLATE_MIN_SEC}s, {ISOLATE_FRACTION:.0%} of the tier"
+                " sweep total) and their committed 'spark' values are"
+                " fresh-JVM isolated medians of 3 (tools/remeasure.py);"
+                " the in-sweep value is stamped in spark_sweep and the full"
+                " isolated doc (samples + loadavg) in 'isolated'. DuckDB"
+                " keeps sweep values."
+            )
         print(
             f"tier sf{tier}: spark {doc['tiers'][tier]['spark_total']} s, "
             f"duckdb {doc['tiers'][tier]['duckdb_total']} s, "

@@ -5,12 +5,13 @@ multiscale sweep (VERDICT r7 item 1): runs ONLY the named queries, in a
 fresh Spark session, on a quiet box, with per-query loadavg stamps so the
 artifact itself records the measurement conditions.
 
-Usage: python tools/remeasure.py <sf_dir> <query> [query ...]
+Usage: python tools/remeasure.py [--runs N] <sf_dir> <query> [query ...]
 Prints one JSON doc to stdout with {query: {spark, duckdb, ratio,
 loadavg_before, loadavg_after}}.
 
 Protocol matches tools/multiscale.py: one warm run (codegen / buffer
-pool), then median of the timed runs (2 at sf10-like tiers).
+pool), then median of the timed runs (default 2; the multiscale
+isolated-median pass uses --runs 3 per the r9 protocol).
 """
 
 from __future__ import annotations
@@ -42,7 +43,12 @@ def timed(run, runs: int = 2) -> tuple[float, list[float], float]:
 
 
 def main() -> None:
-    sf_dir, names = sys.argv[1], sys.argv[2:]
+    argv = sys.argv[1:]
+    runs = 2
+    if argv and argv[0] == "--runs":
+        runs = int(argv[1])
+        argv = argv[2:]
+    sf_dir, names = argv[0], argv[1:]
 
     import __spark_entry__ as entrymod
     from enterprise_data_quality_platform_spark.queries import query_fns
@@ -58,14 +64,15 @@ def main() -> None:
         )
 
     out: dict = {"sf_dir": sf_dir, "launch_loadavg": os.getloadavg()}
+    out["runs"] = runs
     for name in names:
         s_med, s_samples, s_la_after, s_la_before = timed(
-            lambda: fns[name](spark, sf_dir).collect()
+            lambda: fns[name](spark, sf_dir).collect(), runs
         )
         spark.sparkContext._jvm.System.gc()
         time.sleep(1)
         d_med, d_samples, d_la_after, d_la_before = timed(
-            lambda: con.execute(oracles[name]).fetchall()
+            lambda: con.execute(oracles[name]).fetchall(), runs
         )
         out[name] = {
             "spark": s_med,
