@@ -17,7 +17,7 @@ at 100 TB you diff fingerprints, not row payloads.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: classification labels, in output order
@@ -44,7 +44,18 @@ def diff_snapshots(
         compare_cols = [c for c in shared if c not in set(keys)]
 
     def prep(df: DataFrame, tag: str) -> DataFrame:
-        fp = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in compare_cols])
+        # Hash NATIVE values, not string casts (r9 A/B: the per-row
+        # string materialization was ~the only lever that measured a
+        # consistent win at sf10 — 2.56 vs 2.69 s and 1.65 vs 1.80 s in
+        # two sessions; PERF.md r9). xxhash64 SKIPS null inputs, which
+        # would make (NULL, x) collide with (x, NULL) and NULL collide
+        # with absent — so each column contributes its isnull flag too
+        # (never null, always hashed), restoring the sentinel scheme's
+        # null distinction without the cast.
+        hash_cols: list[Column] = []
+        for c in compare_cols:
+            hash_cols += [F.col(c), F.isnull(F.col(c))]
+        fp = F.xxhash64(*hash_cols)
         cols = [F.col(k) for k in keys] + [fp.alias(f"__fp_{tag}")]
         if not project and tag == "new":
             cols += [F.col(c) for c in compare_cols]

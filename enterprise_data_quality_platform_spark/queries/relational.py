@@ -1526,13 +1526,19 @@ def mart_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lost to returns in one year.
 
     Plan: the two pushed-down filters (returnflag on lineitem, date range
-    on orders) cut both fact inputs BEFORE the orderkey join — at 100 TB
-    that join is the co-partitioned sort-merge; customer and nation attach
-    afterwards (customer via shuffle join on custkey against the
-    already-aggregated? no — against the order rows, but only AFTER the
-    date filter shrank them; nation broadcast). The top-20 is
-    TakeOrderedAndProject over exact revenue units with c_custkey as the
-    deterministic tiebreak — no global sort materializes."""
+    on orders) cut both fact inputs BEFORE the orderkey join; the
+    filtered-orders side carries a shuffle_hash hint (r9 A/B, the
+    Q17/affinity size-arithmetic precedent: the one-year window keeps
+    ~1/7 of orders — ~2M 16-byte rows at sf10, ~1 MB hash table per
+    shuffle partition — and SHJ skips sorting BOTH fact sides; measured
+    3.13→2.91 and 3.10→2.91 s medians in two sessions, status quo
+    slowest in 9/10 alternating rounds; an orders-side broadcast hint
+    measured the same but caps at the broadcast ceiling, so the
+    partition-local hint wins on scale posture — the shuffle stays, AQE
+    still splits skew). Customer and nation attach after the per-customer
+    aggregate (nation broadcast). The top-20 is TakeOrderedAndProject
+    over exact revenue units with c_custkey as the deterministic
+    tiebreak — no global sort materializes."""
     customer = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -1541,10 +1547,14 @@ def mart_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000)
         + F.lit(0.5)
     ).cast("long")
-    o = orders.filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
-    ).select("o_orderkey", "o_custkey")
+    o = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_custkey")
+        .hint("shuffle_hash")
+    )
     l = li.filter(F.col("l_returnflag") == "R").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
