@@ -162,6 +162,7 @@ def main() -> None:
     from enterprise_data_quality_platform_spark.session import get_spark
 
     spark = get_spark("edqp-bench")
+    launch_la = [round(x, 2) for x in os.getloadavg()]
     fns = query_fns()
     names = [n for n in HEADLINE if n in fns]
     only = os.environ.get("BENCH_QUERIES")  # comma-list subset override
@@ -174,6 +175,7 @@ def main() -> None:
         fns[name](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    loadavg1: dict[str, float] = {}
     for name in names:
         if name in HEAVY:
             # Multi-second shuffle-heavy queries regress ~20% when the JVM
@@ -182,6 +184,10 @@ def main() -> None:
             # recorded number reflects the query, not the harness history.
             spark.sparkContext._jvm.System.gc()
             time.sleep(1)
+        # stamped BEFORE the timed runs (reflects co-tenant pressure, not
+        # our own just-finished burst) — the multiscale r8 adjudication
+        # mechanism, so a contaminated bench entry is visible in-artifact
+        loadavg1[name] = round(os.getloadavg()[0], 2)
         samples = []
         for _ in range(HEAVY_RUNS if name in HEAVY else RUNS):
             t0 = time.perf_counter()
@@ -209,6 +215,8 @@ def main() -> None:
         "comparable_total": comparable,
         "unit": "sec",
         "queries": timings,
+        "loadavg1": loadavg1,
+        "launch_loadavg": launch_la,
         "sf": sf_val,
         "runs_per_query": RUNS,
     }
