@@ -51,10 +51,18 @@ def diff_snapshots(
         # would make (NULL, x) collide with (x, NULL) and NULL collide
         # with absent — so each column contributes its isnull flag too
         # (never null, always hashed), restoring the sentinel scheme's
-        # null distinction without the cast.
+        # null distinction without the cast. MapType is the one type
+        # xxhash64 rejects (unordered entries have no canonical hash):
+        # those columns keep the legacy sorted-string-cast sentinel.
+        types = dict(df.dtypes)
         hash_cols: list[Column] = []
         for c in compare_cols:
-            hash_cols += [F.col(c), F.isnull(F.col(c))]
+            if types.get(c, "").startswith("map<"):
+                hash_cols.append(
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                )
+            else:
+                hash_cols += [F.col(c), F.isnull(F.col(c))]
         fp = F.xxhash64(*hash_cols)
         cols = [F.col(k) for k in keys] + [fp.alias(f"__fp_{tag}")]
         if not project and tag == "new":

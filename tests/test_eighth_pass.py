@@ -46,6 +46,39 @@ def test_snapshot_diff_null_value_is_not_equal_to_literal(spark):
     assert got == {1: "unchanged", 2: "changed"}
 
 
+def test_snapshot_diff_value_swap_between_columns_is_changed(spark):
+    """xxhash64 SKIPS null inputs, so without the per-column isnull flags
+    (r9 native-fingerprint rewrite) a value moving between two columns —
+    (x, NULL) -> (NULL, x) — would hash identically and classify
+    'unchanged'."""
+    old = _snap(spark, [(1, 7, None)])
+    new = spark.createDataFrame(
+        [(1, None, "7")], "key long, cents long, status string"
+    )
+    got = {
+        r.key: r.change_type
+        for r in diff_snapshots(old, new, keys=["key"]).collect()
+    }
+    assert got == {1: "changed"}
+
+
+def test_snapshot_diff_map_columns_supported(spark):
+    """MapType is the one type xxhash64 rejects — map columns keep the
+    legacy string-cast sentinel path (pinned so the native-fingerprint
+    rewrite can never silently drop map support)."""
+    old = spark.createDataFrame(
+        [(1, {"a": 1}), (2, {"b": 2})], "key long, attrs map<string,int>"
+    )
+    new = spark.createDataFrame(
+        [(1, {"a": 1}), (2, {"b": 3})], "key long, attrs map<string,int>"
+    )
+    got = {
+        r.key: r.change_type
+        for r in diff_snapshots(old, new, keys=["key"]).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed"}
+
+
 def test_snapshot_summary_counts(spark):
     old = _snap(spark, [(i, i * 10, "O") for i in range(10)])
     new = _snap(
