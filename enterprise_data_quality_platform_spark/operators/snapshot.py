@@ -38,6 +38,12 @@ def diff_snapshots(
     non-key columns. With ``project=True`` the shuffle carries only
     (keys, xxhash64 fingerprint of the compared columns); set it False to
     keep the full ``new`` payload on the output (costlier shuffle).
+
+    Compared columns must have IDENTICAL types in both snapshots: the
+    fingerprint hashes native values, so the same logical value under a
+    drifted type (int in old, bigint in new) hashes differently and
+    classifies ``changed``. If cross-snapshot schema drift is in scope,
+    cast both sides to a common type before calling.
     """
     if compare_cols is None:
         shared = [c for c in new.columns if c in set(old.columns)]
@@ -52,12 +58,26 @@ def diff_snapshots(
         # with absent — so each column contributes its isnull flag too
         # (never null, always hashed), restoring the sentinel scheme's
         # null distinction without the cast. MapType is the one type
-        # xxhash64 rejects (unordered entries have no canonical hash):
-        # those columns keep the legacy sorted-string-cast sentinel.
+        # xxhash64 rejects (unordered entries have no canonical hash) and
+        # it rejects it RECURSIVELY: a top-level map is canonicalised as
+        # array_sort(map_entries(col)) — a sorted struct array IS
+        # hashable, and sorting makes the fingerprint entry-order
+        # insensitive (map_concat vs parquet round-trip compare equal).
+        # A map nested anywhere deeper (array<map<..>>, struct with a map
+        # field, map-valued map) has no cheap canonical form, so those
+        # columns keep the string-cast sentinel — entry-order SENSITIVE
+        # by documented limitation (equal nested maps built in different
+        # entry orders may classify 'changed', never the reverse).
         types = dict(df.dtypes)
         hash_cols: list[Column] = []
         for c in compare_cols:
-            if types.get(c, "").startswith("map<"):
+            dt = types.get(c, "")
+            if dt.startswith("map<") and dt.count("map<") == 1:
+                hash_cols += [
+                    F.array_sort(F.map_entries(F.col(c))),
+                    F.isnull(F.col(c)),
+                ]
+            elif "map<" in dt:
                 hash_cols.append(
                     F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
                 )

@@ -2107,7 +2107,17 @@ def _mart_local_supplier_volume_plain(
     customer and supplier attach as broadcast dims (key + nationkey
     only), same-nation residual after both are in scope, nation
     broadcasts last for the name. One co-partitioned fact edge
-    (lineitem⋈orders on orderkey)."""
+    (lineitem⋈orders on orderkey).
+
+    The explicit broadcasts on customer/supplier — SCALE-GROWING tables,
+    normally a no-explicit-broadcast policy violation — are sound ONLY
+    because packed_map_worthwhile bounds this branch: it runs iff the
+    lineitem footer count is below the 20M-row gate (packedmap.py), which
+    caps customer at ~500k and supplier at ~33k rows (TPC-H ratios) —
+    both far under the broadcast threshold. Above the gate the packed
+    branch runs instead. If the gate threshold ever moves up, re-check
+    this arithmetic or drop the hints and let AQE convert (the Q17 plain
+    form's approach)."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")

@@ -63,14 +63,81 @@ def test_snapshot_diff_value_swap_between_columns_is_changed(spark):
 
 
 def test_snapshot_diff_map_columns_supported(spark):
-    """MapType is the one type xxhash64 rejects — map columns keep the
-    legacy string-cast sentinel path (pinned so the native-fingerprint
-    rewrite can never silently drop map support)."""
+    """MapType is the one type xxhash64 rejects — top-level map columns
+    are canonicalised as array_sort(map_entries(col)) and hashed natively
+    (pinned so the native-fingerprint rewrite can never silently drop map
+    support)."""
     old = spark.createDataFrame(
         [(1, {"a": 1}), (2, {"b": 2})], "key long, attrs map<string,int>"
     )
     new = spark.createDataFrame(
         [(1, {"a": 1}), (2, {"b": 3})], "key long, attrs map<string,int>"
+    )
+    got = {
+        r.key: r.change_type
+        for r in diff_snapshots(old, new, keys=["key"]).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed"}
+
+
+def test_snapshot_diff_map_entry_order_insensitive(spark):
+    """Two logically-equal maps built in DIFFERENT entry orders must
+    classify 'unchanged' (VERDICT r9 finding: the old string-cast
+    fallback stringified entries in internal order, so map_concat vs
+    parquet-round-trip orderings spuriously classified 'changed')."""
+    old = spark.range(1).select(
+        F.col("id").alias("key"),
+        F.create_map(
+            F.lit("a"), F.lit(1), F.lit("b"), F.lit(2), F.lit("c"), F.lit(3)
+        ).alias("attrs"),
+    )
+    new = spark.range(1).select(
+        F.col("id").alias("key"),
+        F.create_map(
+            F.lit("c"), F.lit(3), F.lit("a"), F.lit(1), F.lit("b"), F.lit(2)
+        ).alias("attrs"),
+    )
+    got = diff_snapshots(old, new, keys=["key"]).collect()
+    assert [r.change_type for r in got] == ["unchanged"]
+    # and a real value change under reordered entries still surfaces
+    new2 = spark.range(1).select(
+        F.col("id").alias("key"),
+        F.create_map(
+            F.lit("c"), F.lit(3), F.lit("a"), F.lit(9), F.lit("b"), F.lit(2)
+        ).alias("attrs"),
+    )
+    got2 = diff_snapshots(old, new2, keys=["key"]).collect()
+    assert [r.change_type for r in got2] == ["changed"]
+
+
+def test_snapshot_diff_null_map_vs_empty_map(spark):
+    """NULL map and empty map must not collide: array_sort(map_entries(
+    NULL)) is NULL (xxhash64 skips it) — the isnull flag carries the
+    distinction, same scheme as scalar columns."""
+    old = spark.createDataFrame(
+        [(1, None), (2, {})], "key long, attrs map<string,int>"
+    )
+    new = spark.createDataFrame(
+        [(1, {}), (2, {})], "key long, attrs map<string,int>"
+    )
+    got = {
+        r.key: r.change_type
+        for r in diff_snapshots(old, new, keys=["key"]).collect()
+    }
+    assert got == {1: "changed", 2: "unchanged"}
+
+
+def test_snapshot_diff_nested_map_does_not_crash(spark):
+    """ADVICE r9 (medium): xxhash64 rejects MapType RECURSIVELY — an
+    array<map<..>> compare column must take the string-cast sentinel
+    branch, not fail analysis."""
+    old = spark.createDataFrame(
+        [(1, [{"a": 1}]), (2, [{"b": 2}])],
+        "key long, tags array<map<string,int>>",
+    )
+    new = spark.createDataFrame(
+        [(1, [{"a": 1}]), (2, [{"b": 99}])],
+        "key long, tags array<map<string,int>>",
     )
     got = {
         r.key: r.change_type

@@ -1,5 +1,5 @@
 """Both sides of the packed-map size gate (VERDICT r8 item 2): below
-~5M probe rows the packed-map builds are pure overhead, so
+the 20M-probe-row default the packed-map builds are pure overhead, so
 mart_shipping_priority / mart_local_supplier_volume /
 mart_small_qty_revenue branch to their plain-join forms — which must be
 VALUE-IDENTICAL to the packed forms, and each side must plan the shape
@@ -22,7 +22,7 @@ GATED = [
 
 
 def test_gate_flips_on_probe_rows(sf_dir):
-    # sf0.001 lineitem is ~6k rows — far below the 5M default
+    # sf0.001 lineitem is ~6k rows — far below the 20M default
     assert not packed_map_worthwhile(sf_dir, "lineitem")
     assert packed_map_worthwhile(sf_dir, "lineitem", min_probe_rows=1)
     # estimation failure (missing table) takes the scale-safe packed path
