@@ -38,6 +38,18 @@ RUNS_BY_TIER = {"0.1": 5, "1": 3, "10": 2}
 ISOLATE_FRACTION = 0.05
 ISOLATE_MIN_SEC = 5.0
 
+#: letter-weak isolation rule (VERDICT r9 item 1): at the compute-dominated
+#: tier (sf >= WEAK_ISOLATE_MIN_SF, where the ratio letter is graded), EVERY
+#: entry that lands letter-weak on the sweep values — ratio > 2x, DuckDB
+#: >= 0.5 s, non-demo — ALSO gets a fresh-JVM isolated median, so the
+#: committed weak list is computed from isolated values rather than the
+#: sweep's JVM-state lottery (r9: identical code swung single entries
+#: ±30% by session; mart_product_profit's committed "5.76x" was a stamped
+#: la1-16.5 co-tenant artifact over an r8 isolated ~2.7x).
+WEAK_RATIO = 2.0
+WEAK_DUCK_MIN_SEC = 0.5
+WEAK_ISOLATE_MIN_SF = 10.0
+
 #: quadratic-ish shapes measured only at the base tier: their DuckDB twin
 #: scales superlinearly (blocked Levenshtein self-join; |corpus|·|bench|
 #: brute-force cosine — 400M list_cosine_similarity calls at sf10) and
@@ -152,39 +164,62 @@ def main() -> None:
         duck_t, duck_la = time_queries(duck_run, tier_names, runs, tag=f"sf{tier} duckdb")
         con.close()
 
-        # fresh-JVM isolated medians for entries heavy enough that
-        # in-sweep JVM state lottery moves the tier aggregate (rule
-        # documented at ISOLATE_FRACTION above)
+        # fresh-JVM isolated medians, two triggers (union):
+        #  (a) size rule — entries heavy enough that in-sweep JVM state
+        #      lottery moves the tier aggregate (ISOLATE_FRACTION above);
+        #  (b) weak rule — at the compute tier, every entry letter-weak on
+        #      sweep values (WEAK_RATIO above), so the committed weak list
+        #      is computed from isolated numbers (VERDICT r9 item 1).
+        # One remeasure.py subprocess PER QUERY: each gets its own JVM with
+        # zero old-gen history — the contamination mode the rule exists for.
         sweep_total = sum(spark_t.values())
-        heavy_iso = [
+        size_iso = {
             n
             for n in tier_names
             if spark_t[n] > max(ISOLATE_MIN_SEC, ISOLATE_FRACTION * sweep_total)
-        ]
+        }
+        weak_iso: set[str] = set()
+        try:
+            tier_sf = float(tier)
+        except ValueError:
+            tier_sf = 0.0
+        if tier_sf >= WEAK_ISOLATE_MIN_SF:
+            weak_iso = {
+                n
+                for n in tier_names
+                if n not in demo_names
+                and duck_t[n] >= WEAK_DUCK_MIN_SEC
+                and spark_t[n] / duck_t[n] > WEAK_RATIO
+            }
+        heavy_iso = sorted(size_iso | weak_iso)
         isolated: dict = {}
         spark_sweep: dict[str, float] = {}
         if heavy_iso:
             import subprocess
 
             print(
-                f"  [sf{tier}] isolated re-measure (fresh JVM, median of 3):"
-                f" {heavy_iso}",
+                f"  [sf{tier}] isolated re-measure (one fresh JVM per query,"
+                f" median of 3): {heavy_iso}",
                 file=sys.stderr, flush=True,
             )
-            try:
-                res = subprocess.run(
-                    [
-                        sys.executable,
-                        "/root/repo/tools/remeasure.py",
-                        "--runs", "3",
-                        sf_dir, *heavy_iso,
-                    ],
-                    capture_output=True, text=True, timeout=3600,
-                )
-                iso_doc = json.loads(res.stdout)
-                for n in heavy_iso:
+            for n in heavy_iso:
+                try:
+                    res = subprocess.run(
+                        [
+                            sys.executable,
+                            "/root/repo/tools/remeasure.py",
+                            "--runs", "3",
+                            sf_dir, n,
+                        ],
+                        capture_output=True, text=True, timeout=3600,
+                    )
+                    iso_doc = json.loads(res.stdout)
                     if n in iso_doc and isinstance(iso_doc[n], dict):
                         isolated[n] = iso_doc[n]
+                        isolated[n]["trigger"] = (
+                            "size+weak" if n in size_iso and n in weak_iso
+                            else ("size" if n in size_iso else "weak")
+                        )
                         # commit the isolated Spark median; the sweep value
                         # stays stamped in spark_sweep. DuckDB keeps the
                         # sweep value (its side measured flat across the
@@ -192,12 +227,12 @@ def main() -> None:
                         # JVM-internal).
                         spark_sweep[n] = spark_t[n]
                         spark_t[n] = iso_doc[n]["spark"]
-            except Exception as exc:  # sweep survives a failed isolation
-                print(
-                    f"  [sf{tier}] isolated re-measure FAILED ({exc}); "
-                    "committing sweep values",
-                    file=sys.stderr, flush=True,
-                )
+                except Exception as exc:  # sweep survives a failed isolation
+                    print(
+                        f"  [sf{tier}] isolated re-measure of {n} FAILED"
+                        f" ({exc}); committing its sweep value",
+                        file=sys.stderr, flush=True,
+                    )
 
         ratio = {
             n: round(spark_t[n] / duck_t[n], 2) if duck_t[n] > 0 else None
@@ -235,13 +270,16 @@ def main() -> None:
             doc["tiers"][tier]["isolated"] = isolated
             doc["tiers"][tier]["spark_sweep"] = spark_sweep
             doc["tiers"][tier]["sweep_note"] = (
-                "entries in spark_sweep exceeded "
-                f"max({ISOLATE_MIN_SEC}s, {ISOLATE_FRACTION:.0%} of the tier"
-                " sweep total) and their committed 'spark' values are"
-                " fresh-JVM isolated medians of 3 (tools/remeasure.py);"
-                " the in-sweep value is stamped in spark_sweep and the full"
-                " isolated doc (samples + loadavg) in 'isolated'. DuckDB"
-                " keeps sweep values."
+                "entries in spark_sweep matched the size rule (sweep median"
+                f" > max({ISOLATE_MIN_SEC}s, {ISOLATE_FRACTION:.0%} of tier"
+                " total)) or, at the compute tier, the weak rule (sweep"
+                f" ratio > {WEAK_RATIO}x with DuckDB >= {WEAK_DUCK_MIN_SEC}s,"
+                " non-demo); each got its OWN fresh JVM (tools/remeasure.py,"
+                " median of 3) and the committed 'spark' value is that"
+                " isolated median — per-entry trigger recorded in"
+                " isolated[name].trigger. The in-sweep value stays stamped"
+                " in spark_sweep, the full isolated doc (samples + loadavg)"
+                " in 'isolated'. DuckDB keeps sweep values."
             )
         print(
             f"tier sf{tier}: spark {doc['tiers'][tier]['spark_total']} s, "

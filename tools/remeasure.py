@@ -50,12 +50,14 @@ def main() -> None:
         argv = argv[2:]
     sf_dir, names = argv[0], argv[1:]
 
-    import __spark_entry__ as entrymod
     from enterprise_data_quality_platform_spark.queries import query_fns
+    from enterprise_data_quality_platform_spark.queries.registry import oracle_sqls
     from enterprise_data_quality_platform_spark.session import get_spark
 
     spark = get_spark("edqp-remeasure")
-    fns, oracles = query_fns(), entrymod.oracle_sql()
+    # rebind {SF_PARQUET_DIR} file-path oracles to THIS sf_dir (same as
+    # tools/multiscale.py — the default binding points at the driver tier)
+    fns, oracles = query_fns(), oracle_sqls(sf_dir)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -69,25 +71,37 @@ def main() -> None:
         s_med, s_samples, s_la_after, s_la_before = timed(
             lambda: fns[name](spark, sf_dir).collect(), runs
         )
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(1)
-        d_med, d_samples, d_la_after, d_la_before = timed(
-            lambda: con.execute(oracles[name]).fetchall(), runs
-        )
         out[name] = {
             "spark": s_med,
             "spark_samples": s_samples,
-            "duckdb": d_med,
-            "duckdb_samples": d_samples,
-            "ratio": round(s_med / d_med, 2) if d_med > 0 else None,
             "loadavg": {
                 "spark_before": round(s_la_before, 2),
                 "spark_after": s_la_after,
-                "duckdb_before": round(d_la_before, 2),
-                "duckdb_after": d_la_after,
             },
         }
-        print(f"  {name}: spark {s_med}s duckdb {d_med}s", file=sys.stderr, flush=True)
+        if name in oracles:
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1)
+            d_med, d_samples, d_la_after, d_la_before = timed(
+                lambda: con.execute(oracles[name]).fetchall(), runs
+            )
+            out[name].update(
+                duckdb=d_med,
+                duckdb_samples=d_samples,
+                ratio=round(s_med / d_med, 2) if d_med > 0 else None,
+            )
+            out[name]["loadavg"].update(
+                duckdb_before=round(d_la_before, 2), duckdb_after=d_la_after
+            )
+            print(
+                f"  {name}: spark {s_med}s duckdb {d_med}s",
+                file=sys.stderr, flush=True,
+            )
+        else:
+            # rows-only query (no oracle): Spark side only — the bench
+            # isolated-median pass needs this for dedup_minhash_docs /
+            # embed_ann_lsh and friends
+            print(f"  {name}: spark {s_med}s (no oracle)", file=sys.stderr, flush=True)
     print(json.dumps(out, indent=1))
 
 
