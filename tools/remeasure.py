@@ -5,13 +5,24 @@ multiscale sweep (VERDICT r7 item 1): runs ONLY the named queries, in a
 fresh Spark session, on a quiet box, with per-query loadavg stamps so the
 artifact itself records the measurement conditions.
 
-Usage: python tools/remeasure.py [--runs N] <sf_dir> <query> [query ...]
+Usage: python tools/remeasure.py [--runs N] [--no-machinery-warm]
+       <sf_dir> <query> [query ...]
 Prints one JSON doc to stdout with {query: {spark, duckdb, ratio,
 loadavg_before, loadavg_after}}.
 
-Protocol matches tools/multiscale.py: one warm run (codegen / buffer
-pool), then median of the timed runs (default 2; the multiscale
-isolated-median pass uses --runs 3 per the r9 protocol).
+Protocol (v2, r10): a fresh JVM is the point (zero old-gen history — the
+contamination mode isolation exists to remove), but a COLD JVM is a
+systematic bias: measured at sf10, a 3.2 s steady-state shuffle query
+(mart_shipping_priority) runs ~4.8-5 s in a fresh JVM even after NINE
+consecutive runs of itself, while ten *diverse* cheap queries first bring
+it to 3.19 s within three runs — Spark's shared scan/shuffle/agg
+machinery needs varied work to reach C2 steady state, and one repeated
+query never gets it there. So: (1) a standardized MACHINERY WARM-UP of
+six diverse cheap queries (scan+agg, broadcast star join, window top-k,
+shuffle join, sessionization, distinct — negligible heap history),
+(2) two warm runs of the target, (3) median of the timed runs (default
+2; the multiscale isolated-median pass uses --runs 3). 'Isolated'
+therefore means: standardized warmth, zero history, own loadavg stamps.
 """
 
 from __future__ import annotations
@@ -31,9 +42,24 @@ TABLES = (
 ).split()
 
 
-def timed(run, runs: int = 2) -> tuple[float, list[float], float]:
+#: the standardized machinery warm-up (docstring rationale): six diverse
+#: cheap shapes that force C2 compilation of the shared scan / hash-agg /
+#: broadcast-join / window / shuffle-join / distinct paths. ~15-25 s at
+#: sf10, negligible old-gen residue (each returns a handful of rows).
+MACHINERY_WARM = [
+    "dq_row_count",
+    "mart_pricing_summary",
+    "mart_region_revenue",
+    "mart_topk_customers",
+    "mart_custdist",
+    "events_tumbling_hourly",
+]
+
+
+def timed(run, runs: int = 2, warm_runs: int = 1) -> tuple[float, list[float], float]:
     la0 = os.getloadavg()[0]
-    run()  # warm
+    for _ in range(warm_runs):
+        run()
     samples = []
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -45,9 +71,13 @@ def timed(run, runs: int = 2) -> tuple[float, list[float], float]:
 def main() -> None:
     argv = sys.argv[1:]
     runs = 2
+    machinery_warm = True
     if argv and argv[0] == "--runs":
         runs = int(argv[1])
         argv = argv[2:]
+    if argv and argv[0] == "--no-machinery-warm":
+        machinery_warm = False
+        argv = argv[1:]
     sf_dir, names = argv[0], argv[1:]
 
     from enterprise_data_quality_platform_spark.queries import query_fns
@@ -67,9 +97,16 @@ def main() -> None:
 
     out: dict = {"sf_dir": sf_dir, "launch_loadavg": os.getloadavg()}
     out["runs"] = runs
+    out["machinery_warm"] = machinery_warm
+    if machinery_warm:
+        t0 = time.perf_counter()
+        for w in MACHINERY_WARM:
+            if w in fns:
+                fns[w](spark, sf_dir).collect()
+        out["machinery_warm_sec"] = round(time.perf_counter() - t0, 2)
     for name in names:
         s_med, s_samples, s_la_after, s_la_before = timed(
-            lambda: fns[name](spark, sf_dir).collect(), runs
+            lambda: fns[name](spark, sf_dir).collect(), runs, warm_runs=2
         )
         out[name] = {
             "spark": s_med,
