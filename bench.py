@@ -234,7 +234,17 @@ def main() -> None:
                 if name in iso_doc and isinstance(iso_doc[name], dict):
                     isolated[name] = iso_doc[name]
                     sweep_vals[name] = timings[name]
-                    timings[name] = iso_doc[name]["spark"]
+                    # committed = min(isolated, sweep): contamination only
+                    # inflates, so the smaller median is the closer estimate
+                    # (same rule as tools/multiscale.py)
+                    committed = min(iso_doc[name]["spark"], timings[name])
+                    isolated[name]["committed"] = committed
+                    isolated[name]["committed_source"] = (
+                        "isolated"
+                        if iso_doc[name]["spark"] <= timings[name]
+                        else "sweep"
+                    )
+                    timings[name] = committed
             except Exception as exc:  # bench survives a failed isolation
                 print(
                     f"isolated re-measure of {name} FAILED ({exc}); "
@@ -271,10 +281,12 @@ def main() -> None:
         full["isolated"] = isolated
         full["sweep"] = sweep_vals
         full["isolated_note"] = (
-            "SESSION_MODAL entries' committed values are fresh-JVM isolated"
-            " medians of 3 (one tools/remeasure.py subprocess per query);"
-            " the in-sweep value is stamped in 'sweep', full per-run docs"
-            " in 'isolated'."
+            "SESSION_MODAL entries' committed values are min(isolated,"
+            " sweep) — isolated = fresh-JVM median of 3 with standardized"
+            " machinery warm-up (one tools/remeasure.py subprocess per"
+            " query); contamination only inflates, so the smaller median"
+            " is the closer estimate. In-sweep value stamped in 'sweep',"
+            " full per-run docs in 'isolated'."
         )
     # Live runs land in an UNTRACKED path (gitignored): the committed
     # BENCH_FULL.json is a curated quiet-box snapshot, and the driver's

@@ -42,19 +42,30 @@ def build_dedup_state(
     bands: int = DEFAULT_BANDS,
     rows: int = DEFAULT_ROWS,
     n: int = 3,
+    parts: tuple[str, ...] = ("fingerprints", "signatures"),
 ) -> dict[str, DataFrame]:
     """Compact dedup state of a corpus: ``fingerprints`` (fp, doc_id —
     min id per fingerprint as provenance) and ``signatures``
-    (doc_id, sig). Both one-shuffle aggregates of the corpus."""
-    fps = (
-        corpus.select(
-            fingerprint(F.col(text_col)).alias("fp"), F.col(id_col)
+    (doc_id, sig). Both one-shuffle aggregates of the corpus.
+
+    ``parts`` selects which state tables to BUILD: the MinHash signature
+    plan is ~num_perm aggregate expressions whose driver-side
+    construction costs real wall-clock (~0.7 s measured) even when the
+    resulting DataFrame is never executed — an exact-tier-only caller
+    passes ``parts=("fingerprints",)`` and skips it (Spark is lazy about
+    execution, but plan CONSTRUCTION is eager)."""
+    state: dict[str, DataFrame] = {}
+    if "fingerprints" in parts:
+        state["fingerprints"] = (
+            corpus.select(
+                fingerprint(F.col(text_col)).alias("fp"), F.col(id_col)
+            )
+            .groupBy("fp")
+            .agg(F.min(id_col).alias("doc_id"))
         )
-        .groupBy("fp")
-        .agg(F.min(id_col).alias("doc_id"))
-    )
-    sigs = signatures(corpus, text_col, id_col, bands * rows, n)
-    return {"fingerprints": fps, "signatures": sigs}
+    if "signatures" in parts:
+        state["signatures"] = signatures(corpus, text_col, id_col, bands * rows, n)
+    return state
 
 
 def write_dedup_state(state: dict[str, DataFrame], path: str) -> None:

@@ -327,7 +327,9 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     shard = docs.filter(F.col("doc_id") % 7 == 3)
     corpus = docs.filter(F.col("doc_id") % 7 != 3)
-    state_fp = build_dedup_state(corpus)["fingerprints"].select(
+    state_fp = build_dedup_state(corpus, parts=("fingerprints",))[
+        "fingerprints"
+    ].select(
         "fp", F.lit(1).alias("__hit")
     )
     flagged = shard.select(
