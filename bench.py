@@ -144,6 +144,11 @@ HEADLINE = [
     # twin benched 4.17 s at sf10 of which 3.3 s was driver collect IPC
     "training_chunk_checksum",
     "source_orc_roundtrip",
+    # round-10 continuation additions
+    "dedup_span_memorization",
+    "embed_centroid_outliers",
+    "embed_label_confusion",
+    "mart_nation_yearly_growth",
 ]
 
 #: Multi-second LLM-pipeline operators: median of fewer runs so the bench

@@ -388,3 +388,71 @@ def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("kept").alias("reason"), F.count(F.lit(1)).alias("n_docs")
     )
     return summary.unionByName(kept_row).orderBy("reason")
+
+
+@register(
+    "dedup_span_memorization",
+    oracle="""
+    WITH spans AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 32) AS span
+      FROM (SELECT doc_id, text,
+                   UNNEST(range(1, GREATEST(length(text) - 31, 0) + 1, 8)) AS i
+            FROM documents WHERE length(text) >= 32)
+    ),
+    per_doc AS (
+      SELECT span, doc_id, COUNT(*) AS occ FROM spans GROUP BY span, doc_id
+    ),
+    agg AS (
+      SELECT span, COUNT(*) AS n_docs, SUM(occ) AS n_occurrences
+      FROM per_doc GROUP BY span
+    )
+    SELECT span, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM agg WHERE n_docs > 1
+    ORDER BY n_occurrences DESC, n_docs DESC, span
+    LIMIT 20
+    """,
+    tables=("documents",),
+)
+def dedup_span_memorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span audit — the exact-substring dedup
+    shape from the training-data dedup literature (find verbatim spans
+    repeated across documents; the memorization risk a suffix-array dedup
+    removes). Spans are fixed-width 32-char windows sampled at stride 8,
+    so the exploded row count is n_chars/8 (bounded, not quadratic) and a
+    duplicated region of length L >= 39 is guaranteed to contribute at
+    least one aligned duplicate span on both of its copies only when the
+    copies start at the same offset mod 8 — for the drop-in audit that
+    trade (8x cheaper than stride 1, deterministic) is the point; a
+    production sweep tightens the stride, not the mechanism.
+
+    Cross-doc only: a span repeated within ONE document is self-repetition
+    (text_repetition_stats' business); the n_docs > 1 filter keeps spans
+    seen in at least two documents.
+
+    Scale shape: the span string is a constant 32 bytes, so the shuffle
+    key is bounded; doc-level counts pre-aggregate map-side before the
+    per-span rollup (two-level aggregate — count(distinct doc_id) via
+    Expand never appears, plan-asserted in tests); the top-20 is
+    TakeOrderedAndProject (partition-local heads + a 20-row merge), never
+    a global sort."""
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 32)
+    spans = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(31), F.lit(8))
+        ).alias("pos"),
+    ).select("doc_id", F.expr("substring(text, pos, 32)").alias("span"))
+    per_doc = spans.groupBy("span", "doc_id").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    agg = per_doc.groupBy("span").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("occ").alias("n_occurrences"),
+    )
+    return (
+        agg.filter(F.col("n_docs") > 1)
+        .orderBy(F.col("n_occurrences").desc(), F.col("n_docs").desc(), "span")
+        .limit(20)
+    )

@@ -16,6 +16,52 @@ from .registry import register
 PROBE_IDS = (0, 1, 2)
 
 
+def _centroid_cos_parts(emb: DataFrame) -> DataFrame:
+    """Per-vector exact partials for cosine(member, own-label centroid):
+    (vec_id, label, du, v2u, c2u), every sum that crosses a shuffle an
+    exact BIGINT (components 1e-6 units, per-element products 1e-9 units)
+    so distributed order can't drift the compare. Shared by
+    embed_label_centroid (the per-label rollup) and
+    embed_centroid_outliers (the per-member ranking)."""
+    ex = emb.select(
+        "vec_id", "label", F.posexplode(V.to_double(F.col("embedding"))).alias("pos", "val")
+    )
+    q = ex.withColumn(
+        "vu", F.floor(F.col("val") * F.lit(1000000) + F.lit(0.5)).cast("long")
+    )
+    cent = q.groupBy("label", "pos").agg(
+        F.sum("vu").alias("cu"), F.count(F.lit(1)).alias("cn")
+    )
+    cval = F.col("cu").cast("double") / (F.col("cn").cast("double") * F.lit(1000000.0))
+    return (
+        q.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.floor(F.col("val") * cval * F.lit(1000000000) + F.lit(0.5)).cast("long")
+            ).alias("du"),
+            F.sum(
+                F.floor(F.col("val") * F.col("val") * F.lit(1000000000) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("v2u"),
+            F.sum(
+                F.floor(cval * cval * F.lit(1000000000) + F.lit(0.5)).cast("long")
+            ).alias("c2u"),
+        )
+    )
+
+
+def _centroid_cos_col():
+    """The one float step: a single division + sqrt in an identical IEEE
+    tree on both engines, rounded to 6dp before any further aggregation."""
+    return F.round(
+        F.col("du").cast("double")
+        / F.sqrt(F.col("v2u").cast("double") * F.col("c2u").cast("double")),
+        6,
+    )
+
+
 @register(
     "embed_knn_bruteforce",
     oracle="""
@@ -318,41 +364,11 @@ def embed_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-vector partials; centroids (|labels| x 64 rows, size-constant)
     broadcast back onto the exploded view; everything else is mergeable
     map-side-combined groupBys — no window, no driver state, no Python."""
-    emb = table(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "vec_id", "label", F.posexplode(V.to_double(F.col("embedding"))).alias("pos", "val")
-    )
-    q = ex.withColumn(
-        "vu", F.floor(F.col("val") * F.lit(1000000) + F.lit(0.5)).cast("long")
-    )
-    cent = q.groupBy("label", "pos").agg(
-        F.sum("vu").alias("cu"), F.count(F.lit(1)).alias("cn")
-    )
-    cval = F.col("cu").cast("double") / (F.col("cn").cast("double") * F.lit(1000000.0))
-    parts = (
-        q.join(F.broadcast(cent), ["label", "pos"])
-        .groupBy("vec_id", "label")
-        .agg(
-            F.sum(
-                F.floor(F.col("val") * cval * F.lit(1000000000) + F.lit(0.5)).cast("long")
-            ).alias("du"),
-            F.sum(
-                F.floor(F.col("val") * F.col("val") * F.lit(1000000000) + F.lit(0.5)).cast(
-                    "long"
-                )
-            ).alias("v2u"),
-            F.sum(
-                F.floor(cval * cval * F.lit(1000000000) + F.lit(0.5)).cast("long")
-            ).alias("c2u"),
-        )
-    )
     from pyspark.sql import types as T
 
-    cos = F.round(
-        F.col("du").cast("double")
-        / F.sqrt(F.col("v2u").cast("double") * F.col("c2u").cast("double")),
-        6,
-    )
+    emb = table(spark, sf_dir, "embeddings")
+    parts = _centroid_cos_parts(emb)
+    cos = _centroid_cos_col()
     return (
         parts.select("label", cos.alias("cos"))
         .groupBy("label")
@@ -510,3 +526,174 @@ def embed_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component int, explained_variance double, explained_ratio double,"
         " n_vectors int, mean_abs_c1 double",
     ).orderBy("component")
+
+
+@register(
+    "embed_centroid_outliers",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, u[2] AS dim, CAST(u[1] AS DOUBLE) AS v
+      FROM (SELECT vec_id, label,
+                   UNNEST(list_zip(embedding, range(1, len(embedding) + 1))) AS u
+            FROM embeddings)
+    ),
+    q AS (
+      SELECT vec_id, label, dim, v,
+             CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT) AS vu
+      FROM ex
+    ),
+    cent AS (
+      SELECT label, dim, SUM(vu) AS cu, COUNT(*) AS cn
+      FROM q GROUP BY label, dim
+    ),
+    parts AS (
+      SELECT q.vec_id, q.label,
+             SUM(CAST(FLOOR(q.v * (CAST(c.cu AS DOUBLE) / (CAST(c.cn AS DOUBLE) * 1000000.0))
+                            * 1000000000 + 0.5) AS BIGINT)) AS du,
+             SUM(CAST(FLOOR(q.v * q.v * 1000000000 + 0.5) AS BIGINT)) AS v2u,
+             SUM(CAST(FLOOR((CAST(c.cu AS DOUBLE) / (CAST(c.cn AS DOUBLE) * 1000000.0))
+                            * (CAST(c.cu AS DOUBLE) / (CAST(c.cn AS DOUBLE) * 1000000.0))
+                            * 1000000000 + 0.5) AS BIGINT)) AS c2u
+      FROM q JOIN cent c USING (label, dim)
+      GROUP BY q.vec_id, q.label
+    ),
+    coh AS (
+      SELECT vec_id, label,
+             ROUND(CAST(du AS DOUBLE) / sqrt(CAST(v2u AS DOUBLE) * CAST(c2u AS DOUBLE)), 6) AS cos
+      FROM parts
+    ),
+    ranked AS (
+      SELECT label, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos ASC, vec_id) AS rk
+      FROM coh
+    )
+    SELECT label, vec_id, cos AS centroid_cos, CAST(rk AS BIGINT) AS outlier_rank
+    FROM ranked WHERE rk <= 5
+    """,
+    tables=("embeddings",),
+)
+def embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality filtering: the 5 members FARTHEST from
+    their own label centroid (lowest cosine), per label — the mislabel /
+    contamination shortlist a curation pass reviews or drops before
+    training. Same exact-integer partials as embed_label_centroid
+    (shared helper), then a per-label bottom-5.
+
+    Scale shape: the ranking input is ONE ROW PER VECTOR (the per-vector
+    partial aggregate), not per component; the rk <= 5 filter over
+    row_number lets Spark plan a WindowGroupLimit (partition-local top-k
+    before the window shuffle), so no label's full membership is ever
+    sorted in one task's memory."""
+    emb = table(spark, sf_dir, "embeddings")
+    parts = _centroid_cos_parts(emb)
+    coh = parts.select("vec_id", "label", _centroid_cos_col().alias("cos"))
+    w = Window.partitionBy("label").orderBy(F.col("cos").asc(), F.col("vec_id"))
+    return (
+        coh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "label",
+            "vec_id",
+            F.col("cos").alias("centroid_cos"),
+            F.col("rk").cast("bigint").alias("outlier_rank"),
+        )
+    )
+
+
+@register(
+    "embed_label_confusion",
+    oracle="""
+    WITH ex AS (
+      SELECT label, u[2] AS dim, CAST(u[1] AS DOUBLE) AS v
+      FROM (SELECT label,
+                   UNNEST(list_zip(embedding, range(1, len(embedding) + 1))) AS u
+            FROM embeddings)
+    ),
+    q AS (
+      SELECT label, dim, CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT) AS vu
+      FROM ex
+    ),
+    cent AS (
+      SELECT label, dim, CAST(SUM(vu) AS DECIMAL(19,0)) AS cu
+      FROM q GROUP BY label, dim
+    ),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b, SUM(a.cu * b.cu) AS dot_uu
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label
+    ),
+    norms AS (
+      SELECT label, SUM(cu * cu) AS n2 FROM cent GROUP BY label
+    )
+    SELECT d.label_a, d.label_b,
+           ROUND(CAST(d.dot_uu AS DOUBLE)
+                 / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS centroid_cos
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    ORDER BY label_a, label_b
+    """,
+    tables=("embeddings",),
+)
+def embed_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-taxonomy confusion audit: pairwise cosine between LABEL
+    CENTROIDS — two labels whose centroids nearly coincide are candidates
+    for merging (or a labeling bug); near-orthogonal pairs are safely
+    separable. The pair a data curator reads before stratified sampling
+    by label.
+
+    Exactness: cosine(centroid_a, centroid_b) is independent of member
+    counts (the 1/n factors cancel), so the whole computation runs on the
+    per-label component SUMS in 1e-6 integer units: dot and squared norms
+    are exact DECIMAL(19,0)x(19,0) -> DECIMAL(38,0) sums (the
+    dq_correlation hugeint precedent), and the single float step is one
+    division + sqrt on correctly-rounded decimal->double casts, rounded to
+    6dp.
+
+    Scale shape: one posexplode scan collapses to the |labels| x dims
+    centroid frame (size-constant regardless of corpus rows); the pair
+    join, norms, and output are all constant-size work after that."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(V.to_double(F.col("embedding"))).alias("pos", "val")
+    )
+    q = ex.select(
+        "label",
+        "pos",
+        F.floor(F.col("val") * F.lit(1000000) + F.lit(0.5)).cast("long").alias("vu"),
+    )
+    cent = q.groupBy("label", "pos").agg(
+        F.sum("vu").cast("decimal(19,0)").alias("cu")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("cu").alias("cu_a")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("cu").alias("cu_b")
+    )
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("cu_a") * F.col("cu_b")).alias("dot_uu"))
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.col("cu") * F.col("cu")).alias("n2")
+    )
+    cos = F.round(
+        F.col("dot_uu").cast("double")
+        / F.sqrt(F.col("n2_a").cast("double") * F.col("n2_b").cast("double")),
+        6,
+    )
+    return (
+        dots.join(
+            F.broadcast(norms.select(F.col("label").alias("label_a"), F.col("n2").alias("n2_a"))),
+            "label_a",
+        )
+        .join(
+            F.broadcast(norms.select(F.col("label").alias("label_b"), F.col("n2").alias("n2_b"))),
+            "label_b",
+        )
+        .select("label_a", "label_b", cos.alias("centroid_cos"))
+        .orderBy("label_a", "label_b")
+    )

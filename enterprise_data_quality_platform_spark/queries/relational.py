@@ -3342,3 +3342,77 @@ def mart_local_supplier_volume_bucketed(
         )
         .orderBy(F.col("rev_units").desc(), "nation_name")
     )
+
+
+@register(
+    "mart_nation_yearly_growth",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation_name,
+             CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+             SUM(CAST(FLOOR(o.o_totalprice * 10000 + 0.5) AS BIGINT)) AS revu
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, year(o.o_orderdate)
+    ),
+    lagged AS (
+      SELECT nation_name, order_year, revu,
+             LAG(revu) OVER (PARTITION BY nation_name ORDER BY order_year) AS prev_revu
+      FROM rev
+    )
+    SELECT nation_name, order_year,
+           FLOOR((revu / 10000.0) * 100 + 0.5) / 100.0 AS revenue,
+           FLOOR(((revu - prev_revu) / 10000.0) * 100 + 0.5) / 100.0 AS yoy_growth
+    FROM lagged
+    ORDER BY nation_name, order_year
+    """,
+    tables=("orders", "customer", "nation"),
+)
+def mart_nation_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue trend per nation — the growth-report shape
+    (this year minus last year, NULL for each nation's first year).
+
+    Float discipline: per-order totals quantize to integer 1e-4 units
+    before the grouped sum, the LAG difference happens on the exact unit
+    sums (not on rounded doubles — subtracting two independently-rounded
+    revenues can differ from rounding the exact difference), and each
+    output rounds once via the fx helpers' floor(x*100+0.5) tree.
+
+    Scale shape: the fact collapses to |nations| x |years| rows (~175)
+    BEFORE the window, so the LAG shuffle+sort touches a constant-size
+    frame — the window-over-aggregate discipline (mart_daily_revenue_ma7
+    precedent), never a window over raw orders. The customer join is
+    AQE-decided (scale-growing side, no explicit broadcast per policy);
+    nation broadcasts (size-constant)."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import fx_from_units, fx_units
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    rev = (
+        orders.select(
+            "o_custkey",
+            F.year("o_orderdate").alias("order_year"),
+            fx_units(F.col("o_totalprice")).alias("units"),
+        )
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"), "order_year")
+        .agg(F.sum("units").alias("revu"))
+    )
+    w = Window.partitionBy("nation_name").orderBy("order_year")
+    return (
+        rev.withColumn("prev_revu", F.lag("revu").over(w))
+        .select(
+            "nation_name",
+            F.col("order_year").cast("int").alias("order_year"),
+            fx_from_units(F.col("revu")).alias("revenue"),
+            fx_from_units(F.col("revu") - F.col("prev_revu")).alias("yoy_growth"),
+        )
+        .orderBy("nation_name", "order_year")
+    )

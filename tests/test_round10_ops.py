@@ -1,0 +1,255 @@
+"""Crafted-input + plan tests for the round-10 continuation operators:
+cross-document duplicated-span audit, per-label centroid outliers,
+label-centroid confusion matrix, and YoY nation revenue growth."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+
+from enterprise_data_quality_platform_spark.queries import all_queries
+
+SPECS = all_queries()
+
+
+def plan_of(spark, name: str) -> str:
+    df = SPECS[name].fn(spark, SF_SMALL)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+# -------------------------------------------------- span memorization
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_span_memorization_cross_doc_only(spark, monkeypatch):
+    """A 32-char span repeated across two docs is reported; the same span
+    repeated twice inside ONE doc is not (self-repetition is
+    text_repetition_stats' business)."""
+    import enterprise_data_quality_platform_spark.queries.dedup_ops as d
+
+    shared = "A" * 32  # aligned at pos 1 in both docs
+    rows = [
+        (1, shared + " tail one ........."),
+        (2, shared + " other tail ......."),
+        # doc 3 repeats its own 32-prefix at stride-aligned pos 33 but no
+        # other doc shares it -> excluded by n_docs > 1
+        (3, "B" * 32 + "B" * 32),
+    ]
+    monkeypatch.setattr(d, "table", lambda s, dir, n: _docs(spark, rows))
+    got = {
+        r.span: (r.n_docs, r.n_occurrences)
+        for r in d.dedup_span_memorization(spark, "unused").collect()
+    }
+    assert got[shared] == (2, 2)
+    assert all(not s.startswith("B") for s in got)
+
+
+def test_span_memorization_counts_multi_occurrence(spark, monkeypatch):
+    """n_occurrences sums ALL stride-aligned occurrences across the
+    matching docs, including repeats within a doc once the span is
+    cross-doc."""
+    import enterprise_data_quality_platform_spark.queries.dedup_ops as d
+
+    # 32 DISTINCT chars: stride windows that straddle the copy boundary
+    # (positions 9/17/25) are rotations, not equal to s — only the two
+    # aligned copies in doc 1 and the one in doc 2 count.
+    s = "abcdefghijklmnopqrstuvwxyz012345"
+    rows = [
+        (1, s + s),  # positions 1 and 33 (both ≡ 1 mod 8) -> 2 occurrences
+        (2, s + " x"),
+    ]
+    monkeypatch.setattr(d, "table", lambda sp, dir, n: _docs(spark, rows))
+    got = {
+        r.span: (r.n_docs, r.n_occurrences)
+        for r in d.dedup_span_memorization(spark, "unused").collect()
+    }
+    assert got[s] == (2, 3)
+
+
+def test_span_memorization_short_docs_skipped(spark, monkeypatch):
+    import enterprise_data_quality_platform_spark.queries.dedup_ops as d
+
+    rows = [(1, "short"), (2, "short")]
+    monkeypatch.setattr(d, "table", lambda sp, dir, n: _docs(spark, rows))
+    assert d.dedup_span_memorization(spark, "unused").count() == 0
+
+
+def test_span_memorization_plan(spark):
+    """Two-level aggregate (no Expand) + TakeOrderedAndProject top-k."""
+    plan = plan_of(spark, "dedup_span_memorization")
+    assert "Expand" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+# -------------------------------------------------- centroid outliers
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_centroid_outliers_ranks_farthest_first(spark, monkeypatch):
+    """Three tight members + one flipped vector: the flipped one is the
+    rank-1 outlier with centroid_cos far below the tight members'."""
+    import enterprise_data_quality_platform_spark.queries.embeddings as e
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [1.0, 0.1], 0),
+        (4, [-1.0, 0.0], 0),  # opposes the centroid
+    ]
+    monkeypatch.setattr(e, "table", lambda s, d, n: _emb(spark, rows))
+    out = e.embed_centroid_outliers(spark, "unused").collect()
+    assert [r.vec_id for r in out if r.outlier_rank == 1] == [4]
+    by_rank = sorted(out, key=lambda r: r.outlier_rank)
+    assert by_rank[0].centroid_cos < 0 < by_rank[-1].centroid_cos
+
+
+def test_centroid_outliers_per_label_and_capped(spark, monkeypatch):
+    """Ranking restarts per label and emits at most 5 rows per label."""
+    import enterprise_data_quality_platform_spark.queries.embeddings as e
+
+    rows = [(i, [1.0, float(i) / 100.0], 0) for i in range(1, 8)] + [
+        (100 + i, [0.0, 1.0 + i / 100.0], 1) for i in range(1, 4)
+    ]
+    monkeypatch.setattr(e, "table", lambda s, d, n: _emb(spark, rows))
+    out = e.embed_centroid_outliers(spark, "unused").collect()
+    n_by_label = {}
+    for r in out:
+        n_by_label[r.label] = n_by_label.get(r.label, 0) + 1
+    assert n_by_label == {0: 5, 1: 3}
+    assert {r.outlier_rank for r in out if r.label == 0} == {1, 2, 3, 4, 5}
+
+
+def test_centroid_outliers_agrees_with_label_centroid_min(spark, monkeypatch):
+    """The rank-1 outlier's cosine per label equals embed_label_centroid's
+    min_cohesion (shared partials, two consumers)."""
+    import enterprise_data_quality_platform_spark.queries.embeddings as e
+
+    rows = [
+        (1, [1.0, 0.2, 0.1], 0),
+        (2, [0.8, 0.3, 0.0], 0),
+        (3, [-0.5, 1.0, 0.4], 0),
+        (4, [0.1, 0.9, 0.9], 1),
+        (5, [0.2, 1.0, 0.8], 1),
+    ]
+    monkeypatch.setattr(e, "table", lambda s, d, n: _emb(spark, rows))
+    mins = {
+        r.label: r.min_cohesion
+        for r in e.embed_label_centroid(spark, "unused").collect()
+    }
+    worst = {
+        r.label: r.centroid_cos
+        for r in e.embed_centroid_outliers(spark, "unused").collect()
+        if r.outlier_rank == 1
+    }
+    assert worst == mins
+
+
+# -------------------------------------------------- label confusion
+
+
+def test_label_confusion_identical_and_orthogonal(spark, monkeypatch):
+    """Two labels pointing the same way read ~1.0; orthogonal labels read
+    ~0.0; the matrix is upper-triangular (label_a < label_b)."""
+    import enterprise_data_quality_platform_spark.queries.embeddings as e
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.0], 0),
+        (3, [0.5, 0.0], 1),  # same direction as label 0
+        (4, [0.0, 1.0], 2),  # orthogonal
+    ]
+    monkeypatch.setattr(e, "table", lambda s, d, n: _emb(spark, rows))
+    out = {
+        (r.label_a, r.label_b): r.centroid_cos
+        for r in e.embed_label_confusion(spark, "unused").collect()
+    }
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+    assert out[(0, 1)] == pytest.approx(1.0, abs=1e-4)
+    assert out[(0, 2)] == pytest.approx(0.0, abs=1e-4)
+    assert out[(1, 2)] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_label_confusion_count_invariant(spark, monkeypatch):
+    """Cosine between centroids ignores member counts: duplicating every
+    member of one label leaves the matrix unchanged (the 1/n factors
+    cancel — the property that lets the op run on component SUMS)."""
+    import enterprise_data_quality_platform_spark.queries.embeddings as e
+
+    base = [
+        (1, [1.0, 0.3], 0),
+        (2, [0.7, 0.5], 0),
+        (3, [0.2, 1.0], 1),
+    ]
+    dup = base + [(10 + i, v, lb) for i, (_, v, lb) in enumerate(base) if lb == 0]
+    monkeypatch.setattr(e, "table", lambda s, d, n: _emb(spark, base))
+    one = {
+        (r.label_a, r.label_b): r.centroid_cos
+        for r in e.embed_label_confusion(spark, "unused").collect()
+    }
+    monkeypatch.setattr(e, "table", lambda s, d, n: _emb(spark, dup))
+    two = {
+        (r.label_a, r.label_b): r.centroid_cos
+        for r in e.embed_label_confusion(spark, "unused").collect()
+    }
+    for k in one:
+        assert one[k] == pytest.approx(two[k], abs=2e-6)
+
+
+# -------------------------------------------------- yearly growth
+
+
+def test_yearly_growth_delta_and_first_year_null(spark, monkeypatch):
+    import enterprise_data_quality_platform_spark.queries.relational as rel
+
+    def ts(y):
+        return datetime.datetime(y, 6, 1)
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, ts(1995), 100.0),
+            (2, 1, ts(1995), 50.0),
+            (3, 1, ts(1996), 120.0),
+            (4, 2, ts(1996), 10.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(1, 0), (2, 1)], "c_custkey long, c_nationkey int"
+    )
+    nation = spark.createDataFrame(
+        [(0, "ALPHA"), (1, "BETA")], "n_nationkey int, n_name string"
+    )
+    frames = {"orders": orders, "customer": customer, "nation": nation}
+    monkeypatch.setattr(rel, "table", lambda s, d, n: frames[n])
+    rows = {
+        (r.nation_name, r.order_year): (r.revenue, r.yoy_growth)
+        for r in rel.mart_nation_yearly_growth(spark, "unused").collect()
+    }
+    assert rows[("ALPHA", 1995)] == (150.0, None)
+    assert rows[("ALPHA", 1996)] == (120.0, -30.0)
+    assert rows[("BETA", 1996)] == (10.0, None)
+
+
+def test_yearly_growth_window_over_aggregate_plan(spark):
+    """The LAG window must run over the aggregated (nation, year) frame,
+    never over raw orders: the Window node's child chain contains the
+    HashAggregate, and no explicit broadcast of the scale-growing
+    customer side appears (AQE-decided per policy)."""
+    plan = plan_of(spark, "mart_nation_yearly_growth")
+    assert "Window" in plan
+    # formatted explain prints root-first: the Window printing BEFORE the
+    # HashAggregate means the aggregate is the window's descendant (the
+    # window runs over aggregated rows, not raw orders)
+    assert plan.index("Window") < plan.index("HashAggregate")
