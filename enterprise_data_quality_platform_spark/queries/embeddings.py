@@ -651,8 +651,15 @@ def embed_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     6dp.
 
     Scale shape: one posexplode scan collapses to the |labels| x dims
-    centroid frame (size-constant regardless of corpus rows); the pair
-    join, norms, and output are all constant-size work after that."""
+    centroid frame (size-constant regardless of corpus rows). The
+    centroid frame feeds the pair join ONCE, including the DIAGONAL
+    (label_a <= label_b): the (x, x) rows ARE the squared norms, so the
+    norms come from two windows over the tiny pair frame instead of a
+    third consumer of the centroid subtree — a separate norms aggregate
+    prunes different columns, which defeats exchange reuse and re-runs
+    the corpus posexplode (the mart_nation_pareto lesson); the self-join
+    sides prune identically and share one ReusedExchange
+    (plan-asserted)."""
     emb = table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "label", F.posexplode(V.to_double(F.col("embedding"))).alias("pos", "val")
@@ -671,29 +678,25 @@ def embed_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cent.select(
         F.col("label").alias("label_b"), "pos", F.col("cu").alias("cu_b")
     )
-    dots = (
+    pairs = (
         a.join(b, "pos")
-        .filter(F.col("label_a") < F.col("label_b"))
+        .filter(F.col("label_a") <= F.col("label_b"))
         .groupBy("label_a", "label_b")
         .agg(F.sum(F.col("cu_a") * F.col("cu_b")).alias("dot_uu"))
     )
-    norms = cent.groupBy("label").agg(
-        F.sum(F.col("cu") * F.col("cu")).alias("n2")
+    diag = F.max(
+        F.when(F.col("label_a") == F.col("label_b"), F.col("dot_uu"))
     )
+    pairs = pairs.withColumn(
+        "n2_a", diag.over(Window.partitionBy("label_a"))
+    ).withColumn("n2_b", diag.over(Window.partitionBy("label_b")))
     cos = F.round(
         F.col("dot_uu").cast("double")
         / F.sqrt(F.col("n2_a").cast("double") * F.col("n2_b").cast("double")),
         6,
     )
     return (
-        dots.join(
-            F.broadcast(norms.select(F.col("label").alias("label_a"), F.col("n2").alias("n2_a"))),
-            "label_a",
-        )
-        .join(
-            F.broadcast(norms.select(F.col("label").alias("label_b"), F.col("n2").alias("n2_b"))),
-            "label_b",
-        )
+        pairs.filter(F.col("label_a") < F.col("label_b"))
         .select("label_a", "label_b", cos.alias("centroid_cos"))
         .orderBy("label_a", "label_b")
     )

@@ -207,6 +207,18 @@ def test_label_confusion_count_invariant(spark, monkeypatch):
         assert one[k] == pytest.approx(two[k], abs=2e-6)
 
 
+def test_label_confusion_reuses_centroid_exchange(spark):
+    """The self-join's broadcast side must reuse the probe side's centroid
+    shuffle (identical pruning on both aliases) — a separate norms
+    aggregate used to re-run the corpus posexplode (3 scans); the
+    diagonal-window form runs it once (AQE runtime decision, so read the
+    executed plan)."""
+    df = SPECS["embed_label_confusion"].fn(spark, SF_SMALL)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final
+
+
 # -------------------------------------------------- yearly growth
 
 
