@@ -149,6 +149,9 @@ HEADLINE = [
     "embed_centroid_outliers",
     "embed_label_confusion",
     "mart_nation_yearly_growth",
+    "text_zipf_fit",
+    "events_rapid_fire_users",
+    "embed_exact_dup_vectors",
 ]
 
 #: Multi-second LLM-pipeline operators: median of fewer runs so the bench

@@ -700,3 +700,64 @@ def embed_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label_a", "label_b", cos.alias("centroid_cos"))
         .orderBy("label_a", "label_b")
     )
+
+
+@register(
+    "embed_exact_dup_vectors",
+    oracle="""
+    WITH fp AS (
+      SELECT vec_id,
+             array_to_string(list_transform(embedding,
+                 x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                           AS BIGINT) AS VARCHAR)), ',') AS vec_fp
+      FROM embeddings
+    ),
+    grp AS (
+      SELECT vec_fp, COUNT(*) AS n
+      FROM fp GROUP BY vec_fp HAVING COUNT(*) > 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+           CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_dup_vectors,
+           CAST(COALESCE(MAX(n), 0) AS BIGINT) AS largest_group
+    FROM grp
+    """,
+    tables=("embeddings",),
+)
+def embed_exact_dup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene: exact duplicate vectors (component-identical at
+    1e-6 quantization) — repeated rows from encoder retries or join
+    fan-out poison ANN recall measurement and waste index space; this is
+    the dedup-before-index audit (the vector-store analogue of
+    dedup_exact_docs). The synthetic corpus has zero exact dups, so the
+    oracle checks exact zeros (text_pii_scan precedent); crafted tests in
+    tests/test_round10_ops.py carry the detection semantics.
+
+    Exactness: per-component 1e-6 quantization to BIGINT then a joined
+    string fingerprint — integer-to-string is engine-identical, float
+    array equality is not (NaN/-0.0); grouping on the bounded-width
+    fingerprint string.
+
+    Scale shape: one scan, one groupBy on the fingerprint (map-side
+    partial), 1-row summary output. At index scale the same fingerprint
+    feeds a keep-first anti-join (dedup_exact_docs mechanism)."""
+    emb = table(spark, sf_dir, "embeddings")
+    fp = F.concat_ws(
+        ",",
+        F.transform(
+            V.to_double(F.col("embedding")),
+            lambda x: F.floor(x * F.lit(1000000) + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+        ),
+    )
+    grp = (
+        emb.select(fp.alias("vec_fp"))
+        .groupBy("vec_fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_groups"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_dup_vectors"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("bigint").alias("largest_group"),
+    )

@@ -1379,3 +1379,64 @@ def events_scd2_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "event_type")
     )
+
+
+@register(
+    "events_rapid_fire_users",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             MIN(gap_us) AS min_gap_us,
+             CAST(COALESCE(SUM(CASE WHEN gap_us < 60000000 THEN 1 END), 0)
+                  AS BIGINT) AS n_rapid_gaps
+      FROM g GROUP BY user_id
+    )
+    SELECT user_id, n_events, min_gap_us, n_rapid_gaps
+    FROM per_user WHERE min_gap_us IS NOT NULL
+    ORDER BY min_gap_us ASC, user_id
+    LIMIT 20
+    """,
+    tables=("events",),
+)
+def events_rapid_fire_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot / scripted-traffic shortlist: the 20 users with the smallest
+    gap between consecutive events, plus how many of their gaps ran under
+    60 s — the inter-arrival-time screen an ingestion pipeline applies
+    before user-generated text reaches a training corpus (humans don't
+    fire events microseconds apart; scripts do).
+
+    Exactness: gaps are exact integer MICROSECONDS (unix_micros /
+    epoch_us on an identical (ts, event_id)-ordered lag), so min/ordering
+    can't drift. Single-event users have no gap and are excluded (NULL
+    min).
+
+    Scale shape: one user-partitioned window (the events_scd2_checksum
+    window-shuffle family — per-user sort after one hash exchange), the
+    per-user rollup rides the same partitioning, and the top-20 is
+    TakeOrderedAndProject."""
+    events = table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = events.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    per_user = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.coalesce(
+            F.sum(F.when(F.col("gap_us") < 60000000, F.lit(1))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_rapid_gaps"),
+    )
+    return (
+        per_user.filter(F.col("min_gap_us").isNotNull())
+        .orderBy(F.col("min_gap_us").asc(), "user_id")
+        .limit(20)
+    )

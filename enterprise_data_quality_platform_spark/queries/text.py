@@ -898,3 +898,96 @@ def text_perplexity_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle=r"""
+    WITH toks AS (
+      SELECT UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token, COUNT(*) AS freq FROM toks WHERE token <> '' GROUP BY token
+    ),
+    ranked AS (
+      SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rk
+      FROM counts
+    ),
+    top AS (
+      SELECT CAST(FLOOR(ln(CAST(rk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS xu,
+             CAST(FLOOR(ln(CAST(freq AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS yu
+      FROM ranked WHERE rk <= 100
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n, SUM(xu) AS sx, SUM(yu) AS sy,
+             CAST(SUM(xu * yu) AS BIGINT) AS sxy,
+             CAST(SUM(xu * xu) AS BIGINT) AS sxx
+      FROM top
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+                 * 1000000 + 0.5) / 1000000.0 AS zipf_slope
+    FROM sums
+    """,
+    tables=("documents",),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health Zipf fit: OLS slope of ln(freq) vs ln(rank) over the
+    top-100 vocabulary ranks. Natural corpora slope ~ -1; a slope near 0
+    (this synthetic vocab reads ~ -0.18) flags degenerate/templated text —
+    the distribution check a training-data intake runs next to langid and
+    perplexity.
+
+    Float discipline: ln values quantize to integer micro-nats PER ROW
+    (the perplexity precedent — per-row rounding is deterministic; summing
+    raw doubles across engines is not), all OLS moments are exact BIGINT
+    sums over the <=100-row frame, and the slope is formed in one fixed
+    IEEE tree + one final fx round. NULLIF guards the n=1 degenerate
+    denominator (ANSI div-by-zero throws).
+
+    Scale shape: the vocabulary aggregate is the only corpus-wide work;
+    the top-100 is TakeOrderedAndProject (no global sort of the vocab),
+    and the rank window runs over the <=100 collected rows only."""
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counts.orderBy(F.col("freq").desc(), F.col("token")).limit(100)
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.orderBy(F.col("freq").desc(), F.col("token"))
+    )
+    units = lambda c: F.floor(F.log(c) * F.lit(1000000) + F.lit(0.5)).cast("long")  # noqa: E731
+    quant = top.select(
+        units(rk.cast("double")).alias("xu"),
+        units(F.col("freq").cast("double")).alias("yu"),
+    )
+    sums = quant.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xu").alias("sx"),
+        F.sum("yu").alias("sy"),
+        F.sum(F.col("xu") * F.col("yu")).alias("sxy"),
+        F.sum(F.col("xu") * F.col("xu")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope_raw = (
+        nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / F.nullif(
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double"),
+        F.lit(0.0),
+    )
+    return sums.select(
+        F.col("n").alias("n_ranks"),
+        (F.floor(slope_raw * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "zipf_slope"
+        ),
+    )

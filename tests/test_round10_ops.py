@@ -265,3 +265,119 @@ def test_yearly_growth_window_over_aggregate_plan(spark):
     # HashAggregate means the aggregate is the window's descendant (the
     # window runs over aggregated rows, not raw orders)
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+# -------------------------------------------------- zipf fit
+
+
+def test_zipf_fit_perfect_power_law(spark, monkeypatch):
+    """A corpus built so freq(rank) = C * rank^-1 exactly fits slope -1."""
+    import enterprise_data_quality_platform_spark.queries.text as tx
+
+    # token 'w{r}' appears floor(120/r) times -> ln freq ~ ln 120 - ln r
+    words = []
+    for r in range(1, 9):
+        words += [f"w{r:02d}"] * (120 // r)
+    rows = [(1, " ".join(words))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(tx, "table", lambda s, d, n: df)
+    out = tx.text_zipf_fit(spark, "unused").collect()[0]
+    assert out.n_ranks == 8
+    # floor(120/r) deviates from 120/r by <1 count; slope lands near -1
+    assert out.zipf_slope == pytest.approx(-1.0, abs=0.05)
+
+
+def test_zipf_fit_uniform_corpus_slope_zero(spark, monkeypatch):
+    """Equal frequencies -> slope exactly 0 (templated/degenerate text)."""
+    import enterprise_data_quality_platform_spark.queries.text as tx
+
+    rows = [(1, "aa bb cc dd " * 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(tx, "table", lambda s, d, n: df)
+    out = tx.text_zipf_fit(spark, "unused").collect()[0]
+    assert out.n_ranks == 4
+    assert out.zipf_slope == 0.0
+
+
+def test_zipf_fit_single_token_null_slope(spark, monkeypatch):
+    """One distinct token -> OLS denominator 0 -> NULL, not a throw
+    (ANSI div-by-zero guard)."""
+    import enterprise_data_quality_platform_spark.queries.text as tx
+
+    df = spark.createDataFrame([(1, "only only only")], "doc_id long, text string")
+    monkeypatch.setattr(tx, "table", lambda s, d, n: df)
+    out = tx.text_zipf_fit(spark, "unused").collect()[0]
+    assert out.n_ranks == 1
+    assert out.zipf_slope is None
+
+
+# -------------------------------------------------- rapid-fire users
+
+
+def test_rapid_fire_orders_by_min_gap_and_counts_rapid(spark, monkeypatch):
+    import enterprise_data_quality_platform_spark.queries.events as ev
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def at(sec):
+        return base + datetime.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: gaps 1s and 3600s -> min 1s, one rapid gap
+        (1, 1, at(0)), (2, 1, at(1)), (3, 1, at(3601)),
+        # user 2: gap 30s then 59s -> min 30s, TWO rapid gaps
+        (4, 2, at(0)), (5, 2, at(30)), (6, 2, at(89)),
+        # user 3: single event -> excluded (no gap)
+        (7, 3, at(0)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    monkeypatch.setattr(ev, "table", lambda s, d, n: df)
+    out = ev.events_rapid_fire_users(spark, "unused").collect()
+    assert [r.user_id for r in out] == [1, 2]
+    by_user = {r.user_id: r for r in out}
+    assert by_user[1].min_gap_us == 1_000_000
+    assert by_user[1].n_rapid_gaps == 1
+    assert by_user[2].min_gap_us == 30_000_000
+    assert by_user[2].n_rapid_gaps == 2
+    assert by_user[2].n_events == 3
+
+
+def test_rapid_fire_duplicate_ts_ordered_by_event_id(spark, monkeypatch):
+    """Two events at the SAME timestamp -> gap 0 via the event_id
+    tiebreak (the scripted-burst signature)."""
+    import enterprise_data_quality_platform_spark.queries.events as ev
+
+    t = datetime.datetime(2024, 1, 1)
+    rows = [(10, 1, t), (11, 1, t)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    monkeypatch.setattr(ev, "table", lambda s, d, n: df)
+    out = ev.events_rapid_fire_users(spark, "unused").collect()
+    assert out[0].min_gap_us == 0
+
+
+# -------------------------------------------------- exact dup vectors
+
+
+def test_exact_dup_vectors_detects_quantized_duplicates(spark, monkeypatch):
+    import enterprise_data_quality_platform_spark.queries.embeddings as e
+
+    rows = [
+        (1, [0.5, -0.25], 0),
+        (2, [0.5, -0.25], 0),          # exact dup of 1
+        (3, [0.5000000001, -0.25], 0),  # inside 1e-6 quantum -> dup of 1
+        (4, [0.5, -0.26], 0),           # differs at 1e-2 -> distinct
+        (5, [0.1, 0.1], 1),
+        (6, [0.1, 0.1], 1),             # second dup group
+    ]
+    monkeypatch.setattr(e, "table", lambda s, d, n: _emb(spark, rows))
+    out = e.embed_exact_dup_vectors(spark, "unused").collect()[0]
+    assert (out.n_dup_groups, out.n_dup_vectors, out.largest_group) == (2, 5, 3)
+
+
+def test_exact_dup_vectors_clean_corpus_zeroes(spark, monkeypatch):
+    import enterprise_data_quality_platform_spark.queries.embeddings as e
+
+    rows = [(1, [0.1, 0.2], 0), (2, [0.3, 0.4], 0)]
+    monkeypatch.setattr(e, "table", lambda s, d, n: _emb(spark, rows))
+    out = e.embed_exact_dup_vectors(spark, "unused").collect()[0]
+    assert (out.n_dup_groups, out.n_dup_vectors, out.largest_group) == (0, 0, 0)
