@@ -435,8 +435,20 @@ def dedup_span_memorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-span rollup (two-level aggregate — count(distinct doc_id) via
     Expand never appears, plan-asserted in tests); the top-20 is
     TakeOrderedAndProject (partition-local heads + a 20-row merge), never
-    a global sort."""
-    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 32)
+    a global sort. The repartition before the explode is the
+    minhash/winnowing scan-stage lesson (text.py:755): the documents
+    scan gets ~15 splits at sf10, throttling the expensive
+    explode+substring stage to half the cores — measured 7.2 -> 5.4 s
+    median (4/4 rounds) with the doc_id repartition; a hash-prefilter
+    variant (xxhash64 spans, survivor semi-join back) measured a TIE and
+    was rejected (the second explode pass costs what the narrower
+    shuffle saves; PERF.md r10)."""
+    spark_par = spark.sparkContext.defaultParallelism
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 32)
+        .repartition(spark_par, "doc_id")
+    )
     spans = docs.select(
         "doc_id",
         "text",

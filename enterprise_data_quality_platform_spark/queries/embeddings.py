@@ -22,7 +22,14 @@ def _centroid_cos_parts(emb: DataFrame) -> DataFrame:
     exact BIGINT (components 1e-6 units, per-element products 1e-9 units)
     so distributed order can't drift the compare. Shared by
     embed_label_centroid (the per-label rollup) and
-    embed_centroid_outliers (the per-member ranking)."""
+    embed_centroid_outliers (the per-member ranking).
+
+    Executed shape (scan-audited): TWO column-pruned corpus scans — the
+    centroid branch reads (embedding, label), the partials branch
+    (vec_id, embedding, label); the differing pruning defeats exchange
+    reuse, and that is the accepted trade (the centroid side ships only
+    |labels| x dims rows into a broadcast; forcing one scan would need a
+    checkpoint). The per-vector partials themselves are one pass."""
     ex = emb.select(
         "vec_id", "label", F.posexplode(V.to_double(F.col("embedding"))).alias("pos", "val")
     )
