@@ -152,6 +152,9 @@ HEADLINE = [
     "text_zipf_fit",
     "events_rapid_fire_users",
     "embed_exact_dup_vectors",
+    "events_user_gini",
+    "text_ngram_entropy",
+    "dedup_rate_by_source",
 ]
 
 #: Multi-second LLM-pipeline operators: median of fewer runs so the bench

@@ -1440,3 +1440,74 @@ def events_rapid_fire_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("min_gap_us").asc(), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "events_user_gini",
+    oracle="""
+    WITH pc AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    rk AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS i FROM pc
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cnt) AS BIGINT) AS s,
+             CAST(SUM(i * cnt) AS BIGINT) AS sic
+      FROM rk
+    )
+    SELECT n AS n_users,
+           s AS total_events,
+           FLOOR((2.0 * CAST(sic AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                  - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000.0 AS gini_6dp
+    FROM sums
+    """,
+    tables=("events",),
+)
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-concentration audit: exact Gini coefficient of per-user
+    event counts (0 = uniform, ->1 = a few users produce everything).
+    The concentration screen a training-data intake runs next to the
+    rapid-fire shortlist: a corpus whose "user-generated" text comes from
+    a handful of accounts inherits their bias wholesale, and a sudden
+    Gini jump between snapshots flags scripted-traffic floods that
+    per-user thresholds miss.
+
+    Exactness: rank-sum identity G = 2*sum(i*c_i)/(n*sum(c)) - (n+1)/n
+    over counts sorted ascending (ties rank arbitrarily — the sum is
+    permutation-invariant within equal counts, and (cnt, user_id) makes
+    the order deterministic anyway). All three moments are exact BIGINT;
+    the coefficient is formed in ONE fixed IEEE tree both engines spell
+    identically, then fx-rounded to 6dp.
+
+    Scale shape: the global rank window runs over the AGGREGATED per-user
+    frame (|users| << |events| — the mart_nation_pareto posture), not the
+    raw events; the only events-wide work is one hash-partial count."""
+    events = table(spark, sf_dir, "events")
+    pc = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    rk = pc.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy("cnt", "user_id"))
+        .alias("i"),
+    )
+    sums = rk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("i") * F.col("cnt")).alias("sic"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    gini_raw = F.lit(2.0) * F.col("sic").cast("double") / (nd * sd) - (
+        nd + F.lit(1.0)
+    ) / nd
+    return sums.select(
+        F.col("n").alias("n_users"),
+        F.col("s").alias("total_events"),
+        (F.floor(gini_raw * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "gini_6dp"
+        ),
+    )

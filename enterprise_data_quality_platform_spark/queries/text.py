@@ -991,3 +991,229 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_slope"
         ),
     )
+
+
+@register(
+    "text_ngram_entropy",
+    oracle=r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    uni AS (
+      SELECT u.token, COUNT(*) AS c
+      FROM toks, UNNEST(ts) AS u(token)
+      GROUP BY u.token
+    ),
+    usum AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(c) AS BIGINT) AS n_total,
+             CAST(SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS wsum
+      FROM uni
+    ),
+    big AS (
+      SELECT ts[g.i] || chr(31) || ts[g.i + 1] AS bg, COUNT(*) AS c
+      FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+      GROUP BY 1
+    ),
+    bsum AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_total,
+             CAST(COALESCE(SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000
+                                              + 0.5) AS BIGINT)), 0)
+                  AS BIGINT) AS wsum
+      FROM big
+    )
+    SELECT u.n_total AS n_tokens,
+           u.n_distinct AS n_unigrams,
+           FLOOR((CAST(FLOOR(ln(CAST(u.n_total AS DOUBLE)) * 1000000 + 0.5)
+                       AS DOUBLE)
+                  - CAST(u.wsum AS DOUBLE) / CAST(u.n_total AS DOUBLE))
+                 / 1000000.0 * 10000 + 0.5) / 10000.0 AS unigram_entropy,
+           b.n_total AS n_bigrams,
+           b.n_distinct AS n_bigrams_distinct,
+           FLOOR((CAST(FLOOR(ln(CAST(NULLIF(b.n_total, 0) AS DOUBLE))
+                             * 1000000 + 0.5) AS DOUBLE)
+                  - CAST(b.wsum AS DOUBLE)
+                    / CAST(NULLIF(b.n_total, 0) AS DOUBLE))
+                 / 1000000.0 * 10000 + 0.5) / 10000.0 AS bigram_entropy
+    FROM usum u, bsum b
+    """,
+    tables=("documents",),
+)
+def text_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity health: Shannon entropy (nats, 4dp) of the corpus
+    unigram AND bigram distributions. Low unigram entropy = degenerate
+    vocabulary; a bigram entropy barely above the unigram one = templated
+    / boilerplate phrasing even when the vocabulary looks rich — the
+    diversity axis a training-data intake reads next to the Zipf slope
+    (a Zipf-plausible corpus can still be 90% one template).
+
+    Exactness: H = ln(N) - sum(c_i * ln(c_i)) / N. Every ln quantizes to
+    integer micro-nats PER ROW (the perplexity/zipf precedent), the
+    weighted sum is an exact BIGINT, and the final combination is one
+    fixed IEEE tree + one 4dp fx round, spelled identically in both
+    engines. Empty tokens are filtered BEFORE pairing so unigram and
+    bigram streams see the same token sequence.
+
+    Scale shape: ONE corpus scan — each doc's tokens and in-row zipped
+    bigrams (no self-join) explode together as tagged grams, so both
+    distributions ride a single (tag, gram) hash aggregate with map-side
+    partials (the text_token_topk shuffle class); the rollup to 3 exact
+    moments per tag and the <=2-row pivot are constant-size. The oracle
+    spells the same math as two UNION-free passes — values are identical,
+    only the physical pass count differs."""
+    docs = table(spark, sf_dir, "documents")
+    ts = F.filter(TX.tokens(F.lower(F.col("text"))), lambda x: x != F.lit(""))
+    toks = docs.select(ts.alias("ts"))
+    sz = F.array_size("ts")
+    pairs = F.when(
+        sz >= 2,
+        F.zip_with(
+            F.slice("ts", 1, sz - 1),
+            F.slice("ts", 2, sz - 1),
+            lambda a, b: F.concat(a, F.lit("\x1f"), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tag = lambda arr, t: F.transform(  # noqa: E731
+        arr, lambda g: F.struct(F.lit(t).alias("tag"), g.alias("gram"))
+    )
+    grams = toks.select(
+        F.explode(F.concat(tag(F.col("ts"), 0), tag(pairs, 1))).alias("g")
+    ).select(F.col("g.tag").alias("tag"), F.col("g.gram").alias("gram"))
+
+    lnu = lambda c: F.floor(  # noqa: E731
+        F.log(c.cast("double")) * F.lit(1000000) + F.lit(0.5)
+    ).cast("long")
+    counts = grams.groupBy("tag", "gram").agg(F.count(F.lit(1)).alias("c"))
+    moments = counts.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("c").alias("n_total"),
+        F.sum(F.col("c") * lnu(F.col("c"))).alias("wsum"),
+    )
+
+    def of_tag(t, col):
+        return F.sum(F.when(F.col("tag") == t, F.col(col)))
+
+    row = moments.agg(
+        of_tag(0, "n_total").alias("u_total"),
+        F.coalesce(of_tag(0, "n_distinct"), F.lit(0)).alias("u_distinct"),
+        of_tag(0, "wsum").alias("u_wsum"),
+        F.coalesce(of_tag(1, "n_total"), F.lit(0)).alias("b_total"),
+        F.coalesce(of_tag(1, "n_distinct"), F.lit(0)).alias("b_distinct"),
+        of_tag(1, "wsum").alias("b_wsum"),
+    )
+
+    def entropy(n_total, wsum):
+        ln_n = F.floor(
+            F.log(n_total.cast("double")) * F.lit(1000000) + F.lit(0.5)
+        ).cast("long")
+        raw = (
+            ln_n.cast("double") - wsum.cast("double") / n_total.cast("double")
+        ) / F.lit(1000000.0)
+        return F.floor(raw * F.lit(10000) + F.lit(0.5)) / F.lit(10000.0)
+
+    return row.select(
+        F.col("u_total").alias("n_tokens"),
+        F.col("u_distinct").alias("n_unigrams"),
+        entropy(F.col("u_total"), F.col("u_wsum")).alias("unigram_entropy"),
+        F.col("b_total").alias("n_bigrams"),
+        F.col("b_distinct").alias("n_bigrams_distinct"),
+        entropy(
+            F.nullif(F.col("b_total"), F.lit(0)), F.col("b_wsum")
+        ).alias("bigram_entropy"),
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=r"""
+    WITH fp AS (
+      SELECT source,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    ),
+    spread AS (
+      SELECT fingerprint, COUNT(DISTINCT source) AS n_sources
+      FROM fp GROUP BY fingerprint
+    )
+    SELECT f.source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT f.fingerprint) AS distinct_docs,
+           COUNT(*) - COUNT(DISTINCT f.fingerprint) AS duplicate_docs,
+           FLOOR((CAST(COUNT(*) AS DOUBLE)
+                  - CAST(COUNT(DISTINCT f.fingerprint) AS DOUBLE))
+                 / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5)
+             / 1000000.0 AS dup_rate,
+           CAST(COALESCE(SUM(CASE WHEN s.n_sources > 1 THEN 1 END), 0)
+                AS BIGINT) AS cross_source_docs
+    FROM fp f JOIN spread s USING (fingerprint)
+    GROUP BY f.source
+    ORDER BY f.source
+    """,
+    tables=("documents",),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability for exact dedup: per-source document counts,
+    within-source duplicate rate, and how many of the source's docs also
+    appear (verbatim, after normalization) under ANOTHER source — the
+    per-feed scorecard a crawl operator reads to decide which source to
+    throttle, and the cross-source column that catches mirror/syndication
+    feeds exact dedup would silently collapse.
+
+    Same normalized-md5 fingerprint as dedup_exact_docs
+    (functions.text.fingerprint), so the rates here decompose that
+    query's corpus-level totals by source.
+
+    Scale shape: ONE corpus scan. Docs collapse immediately to
+    (source, fingerprint, cnt) — after that first hash aggregate every
+    shuffle carries only (32-char hash, source, count) triples, never
+    document text; n_sources per fingerprint is a COUNT window over that
+    already-distinct frame (no count_distinct expand, and no self-join —
+    a join back to the aggregate would re-derive it from a SECOND
+    documents scan, the scan-audit catch), and the final rollup is
+    |sources| rows. The oracle spells the same math over the raw rows —
+    values are identical, only the collapse point differs."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    sf = (
+        docs.select(
+            "source", TX.fingerprint(F.col("text")).alias("fingerprint")
+        )
+        .groupBy("source", "fingerprint")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # sf is distinct per (source, fingerprint), so per-fingerprint source
+    # spread is a plain COUNT over the fingerprint's window partition.
+    joined = sf.withColumn(
+        "n_sources",
+        F.count(F.lit(1)).over(Window.partitionBy("fingerprint")),
+    )
+    n = F.sum("cnt")
+    d = F.count(F.lit(1))
+    return (
+        joined.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            d.alias("distinct_docs"),
+            (n - d).alias("duplicate_docs"),
+            (
+                F.floor(
+                    (n.cast("double") - d.cast("double"))
+                    / n.cast("double")
+                    * F.lit(1000000)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("dup_rate"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_sources") > 1, F.col("cnt"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("cross_source_docs"),
+        )
+        .orderBy("source")
+    )
