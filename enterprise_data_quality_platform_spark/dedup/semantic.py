@@ -14,20 +14,24 @@ repo's existing primitives:
 - ``dedup.clusters.keep_one_per_cluster`` — min-id connected-component
   resolution + anti-join kill list.
 
-100 TB posture: the only shuffle is the equi-join on ``list_id`` (skew
-bounded by ``max_cluster_size`` — an oversized cluster means the quantizer
-under-fit, the guard drops it from pair generation rather than letting one
-hot key quadratically dominate, same policy as MinHash's
-``max_bucket_size``); pair verification is an Arrow-vectorized cosine on
-co-clustered candidates only.
+100 TB posture: the only shuffle is the ``list_id`` groupBy — each vector
+crosses the wire ONCE per probed cluster (r11; the previous self-join
+carried both embeddings once per candidate PAIR). Skew is bounded by
+``max_cluster_size`` — an oversized cluster means the quantizer under-fit,
+the guard emits no pairs for it rather than letting one hot key
+quadratically dominate (same policy as MinHash's ``max_bucket_size``), and
+it also caps per-task memory for the blocked in-task GEMM that scores each
+cluster.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_batch, to_double
+from ..functions.vectors import to_double
 from ..similarity.ivf import assign_centroids, train_centroids
 from .clusters import keep_one_per_cluster
 
@@ -57,35 +61,69 @@ def semantic_dup_pairs(
     )
     assigned = corpus.select(
         F.col(id_col),
-        F.col(vec_col),
+        to_double(F.col(vec_col)).alias("__vec"),
         F.explode(
             assign_centroids(to_double(F.col(vec_col)), cent, nprobe=nprobe)
         ).alias("list_id"),
     )
-    if max_cluster_size is not None:
-        sizes = assigned.groupBy("list_id").agg(
-            F.count(F.lit(1)).alias("_csz")
-        )
-        assigned = assigned.join(
-            F.broadcast(sizes.filter(F.col("_csz") <= max_cluster_size)),
-            "list_id",
-        ).drop("_csz")
-    a = assigned.select(
-        "list_id",
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
+
+    # r11 (guide §2.3/§4.2): per-cluster Arrow all-pairs scoring replaces
+    # the list_id SELF-JOIN. The join duplicated every vector ~|cluster|
+    # times — each candidate pair carried BOTH full embeddings through the
+    # shuffle and then row-by-row across the Arrow boundary (sf0.1:
+    # ~900k joined rows x 2x64 doubles for 2k vectors). Grouping ships
+    # each vector ONCE per probed cluster and scores the whole cluster in
+    # blocked matrix products — the same normalized-GEMM formula the
+    # recall test's numpy ground truth uses. The hot-cluster guard moves
+    # INSIDE the group function (an oversized cluster emits no pairs —
+    # identical semantics to the old drop-the-cluster join, minus its
+    # sizes aggregate and broadcast join). A/B sf0.1: 4.17 s -> 1.49 s
+    # with identical pair sets at sf0.001/0.01/0.1 (OPTIMIZATION_r11.md).
+    thr = float(threshold)
+    cap = int(max_cluster_size) if max_cluster_size is not None else None
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cosine_sim": pd.Series(dtype="float64"),
+        }
     )
-    b = assigned.select(
-        "list_id",
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-    )
-    sim = cosine_batch(to_double(F.col("va")), to_double(F.col("vb")))
+
+    def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2 or (cap is not None and n > cap):
+            return empty
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        x = np.stack(pdf["__vec"].to_numpy())[order].astype(np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        out: list[pd.DataFrame] = []
+        # block the pair matrix (cap**2 pairs would not fit one task)
+        step = max(1, 8_000_000 // n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s in range(0, n - 1, step):
+                e = min(s + step, n)
+                cos = (x[s:e] @ x.T) / (norms[s:e, None] * norms[None, :])
+                # strict upper triangle only: id_a < id_b (ids ascending)
+                cols = np.arange(n)[None, :]
+                rows = np.arange(s, e)[:, None]
+                hit = (cols > rows) & (cos >= thr)
+                ii, jj = np.nonzero(hit)
+                if len(ii):
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": ids[ii + s],
+                                "id_b": ids[jj],
+                                "cosine_sim": cos[ii, jj],
+                            }
+                        )
+                    )
+        return pd.concat(out, ignore_index=True) if out else empty
+
     return (
-        a.join(b, on="list_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= F.lit(threshold))
+        assigned.groupBy("list_id")
+        .applyInPandas(_cluster_pairs, "id_a long, id_b long, cosine_sim double")
         .dropDuplicates(["id_a", "id_b"])
     )
 

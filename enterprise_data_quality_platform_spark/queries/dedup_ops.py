@@ -170,7 +170,16 @@ def dedup_semantic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact component resolver (policy="components") pays a multi-job
     # label-propagation iteration per graph-diameter hop — right for the
     # curation funnel, wrong for a per-round benched query.
-    n = emb.count()
+    # k-sizing count from parquet footers (metadata only — identical to
+    # count() on these tables; the packed_map_worthwhile precedent), with
+    # the full count as fallback for non-parquet inputs: saves one whole
+    # Spark job per run (r11, guide §1.2 "don't compute things twice").
+    try:
+        from ..operators.packedmap import _footer_rows
+
+        n = _footer_rows(sf_dir, "embeddings")
+    except Exception:
+        n = emb.count()
     k = max(16, min(4096, n // 100))
     # nprobe=3: measured against numpy brute force on the sf0.001 corpus
     # (tests/test_dedup_similarity.py::test_semantic_dedup_recall_vs_brute
@@ -419,12 +428,15 @@ def dedup_span_memorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape from the training-data dedup literature (find verbatim spans
     repeated across documents; the memorization risk a suffix-array dedup
     removes). Spans are fixed-width 32-char windows sampled at stride 8,
-    so the exploded row count is n_chars/8 (bounded, not quadratic) and a
-    duplicated region of length L >= 39 is guaranteed to contribute at
-    least one aligned duplicate span on both of its copies only when the
-    copies start at the same offset mod 8 — for the drop-in audit that
-    trade (8x cheaper than stride 1, deterministic) is the point; a
-    production sweep tightens the stride, not the mechanism.
+    so the exploded row count is n_chars/8 (bounded, not quadratic).
+    Detection is NOT exhaustive (ADVICE r10): a duplicated region is
+    detected only when its two copies start at equal offsets mod 8 —
+    probability ~1/8 per copy pair at the minimum detectable length
+    L = 39, rising with L (each extra 8 shared chars adds another
+    aligned-window opportunity). For the drop-in audit that recall trade
+    (8x cheaper than stride 1, deterministic) is the point; a production
+    sweep tightens the stride, not the mechanism — do not read the
+    result as an exhaustive memorization inventory.
 
     Cross-doc only: a span repeated within ONE document is self-repetition
     (text_repetition_stats' business); the n_docs > 1 filter keeps spans
@@ -438,8 +450,9 @@ def dedup_span_memorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     a global sort. The repartition before the explode is the
     minhash/winnowing scan-stage lesson (text.py:755): the documents
     scan gets ~15 splits at sf10, throttling the expensive
-    explode+substring stage to half the cores — measured 7.2 -> 5.4 s
-    median (4/4 rounds) with the doc_id repartition; a hash-prefilter
+    explode+substring stage to half the cores — A/B ledger (PERF.md
+    r10): 7.82 s (rr64) / 7.18 s (no repartition) vs 5.35 s by-key,
+    wins 4/4 rounds; a hash-prefilter
     variant (xxhash64 spans, survivor semi-join back) measured a TIE and
     was rejected (the second explode pass costs what the narrower
     shuffle saves; PERF.md r10)."""

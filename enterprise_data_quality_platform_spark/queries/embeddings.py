@@ -715,8 +715,14 @@ def embed_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH fp AS (
       SELECT vec_id,
              array_to_string(list_transform(embedding,
-                 x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5)
-                           AS BIGINT) AS VARCHAR)), ',') AS vec_fp
+                 x -> CASE
+                        WHEN x IS NULL THEN 'null'
+                        WHEN isnan(CAST(x AS DOUBLE)) THEN 'nan'
+                        WHEN isinf(CAST(x AS DOUBLE)) THEN
+                          CASE WHEN x > 0 THEN 'inf' ELSE '-inf' END
+                        ELSE CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                                  AS BIGINT) AS VARCHAR)
+                      END), ',') AS vec_fp
       FROM embeddings
     ),
     grp AS (
@@ -742,21 +748,35 @@ def embed_exact_dup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: per-component 1e-6 quantization to BIGINT then a joined
     string fingerprint — integer-to-string is engine-identical, float
     array equality is not (NaN/-0.0); grouping on the bounded-width
-    fingerprint string.
+    fingerprint string. Non-finite and NULL components map to sentinel
+    tokens ('nan'/'inf'/'-inf'/'null') in BOTH engines (r11, ADVICE r10):
+    floor(NaN*1e6+0.5) CAST AS BIGINT would THROW under ANSI (and error
+    in DuckDB), and concat_ws/array_to_string silently drop NULL
+    elements — a corpus with such components now fingerprints them
+    instead of failing or aliasing. Finite magnitudes beyond
+    BIGINT/1e6 (~9.2e12) remain out of contract (loud ANSI failure).
 
     Scale shape: one scan, one groupBy on the fingerprint (map-side
     partial), 1-row summary output. At index scale the same fingerprint
     feeds a keep-first anti-join (dedup_exact_docs mechanism)."""
     emb = table(spark, sf_dir, "embeddings")
-    fp = F.concat_ws(
-        ",",
-        F.transform(
-            V.to_double(F.col("embedding")),
-            lambda x: F.floor(x * F.lit(1000000) + F.lit(0.5))
-            .cast("long")
-            .cast("string"),
-        ),
-    )
+
+    def _tok(x):
+        # CASE branches evaluate lazily per row, so the quantizing cast
+        # never sees a non-finite value (ANSI-safe by construction).
+        return (
+            F.when(x.isNull(), F.lit("null"))
+            .when(F.isnan(x), F.lit("nan"))
+            .when(x == F.lit(float("inf")), F.lit("inf"))
+            .when(x == F.lit(float("-inf")), F.lit("-inf"))
+            .otherwise(
+                F.floor(x * F.lit(1000000) + F.lit(0.5))
+                .cast("long")
+                .cast("string")
+            )
+        )
+
+    fp = F.concat_ws(",", F.transform(V.to_double(F.col("embedding")), _tok))
     grp = (
         emb.select(fp.alias("vec_fp"))
         .groupBy("vec_fp")

@@ -711,3 +711,20 @@ def test_local_supplier_volume_packed_no_fact_shuffle(spark):
         ln for ln in fin.splitlines() if " Sort " in ln or "+- Sort" in ln
     ]
     assert len(sort_lines) == 1 and "rev_units" in sort_lines[0], fin
+
+
+def test_user_gini_rank_window_over_distinct_count_frame(spark):
+    """r11: the Gini rank-sum must NOT materialize a per-user global
+    row_number — that was the one single-partition window in the repo
+    whose input grew linearly with the data. The tie-group form windows
+    over the distinct-count frame (O(sqrt(events)) rows): the plan has no
+    row_number, and the window's input is the cnt-grouped aggregate
+    (hashpartitioning(cnt) exchange below the single-partition sort)."""
+    plan = plan_of(spark, "events_user_gini")
+    assert "row_number" not in plan, plan
+    assert "hashpartitioning(cnt" in plan, plan
+    ops = _numbered_ops(plan)
+    # leaves-first: user-count agg, cnt-group agg, THEN the window
+    assert "Window" in ops, plan
+    aggs_before = [o for o in ops[: ops.index("Window")] if o == "HashAggregate"]
+    assert len(aggs_before) >= 4, plan  # partial+final per-user, partial+final per-cnt

@@ -381,3 +381,24 @@ def test_exact_dup_vectors_clean_corpus_zeroes(spark, monkeypatch):
     monkeypatch.setattr(e, "table", lambda s, d, n: _emb(spark, rows))
     out = e.embed_exact_dup_vectors(spark, "unused").collect()[0]
     assert (out.n_dup_groups, out.n_dup_vectors, out.largest_group) == (0, 0, 0)
+
+
+def test_exact_dup_vectors_nonfinite_components_fingerprint(spark, monkeypatch):
+    """r11 (ADVICE r10): NaN/Inf/NULL components must map to sentinel
+    tokens, not ANSI-throw in the BIGINT quantizer or be silently dropped
+    by concat_ws — two vectors sharing the same non-finite pattern are
+    the SAME fingerprint; NULL vs 0.0 are DIFFERENT."""
+    import enterprise_data_quality_platform_spark.queries.embeddings as e
+
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (1, [nan, 0.5], 0),
+        (2, [nan, 0.5], 0),      # dup of 1 (same NaN pattern)
+        (3, [inf, 0.5], 0),      # distinct: inf != nan token
+        (4, [-inf, 0.5], 0),     # distinct: sign preserved
+        (5, [None, 0.0], 0),     # null token, NOT dropped:
+        (6, [0.0, 0.0], 0),      # ...so this is NOT a dup of 5
+    ]
+    monkeypatch.setattr(e, "table", lambda s, d, n: _emb(spark, rows))
+    out = e.embed_exact_dup_vectors(spark, "unused").collect()[0]
+    assert (out.n_dup_groups, out.n_dup_vectors, out.largest_group) == (1, 2, 2)
