@@ -190,6 +190,19 @@ def main() -> None:
 
     spark = get_spark("edqp-bench")
     launch_la = [round(x, 2) for x in os.getloadavg()]
+    # launch-condition readings (VERDICT r10 item 5, record-ONLY here: the
+    # external driver invokes bench.py non-interactively, so the bench
+    # never refuses to run — it stamps la1 + steal%, and the promotion
+    # decision reads the stamp). tools/multiscale.py ENFORCES the gate.
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from launchgate import readings
+
+        launch_gate = readings(window_sec=5.0)
+    except Exception:
+        launch_gate = None
     fns = query_fns()
     names = [n for n in HEADLINE if n in fns]
     only = os.environ.get("BENCH_QUERIES")  # comma-list subset override
@@ -285,6 +298,7 @@ def main() -> None:
         "queries": timings,
         "loadavg1": loadavg1,
         "launch_loadavg": launch_la,
+        "launch_gate": launch_gate,
         "sf": sf_val,
         "runs_per_query": RUNS,
     }

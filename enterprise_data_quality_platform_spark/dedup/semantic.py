@@ -77,8 +77,9 @@ def semantic_dup_pairs(
     # recall test's numpy ground truth uses. The hot-cluster guard moves
     # INSIDE the group function (an oversized cluster emits no pairs —
     # identical semantics to the old drop-the-cluster join, minus its
-    # sizes aggregate and broadcast join). A/B sf0.1: 4.17 s -> 1.49 s
-    # with identical pair sets at sf0.001/0.01/0.1 (OPTIMIZATION_r11.md).
+    # sizes aggregate and broadcast join). In-session alternating A/B at
+    # sf0.1 (full dedup_semantic_docs, medians of 5): 6.73 s -> 1.49 s,
+    # identical pair sets at sf0.001/0.01/0.1 (OPTIMIZATION_r11.md).
     thr = float(threshold)
     cap = int(max_cluster_size) if max_cluster_size is not None else None
     empty = pd.DataFrame(

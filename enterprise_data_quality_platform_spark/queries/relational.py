@@ -445,10 +445,22 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     100× — candidate count tracks true near-dup density, not block size
     squared."""
     cust = table(spark, sf_dir, "customer")
+    # r11 (guide §2.3, narrower shuffle keys): the deletion variants join
+    # on xxhash64(variant) LONGS instead of ~18-char strings — the
+    # exploded frames shuffle 8-byte keys, and the equi-join compares
+    # longs. A hash COLLISION can only ADD a candidate pair, and every
+    # candidate is verified by the exact levenshtein <= 1 filter before
+    # counting, so the result is collision-proof (the minhash
+    # hashed-gram precedent). Alternating A/B at sf0.1 (two sessions,
+    # 5 runs each): pooled medians 1.47 s -> 1.41 s — noise-class
+    # locally where both frames broadcast; kept for the 8-byte-vs-18-char
+    # shuffle key once the exploded sides exceed the broadcast bound
+    # (OPTIMIZATION_r11.md).
     variants = F.expr(
-        "array_union(array(c_name), transform(sequence(1, length(c_name)),"
+        "transform(array_union(array(c_name),"
+        " transform(sequence(1, length(c_name)),"
         " i -> concat(substr(c_name, 1, i - 1),"
-        " substr(c_name, i + 1, length(c_name)))))"
+        " substr(c_name, i + 1, length(c_name))))), v -> xxhash64(v))"
     )
     sides = {}
     for side in ("a", "b"):

@@ -29,10 +29,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.vectors import to_double
+
 __all__ = [
     "dim_stats",
     "quantize_codes",
     "quantize_vectors",
+    "quantize_vectors_expr",
     "dequantize_expr",
     "quantized_knn_topk",
 ]
@@ -112,6 +115,53 @@ def dequantize_expr(code, mn, mx):
     return mn + code * ((mx - mn) / F.lit(255.0))
 
 
+def quantize_vectors_expr(
+    emb: DataFrame,
+    srows,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes) via a pure ARRAY EXPRESSION against driver-held
+    calibration rows — the shuffle-free twin of ``quantize_vectors`` for
+    callers that already collected ``dim_stats`` (r11, guide §2.4).
+
+    ``quantize_vectors`` re-assembles codes through posexplode →
+    broadcast-join(stats) → groupBy(id)+sort_array: a full corpus shuffle
+    of n_dims× exploded rows, paid only to get per-dim mn/mx next to each
+    component. When the caller holds the stats on the driver anyway (the
+    ADC search path collects them for the scoring UDF closure), the same
+    codes fall out of one codegen `transform` over literal mn/scale
+    arrays — zero exchanges, zero extra scans. The arithmetic is the SAME
+    expression tree as ``quantize_codes`` (floor((v - mn) * (255.0 /
+    (mx - mn))), clamped), so codes are bit-identical — pinned by
+    tests/test_corpus_ops.py::test_quantize_vectors_expr_matches_join_path.
+
+    ``srows`` must be ``dim_stats(...).orderBy("dim").collect()`` —
+    constant dims already dropped, so ``codes`` skips them exactly like
+    the join path (whose stats join drops those exploded rows). Fixed
+    contract: vectors index 1..max(dim); a component missing from a
+    ragged vector yields a NULL code (``F.get``) rather than the join
+    path's silently shorter array — both are out of the fixed-width
+    contract."""
+    vecd = to_double(F.col(vec_col))
+    idx = F.array(*[F.lit(int(r["dim"])) for r in srows])
+    mns = F.array(*[F.lit(float(r["mn"])) for r in srows])
+    mxs = F.array(*[F.lit(float(r["mx"])) for r in srows])
+    one = F.lit(1)
+
+    def _code(d, i):
+        mn = F.element_at(mns, i + one)
+        mx = F.element_at(mxs, i + one)
+        raw = F.floor((F.get(vecd, d - one) - mn) * (F.lit(255.0) / (mx - mn)))
+        return (
+            F.least(F.lit(255), F.greatest(F.lit(0), raw)).cast("smallint")
+        )
+
+    return emb.select(
+        F.col(id_col), F.transform(idx, _code).alias("codes")
+    )
+
+
 def quantized_knn_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -151,7 +201,11 @@ def quantized_knn_topk(
         den = np.linalg.norm(x, axis=1) * np.linalg.norm(p, axis=1)
         return pd.Series(np.where(den > 0, num / den, 0.0))
 
-    coded = quantize_vectors(corpus, vec_col, id_col, stats=stats)
+    # r11 (guide §2.4): codes from the shuffle-free expression twin — the
+    # stats are already on the driver for the UDF closure, so the
+    # posexplode → join → regroup pass of quantize_vectors is pure
+    # overhead here (A/B + bit-equality in OPTIMIZATION_r11.md).
+    coded = quantize_vectors_expr(corpus, srows, vec_col, id_col)
     sims = coded.crossJoin(F.broadcast(probes)).select(
         F.col(probe_id_col),
         F.col(id_col),

@@ -420,3 +420,30 @@ def test_exact_rerank_composes_with_lsh_candidates(spark):
     a = {(r["probe_id"], r["vec_id"], r["cosine_sim"]) for r in lsh.collect()}
     b = {(r["probe_id"], r["vec_id"], r["cosine_sim"]) for r in rr.collect()}
     assert a == b
+
+
+def test_quantize_vectors_expr_matches_join_path(spark):
+    """r11: the shuffle-free expression quantizer must emit codes
+    BIT-IDENTICAL to quantize_vectors' posexplode/join/regroup path —
+    quantized_knn_topk switched to it, so ADC rankings hinge on this."""
+    from enterprise_data_quality_platform_spark.similarity.quantize import (
+        dim_stats,
+        quantize_vectors_expr,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    srows = dim_stats(emb).orderBy("dim").collect()
+    old = {r["vec_id"]: list(r["codes"]) for r in quantize_vectors(emb).collect()}
+    new = {
+        r["vec_id"]: list(r["codes"])
+        for r in quantize_vectors_expr(emb, srows).collect()
+    }
+    assert old == new
+    # and the expression plan is exchange-free (the point of the twin)
+    plan = (
+        quantize_vectors_expr(emb, srows)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan

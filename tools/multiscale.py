@@ -147,6 +147,22 @@ def main() -> None:
         "10=/root/repo/testdata_sf10",
     ]
 
+    # mechanized launch gate (VERDICT r10 item 5): la1 < 1 AND a steal-free
+    # run-up, enforced BEFORE any measurement; readings (and any waiver)
+    # are embedded in the artifact so the launch conditions of a committed
+    # sweep are in-data, not in prose. LAUNCH_GATE_SECONDS shortens the
+    # default 300 s run-up for non-promotable iteration runs;
+    # LAUNCH_GATE_WAIVER='reason' overrides a failed gate visibly.
+    from launchgate import preflight
+
+    gate = preflight()
+    print(
+        f"launch gate: la1={gate['loadavg'][0]} steal={gate['steal_pct']}%"
+        f" over {gate['window_sec']:.0f}s passed={gate['passed']}"
+        + (f" waiver={gate['waiver']!r}" if gate["waiver"] else ""),
+        file=sys.stderr, flush=True,
+    )
+
     from enterprise_data_quality_platform_spark.queries import all_queries, query_fns
     from enterprise_data_quality_platform_spark.queries.registry import oracle_sqls
     from enterprise_data_quality_platform_spark.session import get_spark
@@ -164,6 +180,7 @@ def main() -> None:
     doc: dict = {
         "metric": "headline_query_medians_by_scale",
         "unit": "sec",
+        "launch_gate": gate,
         "launch_loadavg": [round(x, 2) for x in os.getloadavg()],
         "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "queries": names,
