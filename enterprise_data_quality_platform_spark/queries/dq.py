@@ -114,24 +114,33 @@ def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique path): group by ``o_orderkey >> 3`` and sum
     ``1 << ((o_orderkey & 7) * 7)`` — 8 keys per 64-bit word in 7-bit
     slots, so the per-key shuffle carries 8× fewer rows than the r8
-    two-level groupBy this replaces (which was itself 2.05x faster at
-    sf10 than the Expand-planning count_distinct form).
+    two-level groupBy this replaces.
     distinct_keys = Σ nonzero slots; duplicate_rows = Σ non-null rows −
     distinct_keys — exactly COUNT − COUNT(DISTINCT), value-identical to
     the oracle. EXACTNESS GUARD (same argument as dq_key_skew): valid
     while every per-key count ≤ 127; a slot carry strictly shrinks the
-    recovered slot sum, so the stats filter compares it against the true
-    row count carried through the same aggregate and raises on mismatch
-    (an extreme top-slot pile-up ANSI-throws in the same stage: also
-    loud; no silent path exists). Counts beyond 127 ⇒ fall back to the
-    plain per-key groupBy this replaces. At 100 TB swap in
-    approx_count_distinct via the checks' approx switch."""
+    recovered slot sum vs the true row count carried through the same
+    aggregate, so carries cannot pass undetected.
+
+    r12 (VERDICT r11 item 6): the guard no longer raises — the carry case
+    now DEGRADES in-plan. The result is a union of two gated branches:
+    the packed 1-row result filtered to the no-carry case, and the plain
+    per-key twin whose input is cross-joined against a broadcast 1-row
+    gate that is EMPTY unless a carry was detected. AQE's empty-relation
+    propagation collapses the gated-off twin (scan included) to an
+    EmptyRelation at runtime, so the PK-domain cost is the packed plan
+    alone (the gate's 1-row aggregate rides the packed exchange via
+    ReusedExchange), while a genuinely duplicated domain (count > 127)
+    answers exactly through the per-key plan instead of erroring. Exactly
+    one branch ever emits its row (the gate conditions are complements).
+    At 100 TB swap in approx_count_distinct via the checks' approx
+    switch."""
+    orders = table(spark, sf_dir, "orders")
     contrib = F.expr(
         "shiftleft(CAST(1 AS BIGINT), CAST((o_orderkey & 7) * 7 AS INT))"
     )
-    packed = (
-        table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey").isNotNull())
+    words = (
+        orders.filter(F.col("o_orderkey").isNotNull())
         .groupBy(F.shiftright(F.col("o_orderkey"), 3).alias("__w"))
         .agg(F.sum(contrib).alias("__p"), F.count(F.lit(1)).alias("__t"))
     )
@@ -140,36 +149,36 @@ def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.when(s > 0, 1).otherwise(0) for s in slots), F.lit(0)
     )
     recovered_word = sum(slots[1:], slots[0])
-    return (
-        packed.agg(
-            F.sum("__t").alias("__true_total"),
-            F.sum(distinct_word).cast("long").alias("distinct_keys"),
-            F.sum(recovered_word).alias("__recovered"),
-        )
-        .filter(
-            F.when(
-                F.col("__recovered").isNull()
-                | (F.col("__recovered") == F.col("__true_total")),
-                F.lit(True),
-            ).otherwise(
-                F.raise_error(
-                    F.lit(
-                        "dq_uniqueness: a per-key count exceeded 127"
-                        " (packed-counter carry); use a plain per-key"
-                        " groupBy for this key domain"
-                    )
-                ).cast("boolean")
-            )
-        )
-        .select(
-            F.coalesce(
-                F.col("__true_total") - F.col("distinct_keys"), F.lit(0)
-            ).alias("duplicate_rows"),
-            F.coalesce(F.col("distinct_keys"), F.lit(0)).alias(
-                "distinct_keys"
-            ),
-        )
+    stats = words.agg(
+        F.sum("__t").alias("__true_total"),
+        F.sum(distinct_word).cast("long").alias("distinct_keys"),
+        F.sum(recovered_word).alias("__recovered"),
     )
+    no_carry = F.col("__recovered").isNull() | (
+        F.col("__recovered") == F.col("__true_total")
+    )
+    fast_row = stats.filter(no_carry).select(
+        F.coalesce(
+            F.col("__true_total") - F.col("distinct_keys"), F.lit(0)
+        ).alias("duplicate_rows"),
+        F.coalesce(F.col("distinct_keys"), F.lit(0)).alias("distinct_keys"),
+    )
+    gate = stats.filter(~no_carry).select(F.lit(1).alias("__g"))
+    per_key = (
+        orders.crossJoin(F.broadcast(gate))
+        .filter(F.col("o_orderkey").isNotNull())
+        .groupBy("o_orderkey", "__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    plain_row = (
+        per_key.groupBy("__g")
+        .agg(
+            (F.sum("__n") - F.count(F.lit(1))).alias("duplicate_rows"),
+            F.count(F.lit(1)).alias("distinct_keys"),
+        )
+        .select("duplicate_rows", "distinct_keys")
+    )
+    return fast_row.unionByName(plain_row)
 
 
 @register(
@@ -2302,7 +2311,15 @@ def dq_unique_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: two-level aggregation (per-key counts, then one row) instead of
     count_distinct's Expand — the dq_uniqueness rewrite precedent; one
-    shuffle on the key, exact at any scale."""
+    shuffle on the key, exact at any scale. r12 note: the 15-bit × 4-slot
+    packed-counter variant (VERDICT r11 item 7) was built, guarded, and
+    REJECTED on measurement — sf10 alternating A/B medians 0.515 s
+    (this plan) vs 0.628 s (packed + carry gate), and the gate-free
+    packed frame alone still read 0.561 vs 0.541 s: the FK domain's
+    per-key counts (~10 at sf10) already collapse in the map-side
+    partial, so the 4× shuffled-row cut buys nothing locally while the
+    contrib bit-arithmetic adds per-row CPU and the carry gate adds a
+    stage. OPTIMIZATION_r12.md §2 carries the full A/B."""
     per_key = (
         table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
