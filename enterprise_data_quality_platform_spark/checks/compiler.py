@@ -510,9 +510,16 @@ def compile_agg_check(check: Check, prefix: str) -> CompiledAggCheck:
             ):
                 return build_unique(df)
             c = F.col(cols[0]).cast("long")
-            contrib = F.expr(
-                "shiftleft(CAST(1 AS BIGINT),"
-                f" CAST((CAST(`{cols[0]}` AS BIGINT) & 7) * 7 AS INT))"
+            # Column-API form (ADVICE r11 #4): the previous F.expr string
+            # interpolated the raw column name inside backticks, which a
+            # name containing a backtick breaks. Same expression tree:
+            # shiftleft(1L, ((key & 7) * 7) AS INT).
+            # F.shiftleft only takes a literal bit count, so call the SQL
+            # function directly with a Column bit count
+            contrib = F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (c.bitwiseAND(F.lit(7)) * F.lit(7)).cast("int"),
             )
             per = df.groupBy(F.shiftright(c, 3).alias("__w")).agg(
                 F.sum(contrib).alias("__p"),

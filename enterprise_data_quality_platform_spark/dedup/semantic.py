@@ -82,10 +82,23 @@ def semantic_dup_pairs(
     # identical pair sets at sf0.001/0.01/0.1 (OPTIMIZATION_r11.md).
     thr = float(threshold)
     cap = int(max_cluster_size) if max_cluster_size is not None else None
+    # pair-id output type follows the corpus id column (ADVICE r11 #1: the
+    # r11 rewrite hardcoded 'long', silently narrowing the type-generic
+    # contract the old self-join path had — string or int32 ids failed at
+    # Arrow conversion even though every in-repo caller uses long vec_id)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    pd_dtype = {
+        "tinyint": "int8",
+        "smallint": "int16",
+        "int": "int32",
+        "bigint": "int64",
+        "float": "float32",
+        "double": "float64",
+    }.get(id_type, "object")
     empty = pd.DataFrame(
         {
-            "id_a": pd.Series(dtype="int64"),
-            "id_b": pd.Series(dtype="int64"),
+            "id_a": pd.Series(dtype=pd_dtype),
+            "id_b": pd.Series(dtype=pd_dtype),
             "cosine_sim": pd.Series(dtype="float64"),
         }
     )
@@ -124,7 +137,9 @@ def semantic_dup_pairs(
 
     return (
         assigned.groupBy("list_id")
-        .applyInPandas(_cluster_pairs, "id_a long, id_b long, cosine_sim double")
+        .applyInPandas(
+            _cluster_pairs, f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
 

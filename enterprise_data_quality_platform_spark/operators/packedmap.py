@@ -181,6 +181,64 @@ def _footer_rows(sf_dir: str, table_name: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _footer_col_minmax(
+    sf_dir: str,
+    table_name: str,
+    col: str,
+    max_files: int = 256,
+) -> tuple | None:
+    """Exact (min, max) of an integral column from parquet column-chunk
+    statistics only — metadata, no scan. Returns ``None`` when the stats
+    cannot prove the bound: any value-bearing chunk without exact min/max,
+    a non-parquet path, or more than ``max_files`` files (the cap keeps
+    this a bounded driver-side read at 100 TB — callers fall back to an
+    in-plan guard). Returns ``(None, None)`` for an empty / all-null
+    column (vacuously in any range: no values exist to violate it)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..catalog import table_path
+
+    try:
+        path = table_path(sf_dir, table_name)
+        if os.path.isdir(path):
+            files = []
+            for root, _, names in os.walk(path):
+                files.extend(
+                    os.path.join(root, f)
+                    for f in names
+                    if f.endswith(".parquet")
+                )
+        else:
+            files = [path]
+        if not files or len(files) > max_files:
+            return None
+        mn = mx = None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.row_group(0).column(j).path_in_schema: j
+                for j in range(md.num_columns)
+            } if md.num_row_groups else {}
+            if md.num_row_groups and col not in idx:
+                return None
+            for i in range(md.num_row_groups):
+                ch = md.row_group(i).column(idx[col])
+                st = ch.statistics
+                if st is None or st.num_values == 0:
+                    if st is None and ch.num_values:
+                        return None
+                    continue
+                if not st.has_min_max:
+                    return None
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        return (mn, mx)
+    except Exception:
+        return None
+
+
 def packed_map_worthwhile(
     sf_dir: str,
     probe_table: str,

@@ -719,28 +719,50 @@ def mart_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = F.shiftleft(F.col("a.l_partkey"), 32).bitwiseOR(
         F.col("b.l_partkey")
     )
-    pack_guard = (
-        li.agg(
-            F.min("l_partkey").alias("_mn"),
-            F.max("l_partkey").alias("_mx"),
-        ).filter(
-            F.when(
-                # NULL bounds = empty input: vacuously in range (no pairs
-                # exist to mis-pack), must not trip the raise
-                F.col("_mn").isNull()
-                | ((F.col("_mn") >= 0) & (F.col("_mx") < F.lit(2147483648))),
-                F.lit(True),
-            ).otherwise(
-                F.raise_error(
-                    F.lit(
-                        "mart_part_affinity: l_partkey outside [0, 2^31)"
-                        " pack range; use the two-column groupBy form for"
-                        " this key domain"
-                    )
-                ).cast("boolean")
+    # r12 (guide §1.2/§6: don't scan for what metadata already proves):
+    # parquet column-chunk statistics give the EXACT l_partkey min/max
+    # from the footers — when every value-bearing chunk carries exact
+    # stats, the range check resolves at build time and the in-plan guard
+    # subtree (one extra column-pruned lineitem scan + min/max aggregate +
+    # 20×1 BroadcastNestedLoopJoin attach) is not built at all. A proven
+    # violation raises the SAME "pack range" message, just at build time
+    # instead of action time — still loud, never wrong counts. Stats
+    # missing/untrusted (non-parquet input, a writer without statistics,
+    # >256 files — the driver-side footer-read bound) falls back to the
+    # in-plan guard unchanged.
+    _PACK_MSG = (
+        "mart_part_affinity: l_partkey outside [0, 2^31)"
+        " pack range; use the two-column groupBy form for"
+        " this key domain"
+    )
+    from ..operators.packedmap import _footer_col_minmax
+
+    stats = _footer_col_minmax(sf_dir, "lineitem", "l_partkey")
+    if stats is not None:
+        mn, mx = stats
+        if mn is not None and (mn < 0 or mx >= 2147483648):
+            raise ValueError(_PACK_MSG)
+        pack_guard = None  # footer-verified: nothing to attach
+    else:
+        pack_guard = (
+            li.agg(
+                F.min("l_partkey").alias("_mn"),
+                F.max("l_partkey").alias("_mx"),
+            ).filter(
+                F.when(
+                    # NULL bounds = empty input: vacuously in range (no
+                    # pairs exist to mis-pack), must not trip the raise
+                    F.col("_mn").isNull()
+                    | (
+                        (F.col("_mn") >= 0)
+                        & (F.col("_mx") < F.lit(2147483648))
+                    ),
+                    F.lit(True),
+                ).otherwise(
+                    F.raise_error(F.lit(_PACK_MSG)).cast("boolean")
+                )
             )
         )
-    )
     agg = (
         a.join(
             b,
@@ -753,13 +775,17 @@ def mart_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("together_count").desc(), "pk")
         .limit(20)
     )
-    # attach the 1-row guard: a broadcast cross join of 20 × 1 rows. This
-    # IS a BroadcastNestedLoopJoin in the plan — deliberately: any equi
-    # key we synthesize constant-folds away (verified: count*0+1 folds,
-    # the condition is pushed into the guard side, BNLJ anyway). The plan
-    # test pins that the ONLY nested loop is this guard attach and the
-    # pair self-join stays an equi hash join.
-    agg = agg.crossJoin(F.broadcast(pack_guard.select(F.lit(1).alias("_g"))))
+    # attach the 1-row guard (fallback path only): a broadcast cross join
+    # of 20 × 1 rows. This IS a BroadcastNestedLoopJoin in the plan —
+    # deliberately: any equi key we synthesize constant-folds away
+    # (verified: count*0+1 folds, the condition is pushed into the guard
+    # side, BNLJ anyway). The plan test pins that the footer-verified
+    # plan has NO nested loop and the fallback's only nested loop is this
+    # guard attach; the pair self-join stays an equi hash join either way.
+    if pack_guard is not None:
+        agg = agg.crossJoin(
+            F.broadcast(pack_guard.select(F.lit(1).alias("_g")))
+        )
     return agg.select(
         F.expr("pk div 4294967296").alias("part_a"),
         (F.col("pk") % F.lit(4294967296)).alias("part_b"),

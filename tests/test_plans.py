@@ -255,16 +255,17 @@ def test_part_affinity_no_nested_loop(spark):
     """The basket self-join must be a hash/merge equi-join on the order
     key — a nested-loop/cartesian plan here is the O(n^2) failure mode —
     and the two identical fact subtrees must share ONE exchange (the
-    long-session-safe form: no ObjectHashAggregate basket state)."""
+    long-session-safe form: no ObjectHashAggregate basket state). Since
+    r12 the pack-range guard resolves from parquet footer statistics at
+    build time on the test data, so the plan carries NO nested loop (and
+    no guard subtree) at all."""
     plan = plan_of(spark, "mart_part_affinity")
     assert "CartesianProduct" not in plan
-    # exactly ONE nested loop is allowed: the 20×1 broadcast attach of the
-    # pack-range guard (identified by its raise_error branch); the pair
-    # self-join itself must stay an equi hash/merge join on the order key
-    # formatted explain lists each node twice (tree + detail section);
-    # count the detail headers, which appear once per node
-    assert plan.count(") BroadcastNestedLoopJoin") == 1
-    assert "raise_error" in plan  # the guard is present in-plan
+    # the footer-verified plan has no guard attach: zero nested loops;
+    # the pair self-join itself must stay an equi hash/merge join on the
+    # order key
+    assert plan.count(") BroadcastNestedLoopJoin") == 0
+    assert "raise_error" not in plan  # guard resolved from footer stats
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "Left keys [1]: [l_orderkey" in plan  # equi self-join on the basket key
     assert "ObjectHashAggregate" not in plan  # no collect_list state
@@ -558,6 +559,49 @@ def test_part_affinity_pack_guard_raises_on_huge_partkey(spark, tmp_path):
 
     shutil.rmtree(str(tmp_path / "lineitem.parquet"))
     ok.write.parquet(str(tmp_path / "lineitem.parquet"))
+    rows = mart_part_affinity(spark, str(tmp_path)).collect()
+    top = {(r.part_a, r.part_b): r.together_count for r in rows}
+    assert top[(3, 5)] == 2 and top[(3, 9)] == 1 and top[(5, 9)] == 1
+
+
+def test_part_affinity_guard_fallback_without_footer_stats(spark, tmp_path):
+    """When the parquet writer emitted no column statistics, the footer
+    check cannot prove the pack range, so the r12 build-time guard must
+    fall back to the in-plan min/max guard: a huge partkey still fails
+    loudly AT ACTION TIME, and in-range data still answers correctly
+    (with the 20×1 BroadcastNestedLoopJoin guard attach in the plan)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from enterprise_data_quality_platform_spark.queries.relational import (
+        mart_part_affinity,
+    )
+
+    def write_nostats(rows, path):
+        tbl = pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, path, write_statistics=False)
+
+    write_nostats([(1, 2**32 + 5), (1, 2**32 + 9)], str(tmp_path / "lineitem.parquet"))
+    df = mart_part_affinity(spark, str(tmp_path))  # builds: guard is in-plan
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "raise_error" in plan  # fallback guard attached
+    with pytest.raises(Exception) as exc:
+        df.collect()
+    assert "pack range" in _exception_chain_text(exc.value)
+
+    (tmp_path / "lineitem.parquet").unlink()
+    write_nostats(
+        [(1, 3), (1, 5), (2, 3), (2, 5), (2, 9)],
+        str(tmp_path / "lineitem.parquet"),
+    )
     rows = mart_part_affinity(spark, str(tmp_path)).collect()
     top = {(r.part_a, r.part_b): r.together_count for r in rows}
     assert top[(3, 5)] == 2 and top[(3, 9)] == 1 and top[(5, 9)] == 1
